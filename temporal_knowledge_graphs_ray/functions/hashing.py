@@ -1,0 +1,106 @@
+"""Stable hashing kernels: content hashes, MinHash, SimHash, shingles.
+
+All hashes are derived from MD5 so they are stable across processes,
+machines and Python versions (Python's builtin ``hash`` is salted per
+process — never use it in a distributed pipeline). MD5 also has an exact
+DuckDB equivalent (``md5(...)``) so exact-dedup keys have SQL oracles.
+
+MinHash/SimHash here are this engine's scale additions for training-data
+dedup (no equivalent exists in the reference; see SURVEY.md §2.6 note) —
+standard constructions per Broder (1997) and Charikar (2002).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def md5_hex(text: str) -> str:
+    """Hex MD5 of UTF-8 text — matches DuckDB ``md5(text)``."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def stable_hash64(text: str, seed: int = 0) -> int:
+    """Unsigned 63-bit stable hash (fits int64)."""
+    h = hashlib.md5(f"{seed}|{text}".encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "big") >> 1
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    """Lower-cased word k-shingles (space-joined)."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
+def char_ngrams(text: str, n: int = 3) -> list[str]:
+    t = text.lower()
+    if len(t) < n:
+        return [t] if t else []
+    return [t[i:i + n] for i in range(len(t) - n + 1)]
+
+
+def minhash_signature(shingles: list[str], num_perm: int = 64) -> np.ndarray:
+    """MinHash signature via num_perm seeded hash functions.
+
+    Vectorized: one MD5 per shingle, then num_perm cheap xor-shift mixes of
+    that 64-bit value (a standard "one hash + k mixers" construction).
+    Returns uint64[num_perm]; empty input -> all UINT64_MAX.
+    """
+    sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    if not shingles:
+        return sig
+    base = np.fromiter(
+        (stable_hash64(s) for s in set(shingles)), dtype=np.uint64,
+    )
+    seeds = _PERM_SEEDS[:num_perm]
+    if len(seeds) < num_perm:
+        raise ValueError(f"num_perm > {len(_PERM_SEEDS)} unsupported")
+    # h_i(x) = rotate/mix with odd multiplier + xor seed (bijective on u64)
+    mixed = (base[None, :] * seeds[:, None]) ^ (base[None, :] >> np.uint64(29))
+    return mixed.min(axis=1)
+
+
+# 128 fixed odd multipliers derived from MD5 of the permutation index
+_PERM_SEEDS = np.array(
+    [stable_hash64(f"perm-{i}") | 1 for i in range(128)], dtype=np.uint64
+)
+
+
+def minhash_bands(sig: np.ndarray, num_bands: int = 16) -> list[int]:
+    """Split a signature into bands; returns a stable hash per band.
+
+    Docs sharing any band hash are LSH candidates.
+    """
+    rows = len(sig) // num_bands
+    out = []
+    for b in range(num_bands):
+        band = sig[b * rows:(b + 1) * rows]
+        out.append(stable_hash64(",".join(map(str, band.tolist())), seed=b))
+    return out
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token hashes (Charikar 2002)."""
+    if not tokens:
+        return 0
+    hashes = np.fromiter((stable_hash64(t) for t in tokens), dtype=np.uint64)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hashes)  # +1 / -1 votes
+    return int((votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
