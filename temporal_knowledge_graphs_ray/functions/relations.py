@@ -143,7 +143,10 @@ def extract_quads(
     return out
 
 
-def merge_duplicate_relations(rows: list[dict]) -> list[dict]:
+def merge_duplicate_relations(
+    rows: list[dict],
+    key_fields: tuple[str, str] = ("source", "target"),
+) -> list[dict]:
     """Exact dedup on (source, target, lower(relationship)).
 
     Reference semantics (relation_extractor.py:430-467): first occurrence
@@ -156,8 +159,9 @@ def merge_duplicate_relations(rows: list[dict]) -> list[dict]:
     Each input row carries ``source_chunks: list[str]``.
     """
     merged: dict[tuple, dict] = {}
+    kf_s, kf_t = key_fields
     for row in rows:
-        key = (row["source"], row["target"], row["relationship"].lower())
+        key = (row[kf_s], row[kf_t], row["relationship"].lower())
         cur = merged.get(key)
         if cur is None:
             cur = dict(row)

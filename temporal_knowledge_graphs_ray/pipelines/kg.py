@@ -1,0 +1,362 @@
+"""The flagship pipeline: Common-Crawl-style pages -> temporal knowledge graph.
+
+Reference lifecycle rebuilt Ray-Data-first (SURVEY.md §3.1):
+
+    read pages (Parquet)
+      -> map_batches(html -> text)          [byte-identical gate vs reference]
+      -> map_batches(chunker)               [1 -> N Arrow fan-out]
+      -> map_batches(EntityExtractorStage)  [actor pool, "model" pinned]
+      -> write chunk_ents/part=K            [stage checkpoint, resumable]
+    read chunk_ents
+      -> MentionLinkStage (broadcast alias dict) -> write mentions/part=K
+      -> RelationExtractorStage             -> write edges_raw/part=K
+    read mentions (all parts)
+      -> canonicalize (partial agg -> groupby(type, block) -> map_groups UF)
+      -> nodes table + canonical map (small; broadcast)
+    read edges_raw (all parts)
+      -> canonical rewrite (broadcast map) -> partial merge per batch
+      -> groupby(subj_id, pred_key, obj_id).map_groups(merge)  [G3 shuffle]
+      -> write edges/part=K
+
+Phase boundaries are Parquet stage-materializations on purpose: at 100 TB
+the extraction phases are the expensive work, and the per-partition
+manifests make a killed ``ray job submit`` run resume at partition
+granularity by skipping pages whose ``part = hash(url) % P`` already has
+complete chunk_ents/mentions/edges_raw markers. The global phases
+(canonicalize + edge merge) are orders of magnitude smaller (distinct
+entities / distinct triples, not pages) and are recomputed from the
+checkpointed tables on every run — deterministic, so re-runs are
+idempotent (unlike the reference, whose re-ingest duplicates nodes;
+operations.py:42-45, a bug SURVEY.md §7.5 says not to replicate).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.hashing import stable_hash64
+from ..functions.relations import merge_duplicate_relations
+from ..state.broadcast import put_alias_dict, put_canonical_map
+from ..state.manifests import completed_parts, write_manifest, write_run_manifest
+from ..stages.canonicalize import CANONICAL_SCHEMA, canonicalize
+from ..stages.entities import EntityExtractorStage, MentionLinkStage
+from ..stages.extract_text import make_chunk_stage, make_extract_text_stage
+from ..stages.relations import RelationExtractorStage
+
+EDGES_SCHEMA = pa.schema([
+    ("subj", pa.string()),
+    ("subj_id", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("obj_id", pa.string()),
+    ("valid_from", pa.timestamp("us")),
+    ("valid_to", pa.timestamp("us")),
+    ("description", pa.large_string()),
+    ("confidence", pa.float32()),
+    ("source_chunks", pa.list_(pa.string())),
+    ("part", pa.int32()),
+])
+
+NODES_SCHEMA = pa.schema([
+    ("entity_id", pa.string()),
+    ("name", pa.string()),
+    ("type", pa.string()),
+    ("first_seen", pa.timestamp("us")),
+    ("last_seen", pa.timestamp("us")),
+    ("mention_count", pa.int64()),
+    ("aliases", pa.list_(pa.string())),
+])
+
+
+def _parts_filter(done: set[int], num_partitions: int):
+    """Drop pages whose partition already completed (resume path)."""
+    done_arr = pa.array(sorted(done), pa.int32())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = pa.array(
+            [int(stable_hash64(u) % num_partitions)
+             for u in batch["url"].to_pylist()],
+            pa.int32(),
+        )
+        keep = pc.invert(pc.is_in(parts, value_set=done_arr))
+        return batch.filter(keep)
+
+    return fn
+
+
+def _per_part_rowcounts(path: str) -> dict[int, int]:
+    """Row count per part=K dir from Parquet footers (metadata only)."""
+    out: dict[int, int] = {}
+    if not os.path.isdir(path):
+        return out
+    ds = pads.dataset(path, format="parquet", partitioning="hive")
+    for frag in ds.get_fragments():
+        # fragment path .../part=K/<file>.parquet
+        part = None
+        for piece in frag.path.split(os.sep):
+            if piece.startswith("part="):
+                part = int(piece[len("part="):])
+        if part is None:
+            continue
+        out[part] = out.get(part, 0) + frag.metadata.num_rows
+    return out
+
+
+def _write_part_manifests(out_dir: str, table: str) -> dict[int, int]:
+    counts = _per_part_rowcounts(os.path.join(out_dir, table))
+    for part, rows in counts.items():
+        write_manifest(out_dir, table, part, {"rows": rows})
+    return counts
+
+
+def build_kg(
+    pages_ds,
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    alias_table: pa.Table | None = None,
+    resume: bool = False,
+) -> dict:
+    """Run the full construction pipeline. Returns output paths + metrics.
+
+    ``pages_ds``: Ray Dataset with the input_hint schema
+    (url, warc_ts, html, text?, lang). Ray must already be initialised by
+    the caller (driver contract).
+    """
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    alias_ref = put_alias_dict(alias_table) if alias_table is not None else None
+
+    chunk_ents_dir = os.path.join(out_dir, "chunk_ents")
+    mentions_dir = os.path.join(out_dir, "mentions")
+    edges_raw_dir = os.path.join(out_dir, "edges_raw")
+    nodes_dir = os.path.join(out_dir, "nodes")
+    edges_dir = os.path.join(out_dir, "edges")
+
+    # ---- phase A: extraction (heavy, per-partition resumable) ----
+    done = (
+        completed_parts(out_dir, "chunk_ents") if resume else set()
+    )
+    if done:
+        pages_ds = pages_ds.map_batches(
+            _parts_filter(done, cfg.num_partitions), batch_format="pyarrow",
+            batch_size=cfg.read_batch_size,
+        )
+    texts = pages_ds.map_batches(
+        make_extract_text_stage(cfg), batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+    )
+    chunks = texts.map_batches(
+        make_chunk_stage(cfg), batch_format="pyarrow",
+        batch_size=cfg.chunk_batch_size,
+    )
+    chunk_ents = chunks.map_batches(
+        EntityExtractorStage,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.ner_batch_size,
+        concurrency=cfg.ner_concurrency,
+    )
+    chunk_ents.write_parquet(chunk_ents_dir, partition_cols=["part"])
+    _write_part_manifests(out_dir, "chunk_ents")
+
+    # ---- phase B: mentions + raw edges from the checkpointed chunk_ents ----
+    done_b = completed_parts(out_dir, "mentions") if resume else set()
+    ce = rd.read_parquet(chunk_ents_dir)
+    ce_mentions = ce
+    if done_b:
+        keep_set = pa.array(sorted(done_b), pa.int32())
+        ce_mentions = ce.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t["part"].cast(pa.int32()),
+                                   value_set=keep_set))
+            ),
+            batch_format="pyarrow",
+        )
+    ce_mentions.map_batches(
+        MentionLinkStage,
+        fn_constructor_kwargs={"alias_ref": alias_ref, "cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.ner_batch_size,
+        concurrency=cfg.ner_concurrency,
+    ).write_parquet(mentions_dir, partition_cols=["part"])
+    _write_part_manifests(out_dir, "mentions")
+
+    done_e = completed_parts(out_dir, "edges_raw") if resume else set()
+    ce_edges = ce
+    if done_e:
+        keep_set_e = pa.array(sorted(done_e), pa.int32())
+        ce_edges = ce.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t["part"].cast(pa.int32()),
+                                   value_set=keep_set_e))
+            ),
+            batch_format="pyarrow",
+        )
+    (
+        ce_edges.map_batches(
+            RelationExtractorStage,
+            fn_constructor_kwargs={"alias_ref": alias_ref, "cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.relation_batch_size,
+            concurrency=cfg.relation_concurrency,
+        )
+        .write_parquet(edges_raw_dir, partition_cols=["part"])
+    )
+    _write_part_manifests(out_dir, "edges_raw")
+
+    # ---- phase C: global shuffles over the (much smaller) derived tables ----
+    mentions_all = rd.read_parquet(
+        mentions_dir,
+        columns=["type", "entity_key", "linked_name", "mention_count",
+                 "valid_from"],
+    )
+    canonical_ds = canonicalize(mentions_all, cfg).materialize()  # small
+    canonical_tbl = pa.Table.from_pandas(
+        canonical_ds.to_pandas(), schema=CANONICAL_SCHEMA,
+        preserve_index=False,
+    )
+
+    # nodes = canonical rows where the member IS the canonical key
+    nodes_tbl = (
+        canonical_tbl.filter(
+            pc.equal(canonical_tbl["entity_key"],
+                     canonical_tbl["canonical_key"])
+        )
+        .select(["entity_id", "name", "type", "first_seen", "last_seen",
+                 "mention_count", "aliases"])
+        .cast(NODES_SCHEMA)
+    )
+    shutil.rmtree(nodes_dir, ignore_errors=True)
+    rd.from_arrow(nodes_tbl).write_parquet(nodes_dir)
+
+    cmap_ref = put_canonical_map(canonical_tbl)
+
+    class CanonicalRewriteStage:
+        """Actor stage: broadcast canonical map fetched once per actor."""
+
+        def __init__(self):
+            import ray
+
+            self.cmap = ray.get(cmap_ref)
+            self.n = cfg.num_partitions
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = []
+            for r in batch.to_pylist():
+                sid, sname = self.cmap.get(
+                    (r["subj_type"], r["subj_key"]),
+                    (None, r["subj_surface"]),
+                )
+                oid, oname = self.cmap.get(
+                    (r["obj_type"], r["obj_key"]),
+                    (None, r["obj_surface"]),
+                )
+                # an edge endpoint with no mention row (cannot happen for
+                # our extractor, guarded for pluggable ones): synthesize a
+                # stable id from (type, key)
+                if sid is None:
+                    sid = "x" + hex(stable_hash64(r["subj_type"] + "|" + r["subj_key"]))[2:17]
+                if oid is None:
+                    oid = "x" + hex(stable_hash64(r["obj_type"] + "|" + r["obj_key"]))[2:17]
+                out.append({
+                    "source": sname,
+                    "subj_id": sid,
+                    "target": oname,
+                    "obj_id": oid,
+                    "relationship": r["pred"],
+                    "valid_from": r["valid_from"],
+                    "description": r["description"],
+                    "confidence": r["confidence"],
+                    "source_chunks": r["source_chunks"],
+                })
+            merged = merge_duplicate_relations(
+                out, key_fields=("subj_id", "obj_id"))
+            return pa.Table.from_arrays(
+                [
+                    pa.array([m["source"] for m in merged], pa.string()),
+                    pa.array([m["subj_id"] for m in merged], pa.string()),
+                    pa.array([m["relationship"] for m in merged], pa.string()),
+                    pa.array([m["relationship"].lower() for m in merged], pa.string()),
+                    pa.array([m["target"] for m in merged], pa.string()),
+                    pa.array([m["obj_id"] for m in merged], pa.string()),
+                    pa.array([m["valid_from"] for m in merged], pa.timestamp("us")),
+                    pa.array([m["description"] for m in merged], pa.large_string()),
+                    pa.array([m["confidence"] for m in merged], pa.float32()),
+                    pa.array([m["source_chunks"] for m in merged], pa.list_(pa.string())),
+                    pa.array([int(stable_hash64(m["subj_id"]) % self.n) for m in merged], pa.int32()),
+                ],
+                names=["subj", "subj_id", "pred", "pred_key", "obj", "obj_id",
+                       "valid_from", "description", "confidence",
+                       "source_chunks", "part"],
+            )
+
+    import pandas as pd
+
+    def final_merge(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.to_dict("records")
+        for r in rows:
+            r["source"] = r.pop("subj")
+            r["target"] = r.pop("obj")
+            r["relationship"] = r.pop("pred")
+            r["source_chunks"] = list(r["source_chunks"])
+        merged = merge_duplicate_relations(
+            rows, key_fields=("subj_id", "obj_id"))
+        for m in merged:
+            m["subj"] = m.pop("source")
+            m["obj"] = m.pop("target")
+            m["pred"] = m.pop("relationship")
+        return pd.DataFrame(merged)
+
+    edges_final = (
+        rd.read_parquet(edges_raw_dir)
+        .map_batches(CanonicalRewriteStage, batch_format="pyarrow",
+                     batch_size=8192, concurrency=(1, 4))
+        .groupby(["subj_id", "pred_key", "obj_id"])
+        .map_groups(final_merge, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t["subj"].cast(pa.string()).combine_chunks(),
+                    t["subj_id"].cast(pa.string()).combine_chunks(),
+                    t["pred"].cast(pa.string()).combine_chunks(),
+                    t["obj"].cast(pa.string()).combine_chunks(),
+                    t["obj_id"].cast(pa.string()).combine_chunks(),
+                    t["valid_from"].cast(pa.timestamp("us")).combine_chunks(),
+                    pa.nulls(len(t), pa.timestamp("us")),
+                    t["description"].cast(pa.large_string()).combine_chunks(),
+                    t["confidence"].cast(pa.float32()).combine_chunks(),
+                    t["source_chunks"].cast(pa.list_(pa.string())).combine_chunks(),
+                    t["part"].cast(pa.int32()).combine_chunks(),
+                ],
+                schema=EDGES_SCHEMA,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    shutil.rmtree(edges_dir, ignore_errors=True)
+    edges_final.write_parquet(edges_dir, partition_cols=["part"])
+    edge_counts = _write_part_manifests(out_dir, "edges")
+
+    write_run_manifest(out_dir, {
+        "tables": ["chunk_ents", "mentions", "edges_raw", "nodes", "edges"],
+        "num_partitions": cfg.num_partitions,
+        "edge_rows": sum(edge_counts.values()),
+        "node_rows": nodes_tbl.num_rows,
+    })
+    return {
+        "out_dir": out_dir,
+        "chunk_ents": chunk_ents_dir,
+        "mentions": mentions_dir,
+        "edges_raw": edges_raw_dir,
+        "nodes": nodes_dir,
+        "edges": edges_dir,
+        "node_rows": nodes_tbl.num_rows,
+        "edge_rows": sum(edge_counts.values()),
+    }

@@ -1,0 +1,207 @@
+"""Entity canonicalization — the wide, skew-prone shuffle.
+
+Reference semantics (entity_deduplication.py, SURVEY.md §2.6): candidate
+blocking by embedding similarity, Jaro-Winkler string filter, threshold
+cascade, union-find clustering, merge stats (sum counts / min first_seen /
+max last_seen). The LLM-validation stage is replaced by the reference's own
+documented fallback score ``0.6*emb + 0.4*string >= 0.8``
+(entity_deduplication.py:448-456); embeddings are the deterministic hashed
+char-n-gram vectors (functions/embed.py).
+
+Distributed design (north_star: "groupby(surface_key).aggregate min-hash/
+union-find merge ... salted partitions"):
+
+1. per-batch PARTIAL aggregation inside ``map_batches``: mentions collapse
+   to one row per (type, entity_key, linked_name) per batch with partial
+   count/min/max — this is the head-entity skew defuser (a hub entity
+   contributes <= 1 row per batch to the shuffle instead of millions).
+2. global ``groupby(type, block)`` where ``block = entity_key[:prefix]``:
+   all surface variants that could possibly merge land in one group
+   (spacing/suffix/typo variants share a prefix; acronym <-> full-name
+   variants are pre-unified by the broadcast alias dictionary in the
+   linking stage, which is what keeps clusters LOCAL to a blocking group —
+   the documented partitioning assumption that removes any need for
+   cross-partition union-find iteration).
+3. per-group pair generation capped at ``dedup_max_candidates_per_entity``
+   (reference settings.py:117-120), threshold cascade, local union-find,
+   canonical pick, node-stat merge — all in ``map_groups``.
+
+Output (small: one row per distinct (type, entity_key)): the canonical map
++ node stats. Nodes and the rewrite map are projections of it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.embed import embed_texts
+from ..functions.jaro_winkler import jaro_winkler
+from ..functions.unionfind import UnionFind
+from .entities import entity_id_for
+
+PARTIAL_SCHEMA = pa.schema([
+    ("type", pa.string()),
+    ("block", pa.string()),
+    ("entity_key", pa.string()),
+    ("linked_name", pa.string()),
+    ("cnt", pa.int64()),
+    ("first_seen", pa.timestamp("us")),
+    ("last_seen", pa.timestamp("us")),
+])
+
+CANONICAL_SCHEMA = pa.schema([
+    ("type", pa.string()),
+    ("entity_key", pa.string()),
+    ("canonical_key", pa.string()),
+    ("entity_id", pa.string()),
+    ("name", pa.string()),
+    ("first_seen", pa.timestamp("us")),
+    ("last_seen", pa.timestamp("us")),
+    ("mention_count", pa.int64()),
+    ("aliases", pa.list_(pa.string())),
+])
+
+
+def make_partial_agg_stage(cfg: EngineConfig = DEFAULT_CONFIG):
+    prefix = cfg.blocking_prefix_len
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            ["type", "entity_key", "linked_name", "mention_count", "valid_from"]
+        ).to_pandas()
+        g = (
+            df.groupby(["type", "entity_key", "linked_name"], sort=True)
+            .agg(cnt=("mention_count", "sum"),
+                 first_seen=("valid_from", "min"),
+                 last_seen=("valid_from", "max"))
+            .reset_index()
+        )
+        g["block"] = g["entity_key"].str[:prefix]
+        g["cnt"] = g["cnt"].astype("int64")
+        return pa.Table.from_pandas(
+            g[["type", "block", "entity_key", "linked_name", "cnt",
+               "first_seen", "last_seen"]],
+            schema=PARTIAL_SCHEMA, preserve_index=False,
+        )
+
+    return partial
+
+
+def _accept_pair(cos: float, jw: float, cfg: EngineConfig) -> bool:
+    """Reference threshold cascade (entity_deduplication.py:329-456):
+    auto-accept emb>=0.95 & str>=0.9; auto-reject emb<0.7 & str<0.6;
+    else fallback score 0.6*emb + 0.4*str >= 0.8 (the reference's
+    LLM-failure fallback, used here in place of the LLM)."""
+    if cos >= 0.95 and jw >= 0.9:
+        return True
+    if cos < 0.7 and jw < 0.6:
+        return False
+    return 0.6 * cos + 0.4 * jw >= 0.8
+
+
+def make_canonicalize_group_fn(cfg: EngineConfig = DEFAULT_CONFIG):
+    emb_dim, emb_ngram = cfg.embed_dim, cfg.embed_ngram
+    emb_threshold = cfg.dedup_embedding_threshold  # 0.85
+    str_threshold = cfg.dedup_string_threshold  # 0.7
+    max_cand = cfg.dedup_max_candidates_per_entity  # 10
+
+    def canonicalize_group(group: pd.DataFrame) -> pd.DataFrame:
+        etype = group["type"].iloc[0]
+        # finalize partial aggregates per (entity_key, linked_name)
+        per_name = (
+            group.groupby(["entity_key", "linked_name"], sort=True)
+            .agg(cnt=("cnt", "sum"), first_seen=("first_seen", "min"),
+                 last_seen=("last_seen", "max"))
+            .reset_index()
+        )
+        # per distinct entity_key stats
+        keys_df = (
+            per_name.groupby("entity_key", sort=True)
+            .agg(cnt=("cnt", "sum"), first_seen=("first_seen", "min"),
+                 last_seen=("last_seen", "max"))
+            .reset_index()
+        )
+        keys = keys_df["entity_key"].tolist()
+
+        uf = UnionFind()
+        for k in keys:
+            uf.find(k)
+        if len(keys) > 1:
+            # embedding blocking (reference :233-297): cosine matrix over
+            # distinct keys in this block, slacked threshold, top-N
+            # candidates per entity, same type only (group is one type)
+            vecs = embed_texts(keys, emb_dim, emb_ngram)
+            sims = vecs @ vecs.T
+            np.fill_diagonal(sims, -1.0)
+            slack = emb_threshold * 0.8
+            order = np.argsort(-sims, axis=1)[:, :max_cand]
+            seen_pairs: set[tuple[int, int]] = set()
+            for i in range(len(keys)):
+                for j in order[i]:
+                    j = int(j)
+                    pair = (min(i, j), max(i, j))
+                    if pair in seen_pairs:
+                        continue
+                    seen_pairs.add(pair)
+                    cos = float(sims[i, j])
+                    if cos < slack:
+                        continue
+                    # string filter (:299-327): keep if jw >= 0.8*thr or cos>=0.95
+                    jw = jaro_winkler(keys[pair[0]], keys[pair[1]])
+                    if jw < str_threshold * 0.8 and cos < 0.95:
+                        continue
+                    if _accept_pair(cos, jw, cfg):
+                        uf.union(keys[pair[0]], keys[pair[1]])
+
+        # canonical pick per cluster: highest total count, tie -> smallest key
+        # (order-insensitive replacement for the reference's "first member",
+        # entity_deduplication.py:679-681)
+        cnt_of = dict(zip(keys_df["entity_key"], keys_df["cnt"]))
+        clusters: dict[str, list[str]] = {}
+        for k in keys:
+            clusters.setdefault(str(uf.find(k)), []).append(k)
+
+        name_rows = per_name.set_index("entity_key")
+        out_rows = []
+        for members in clusters.values():
+            canonical_key = min(members, key=lambda k: (-cnt_of[k], k))
+            entity_id = entity_id_for(etype, canonical_key)
+            sub = per_name[per_name["entity_key"].isin(members)]
+            total = int(sub["cnt"].sum())
+            first_seen = sub["first_seen"].min()
+            last_seen = sub["last_seen"].max()
+            # canonical display name: most frequent linked_name, tie smallest
+            nm = sub.groupby("linked_name", sort=True)["cnt"].sum()
+            name = min(nm.index[nm == nm.max()].tolist())
+            aliases = sorted(set(sub["linked_name"]))
+            for member in members:
+                out_rows.append({
+                    "type": etype,
+                    "entity_key": member,
+                    "canonical_key": canonical_key,
+                    "entity_id": entity_id,
+                    "name": name,
+                    "first_seen": first_seen,
+                    "last_seen": last_seen,
+                    "mention_count": total,
+                    "aliases": aliases,
+                })
+        _ = name_rows  # (index retained for potential debugging)
+        return pd.DataFrame(out_rows)
+
+    return canonicalize_group
+
+
+def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG):
+    """mentions Dataset -> canonical map Dataset (one row per entity_key)."""
+    partial = make_partial_agg_stage(cfg)
+    group_fn = make_canonicalize_group_fn(cfg)
+    return (
+        mentions_ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=8192)
+        .groupby(["type", "block"])
+        .map_groups(group_fn, batch_format="pandas")
+    )

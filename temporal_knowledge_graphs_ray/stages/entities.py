@@ -1,0 +1,155 @@
+"""Entity-extraction actor stage + mention explode/link stage.
+
+The reference's EntityExtractor holds an HTTP client and calls an LLM per
+chunk (entity_extractor.py:36-66, :156-272). Here the stage is an actor
+pool holding the "model" (the deterministic rule-based extractor — or a
+real NER model, dropped in by overriding ``_extract``): state pinned once
+per actor in ``__init__``, work per Arrow batch in ``__call__``.
+
+Output of ``EntityExtractorStage``: the chunk rows plus an
+``entities: list<struct>`` column — mentions stay co-located with their
+chunk so the relation stage needs NO shuffle (the reference's
+chunk<->entity containment join, pipeline.py:369-390, is free here because
+extraction already scopes entities to the chunk).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions import ner
+from ..functions.hashing import md5_hex
+from ..functions.normalize import surface_key
+
+ENTITY_STRUCT = pa.struct([
+    ("name", pa.string()),
+    ("type", pa.string()),
+    ("position", pa.int32()),
+    ("mention_count", pa.int32()),
+])
+
+CHUNK_ENTS_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("part", pa.int32()),
+    ("chunk_id", pa.string()),
+    ("chunk_index", pa.int32()),
+    ("text", pa.large_string()),
+    ("token_count", pa.int32()),
+    ("valid_from", pa.timestamp("us")),
+    ("entities", pa.list_(ENTITY_STRUCT)),
+])
+
+MENTIONS_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("part", pa.int32()),
+    ("chunk_id", pa.string()),
+    ("surface", pa.string()),
+    ("type", pa.string()),
+    ("position", pa.int32()),
+    ("mention_count", pa.int32()),
+    ("confidence", pa.float32()),
+    ("valid_from", pa.timestamp("us")),
+    ("linked_name", pa.string()),
+    ("entity_key", pa.string()),
+])
+
+
+class EntityExtractorStage:
+    """Actor-pool stage: chunks -> chunk_ents (entities nested per chunk)."""
+
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG):
+        # per-actor setup (the reference builds its httpx client here,
+        # entity_extractor.py:56); our deterministic extractor's regexes are
+        # compiled at module import — still once per actor process.
+        self.cfg = cfg
+
+    def _extract(self, text: str) -> list[dict]:
+        return ner.extract_entities(text)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ents_col = [
+            [
+                {
+                    "name": e["name"],
+                    "type": e["type"],
+                    "position": e["position"],
+                    "mention_count": e["mention_count"],
+                }
+                for e in self._extract(t)
+            ]
+            for t in texts
+        ]
+        return pa.Table.from_arrays(
+            [
+                batch["url"].cast(pa.string()),
+                batch["part"].cast(pa.int32()),
+                batch["chunk_id"].cast(pa.string()),
+                batch["chunk_index"].cast(pa.int32()),
+                batch["text"].cast(pa.large_string()),
+                batch["token_count"].cast(pa.int32()),
+                batch["valid_from"].cast(pa.timestamp("us")),
+                pa.array(ents_col, pa.list_(ENTITY_STRUCT)),
+            ],
+            schema=CHUNK_ENTS_SCHEMA,
+        )
+
+
+class MentionLinkStage:
+    """chunk_ents -> flat mentions, linked against a broadcast alias dict.
+
+    The alias dictionary (alias -> canonical surface, per type) is put in
+    the object store ONCE by the driver (``ray.put``) and fetched per actor
+    in ``__init__`` — the north_star's broadcast-small-side pattern; never
+    re-shipped per batch. ``entity_key`` is the canonical surface key used
+    as the canonicalization blocking/identity key.
+    """
+
+    def __init__(self, alias_ref=None, cfg: EngineConfig = DEFAULT_CONFIG):
+        import ray
+
+        self.cfg = cfg
+        # dict[(type, alias_lower)] -> canonical name
+        self.aliases: dict = ray.get(alias_ref) if alias_ref is not None else {}
+
+    def _link(self, name: str, etype: str) -> str:
+        return self.aliases.get((etype, name.lower()), name)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        confidence = ner.MENTION_CONFIDENCE
+        out = {k: [] for k in MENTIONS_SCHEMA.names}
+        urls = batch["url"].to_pylist()
+        parts = batch["part"].to_pylist()
+        chunk_ids = batch["chunk_id"].to_pylist()
+        vfs = batch["valid_from"].to_pylist()
+        ents = batch["entities"].to_pylist()
+        for url, part, chunk_id, vf, chunk_ents in zip(
+            urls, parts, chunk_ids, vfs, ents
+        ):
+            for e in chunk_ents:
+                linked = self._link(e["name"], e["type"])
+                out["url"].append(url)
+                # part may arrive as a string after a hive-partitioned read
+                out["part"].append(int(part))
+                out["chunk_id"].append(chunk_id)
+                out["surface"].append(e["name"])
+                out["type"].append(e["type"])
+                out["position"].append(e["position"])
+                out["mention_count"].append(e["mention_count"])
+                out["confidence"].append(confidence)
+                out["valid_from"].append(vf)
+                out["linked_name"].append(linked)
+                out["entity_key"].append(surface_key(linked))
+        return pa.Table.from_arrays(
+            [pa.array(out[n], MENTIONS_SCHEMA.field(n).type)
+             for n in MENTIONS_SCHEMA.names],
+            schema=MENTIONS_SCHEMA,
+        )
+
+
+def entity_id_for(etype: str, canonical_key: str) -> str:
+    """Deterministic entity id (identity = (type, canonical surface key),
+    mirroring the reference's MERGE on (name, type), operations.py:334-346).
+    """
+    return md5_hex(f"{etype}|{canonical_key}")[:16]

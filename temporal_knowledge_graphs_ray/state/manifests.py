@@ -1,0 +1,70 @@
+"""Per-partition lineage manifests + checkpoint markers (north_rule).
+
+Output layout written by the pipeline:
+
+    out_dir/
+      chunks/part=K/*.parquet
+      mentions/part=K/*.parquet
+      nodes/*.parquet                (small, unpartitioned)
+      edges/part=K/*.parquet
+      _manifests/<table>-part-K.json   <- lineage + completion marker
+      _manifests/_run.json             <- run-level metrics
+
+A partition K of a table is COMPLETE iff its manifest file exists (the
+manifest is written atomically via tmp+rename AFTER the partition's data).
+A killed run is resumed by filtering input pages to partitions without an
+``edges`` manifest — partition-granular resume of the whole construction
+chain, since every table inherits ``part = hash(url) % P``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+MANIFEST_DIR = "_manifests"
+
+
+def _manifest_path(out_dir: str, table: str, part: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"{table}-part-{part}.json")
+
+
+def write_manifest(out_dir: str, table: str, part: int,
+                   payload: dict[str, Any]) -> None:
+    """Atomic write (tmp + rename): the marker appears only when complete."""
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    path = _manifest_path(out_dir, table, part)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"table": table, "part": part, **payload}, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def read_manifest(out_dir: str, table: str, part: int) -> dict | None:
+    path = _manifest_path(out_dir, table, part)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def completed_parts(out_dir: str, table: str) -> set[int]:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return set()
+    prefix = f"{table}-part-"
+    out = set()
+    for fn in os.listdir(mdir):
+        if fn.startswith(prefix) and fn.endswith(".json"):
+            out.add(int(fn[len(prefix):-len(".json")]))
+    return out
+
+
+def write_run_manifest(out_dir: str, payload: dict[str, Any]) -> None:
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    path = os.path.join(out_dir, MANIFEST_DIR, "_run.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True, default=str)
+    os.replace(tmp, path)

@@ -1,0 +1,85 @@
+"""Unit tests for the canonicalization group kernel (no Ray needed)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+
+from temporal_knowledge_graphs_ray.stages.canonicalize import (
+    _accept_pair,
+    make_canonicalize_group_fn,
+)
+from temporal_knowledge_graphs_ray.config import DEFAULT_CONFIG
+
+
+def _group(rows):
+    return pd.DataFrame({
+        "type": [r[0] for r in rows],
+        "entity_key": [r[1] for r in rows],
+        "linked_name": [r[2] for r in rows],
+        "cnt": [r[3] for r in rows],
+        "first_seen": [r[4] for r in rows],
+        "last_seen": [r[4] for r in rows],
+    })
+
+
+T0 = datetime(2020, 1, 1)
+T1 = datetime(2021, 1, 1)
+
+
+class TestCanonicalizeGroup:
+    def test_typo_variants_cluster(self):
+        fn = make_canonicalize_group_fn()
+        out = fn(_group([
+            ("ORGANIZATION", "globex corp", "Globex Corp.", 10, T0),
+            ("ORGANIZATION", "globexx corp", "Globexx Corp.", 1, T1),
+        ]))
+        # typo merges into the high-count canonical
+        assert set(out["canonical_key"]) == {"globex corp"}
+        canon = out[out["entity_key"] == out["canonical_key"]].iloc[0]
+        assert canon["mention_count"] == 11
+        assert canon["name"] == "Globex Corp."
+        assert canon["first_seen"] == T0 and canon["last_seen"] == T1
+        assert sorted(canon["aliases"]) == ["Globex Corp.", "Globexx Corp."]
+
+    def test_distinct_entities_not_merged(self):
+        fn = make_canonicalize_group_fn()
+        out = fn(_group([
+            ("ORGANIZATION", "acme", "Acme", 5, T0),
+            ("ORGANIZATION", "aperture", "Aperture", 5, T0),
+        ]))
+        assert len(set(out["entity_id"])) == 2
+
+    def test_same_key_partials_summed(self):
+        fn = make_canonicalize_group_fn()
+        out = fn(_group([
+            ("ORGANIZATION", "acme", "Acme Inc.", 5, T0),
+            ("ORGANIZATION", "acme", "Acme Inc.", 7, T1),
+            ("ORGANIZATION", "acme", "Acme", 2, T1),
+        ]))
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["mention_count"] == 14
+        assert row["name"] == "Acme Inc."  # most frequent display name
+        assert row["aliases"] == ["Acme", "Acme Inc."]
+
+    def test_deterministic_under_row_order(self):
+        fn = make_canonicalize_group_fn()
+        rows = [
+            ("ORGANIZATION", "globex corp", "Globex Corp.", 10, T0),
+            ("ORGANIZATION", "globexx corp", "Globexx Corp.", 1, T1),
+            ("ORGANIZATION", "acme", "Acme", 3, T0),
+        ]
+        a = fn(_group(rows)).sort_values("entity_key").reset_index(drop=True)
+        b = fn(_group(rows[::-1])).sort_values("entity_key").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestAcceptPair:
+    def test_cascade(self):
+        cfg = DEFAULT_CONFIG
+        assert _accept_pair(0.99, 0.95, cfg)       # auto-accept
+        assert not _accept_pair(0.5, 0.5, cfg)     # auto-reject
+        assert _accept_pair(0.9, 0.7, cfg)         # 0.54+0.28=0.82 >= 0.8
+        assert not _accept_pair(0.8, 0.6, cfg)     # 0.48+0.24=0.72 < 0.8
