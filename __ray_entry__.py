@@ -1,44 +1,561 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship KG-construction pipeline on sf0.001.
+- ``queries()``: one callable per implemented operator (SURVEY.md §2 +
+  training-data scale additions); each takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL per query where expressible;
+  KG-pipeline and approximate operators are rows-only checked.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_KG_CACHE: dict[str, dict] = {}
+
+
+def _kg_outputs(sf_dir: str) -> dict:
+    """Build (once per process per sf_dir) the KG over pages synthesized
+    deterministically from the documents table."""
+    if sf_dir in _KG_CACHE:
+        return _KG_CACHE[sf_dir]
+    from temporal_knowledge_graphs_ray.pipelines.kg import build_kg
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        alias_table,
+        pages_from_documents,
+    )
+
+    out_dir = os.path.join(
+        "/tmp/tkg_entry_out", sf_dir.strip("/").replace("/", "_")
+    )
+    pages = pages_from_documents(sf_dir)
+    res = build_kg(pages, out_dir, alias_table=alias_table())
+    _KG_CACHE[sf_dir] = res
+    return res
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full KG construction;
+    returns the merged edges table (subj, pred, obj, valid_from, ...)."""
+    import ray.data as rd
+
+    res = _kg_outputs("/root/testdata/sf0.001")
+    return rd.read_parquet(res["edges"]).select_columns(
+        ["subj", "pred", "obj", "valid_from", "confidence"]
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _kg_edges(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    res = _kg_outputs(sf_dir)
+    t = pads.dataset(res["edges"], format="parquet",
+                     partitioning="hive").to_table()
+    import pandas as pd
+
+    df = t.select(["subj", "pred", "obj", "valid_from"]).to_pandas()
+    return df.sort_values(["subj", "pred", "obj"], ignore_index=True)
+
+
+def _kg_nodes(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    res = _kg_outputs(sf_dir)
+    df = (pads.dataset(res["nodes"], format="parquet").to_table()
+          .select(["entity_id", "name", "type", "mention_count"]).to_pandas())
+    return df.sort_values("entity_id", ignore_index=True)
+
+
+def _kg_mention_type_counts(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    res = _kg_outputs(sf_dir)
+    return (
+        rd.read_parquet(res["mentions"], columns=["type"])
+        .groupby("type").aggregate(Count(alias_name="n_mentions"))
+    )
+
+
+def _kg_chunk_stats(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    res = _kg_outputs(sf_dir)
+    return (
+        rd.read_parquet(res["chunk_ents"], columns=["url", "token_count",
+                                                    "chunk_index"])
+        .groupby("url")
+        .aggregate(Count(alias_name="n_chunks"),
+                   Sum("token_count", alias_name="total_tokens"),
+                   Max("chunk_index", alias_name="max_index"))
+    )
+
+
+def _kg_ppr(sf_dir: str):
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.graph import ppr
+
+    res = _kg_outputs(sf_dir)
+    edges = rd.read_parquet(res["edges"])
+    nodes = rd.read_parquet(res["nodes"]).to_pandas()
+    hubs = nodes.sort_values(
+        ["mention_count", "entity_id"], ascending=[False, True]
+    ).head(2)
+    return ppr(edges, hubs["entity_id"].tolist()).head(50)
+
+
+def _kg_comentions(sf_dir: str):
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.graph import comention_pairs
+
+    res = _kg_outputs(sf_dir)
+    return comention_pairs(rd.read_parquet(res["mentions"]), min_count=2)
+
+
+def _kg_entity_match(sf_dir: str):
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.graph import (
+        entity_match_chunks,
+    )
+
+    res = _kg_outputs(sf_dir)
+    return entity_match_chunks(
+        rd.read_parquet(res["mentions"]),
+        ["OpenAI", "Acme Inc.", "Berlin"], k=20,
+    )
+
+
+def _knn_topk(sf_dir: str):
+    import numpy as np
+
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.similarity import knn_brute_force
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = np.array(
+        ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
+        dtype=np.float64,
+    )
+    return knn_brute_force(ds, q, k=10)
+
+
+def _cosine_threshold(sf_dir: str):
+    import numpy as np
+
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.similarity import cosine_scores
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = np.array(
+        ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
+        dtype=np.float64,
+    )
+    import pandas as pd
+
+    df = cosine_scores(ds, q).to_pandas()
+    df = df[df["cosine"] >= 0.2]
+    return df.sort_values("vec_id", ignore_index=True)
+
+
+def _neardup_cosine(sf_dir: str):
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.similarity import (
+        neardup_pairs_cosine,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return neardup_pairs_cosine(ds, threshold=0.9, limit_ids=500)
+
+
+def _ann_lsh(sf_dir: str):
+    import numpy as np
+
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.similarity import ann_lsh_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = np.array(
+        ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
+        dtype=np.float64,
+    )
+    return ann_lsh_topk(ds, q, k=10)
+
+
+def _exact_dedup(sf_dir: str):
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    return out.sort_values("fingerprint", ignore_index=True)
+
+
+def _minhash_dedup(sf_dir: str):
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             jaccard_threshold=0.8)
+
+
+def _simhash_pairs(sf_dir: str):
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.dedup import simhash_dedup
+
+    return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         max_hamming=8)
+
+
+def _multimodal_meta(sf_dir: str):
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.multimodal import (
+        binarize_documents,
+        decode_media,
+    )
+
+    media = binarize_documents(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return decode_media(media, fake=True)
+
+
+def _textstat(fn_name: str):
+    def run(sf_dir: str):
+        from temporal_knowledge_graphs_ray.pipelines.queries import _read
+        from temporal_knowledge_graphs_ray.stages import textstats as ts
+
+        fn = getattr(ts, fn_name)
+        return fn(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    return run
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from temporal_knowledge_graphs_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / aggregation / join
+        "pricing_summary": q.q_pricing_summary,
+        "topk_orders": q.q_topk_orders,
+        "revenue_by_brand": q.q_revenue_by_brand,
+        "cooccurrence": q.q_cooccurrence,
+        "overlap_users": q.q_overlap_users,
+        "rrf_fusion": q.q_rrf_fusion,
+        # temporal / versioning
+        "latest_event_per_user": q.q_latest_event_per_user,
+        "version_history": q.q_version_history,
+        "asof_counts": q.q_asof_counts,
+        "events_in_range": q.q_events_in_range,
+        "period_compare": q.q_period_compare,
+        "temporal_decay": q.q_temporal_decay,
+        "fiscal_derive": q.q_fiscal_derive,
+        # windows / sessions
+        "tumbling_window": q.q_tumbling_window,
+        "sessionize": q.q_sessionize,
+        # JSON / loaders
+        "json_props": q.q_json_props,
+        "doc_stats": q.q_doc_stats,
+        # text analysis
+        "doc_token_counts": _textstat("token_count_stage"),
+        "doc_estimate_chunks": _textstat("estimate_chunks_stage"),
+        "doc_language_id": _textstat("language_id_stage"),
+        "doc_quality": _textstat("quality_stage"),
+        "doc_fingerprint": _textstat("fingerprint_stage"),
+        "normalize_lines": q.q_normalize_lines,
+        "extract_text_roundtrip": q.q_extract_text_roundtrip,
+        # dedup
+        "exact_dedup": _exact_dedup,
+        "minhash_lsh_dedup": _minhash_dedup,
+        "simhash_pairs": _simhash_pairs,
+        # similarity search
+        "knn_topk": _knn_topk,
+        "cosine_threshold": _cosine_threshold,
+        "neardup_cosine": _neardup_cosine,
+        "ann_lsh_topk": _ann_lsh,
+        # multimodal plumbing
+        "multimodal_meta": _multimodal_meta,
+        # KG pipeline (flagship)
+        "kg_edges": _kg_edges,
+        "kg_nodes": _kg_nodes,
+        "kg_mention_type_counts": _kg_mention_type_counts,
+        "kg_chunk_stats": _kg_chunk_stats,
+        "kg_ppr": _kg_ppr,
+        "kg_comentions": _kg_comentions,
+        "kg_entity_match": _kg_entity_match,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB) — column names and rounding match the Ray results
+# --------------------------------------------------------------------------
+
+_TOKEN_RE_SQL = "[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+_STOP_SQL = {
+    "en": "\\b(the|and|of|to|in|is|that|for|it|with)\\b",
+    "de": "\\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\\b",
+    "fr": "\\b(le|la|les|et|est|des|un|une|que|pour)\\b",
+    "es": "\\b(el|los|las|y|es|en|un|una|que|por)\\b",
+}
+
+_NORM_LINES_SQL = (
+    "array_to_string(list_filter(list_transform(string_split(text, chr(10)),"
+    " x -> trim(x, ' ' || chr(9))), x -> x <> ''), chr(10))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_counts = ", ".join(
+        f"CAST(length(regexp_extract_all(lower(text), '{pat}')) AS BIGINT)"
+        f" AS c_{lang}"
+        for lang, pat in _STOP_SQL.items()
+    )
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_revenue,
+                   COUNT(*) AS count_order,
+                   ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 4) AS avg_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "revenue_by_brand": """
+            SELECT COALESCE(p.p_brand, 'NA') AS p_brand,
+                   ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_users
+            FROM d a JOIN d b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+            GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY 1, 2
+        """,
+        "overlap_users": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase'),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'signup')
+            SELECT (SELECT COUNT(*) FROM a WHERE user_id IN
+                       (SELECT user_id FROM b)) AS n_both,
+                   (SELECT COUNT(*) FROM a WHERE user_id NOT IN
+                       (SELECT user_id FROM b)) AS n_only_a
+        """,
+        "rrf_fusion": """
+            WITH v AS (SELECT event_id,
+                              ROW_NUMBER() OVER (ORDER BY value DESC,
+                                                 event_id ASC) AS r
+                       FROM events QUALIFY r <= 100),
+                 t AS (SELECT event_id,
+                              ROW_NUMBER() OVER (ORDER BY ts DESC,
+                                                 event_id ASC) AS r
+                       FROM events QUALIFY r <= 100),
+                 u AS (SELECT event_id, 1.0 / (60 + r) AS s FROM v
+                       UNION ALL
+                       SELECT event_id, 1.0 / (60 + r) AS s FROM t)
+            SELECT event_id, ROUND(SUM(s), 6) AS rrf_score
+            FROM u GROUP BY event_id
+            ORDER BY rrf_score DESC, event_id ASC LIMIT 20
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "version_history": """
+            SELECT user_id, event_id, ts,
+                   ROW_NUMBER() OVER w AS version,
+                   ROW_NUMBER() OVER w = COUNT(*) OVER
+                       (PARTITION BY user_id) AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "asof_counts": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY event_type
+        """,
+        "events_in_range": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "period_compare": """
+            SELECT COUNT(*) FILTER (ts <= TIMESTAMP '2024-01-10') AS n_a,
+                   COUNT(*) FILTER (ts <= TIMESTAMP '2024-01-20') AS n_b
+            FROM events
+        """,
+        "temporal_decay": """
+            SELECT event_type,
+                   ROUND(SUM(value * POWER(0.99,
+                       CAST((epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts))
+                            // 86400000000 AS BIGINT))), 2) AS decayed_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "fiscal_derive": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS fiscal_year,
+                   'Q' || CAST((month(o_orderdate) - 1) // 3 + 1 AS INT)
+                       AS fiscal_quarter,
+                   CAST(make_date(CAST(year(o_orderdate) AS INT),
+                       ((month(o_orderdate) - 1) // 3 + 1) * 3,
+                       CASE WHEN ((month(o_orderdate) - 1) // 3 + 1) * 3
+                            IN (6, 9) THEN 30 ELSE 31 END) AS TIMESTAMP)
+                       AS fiscal_period_end
+            FROM orders
+        """,
+        "tumbling_window": """
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_id,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts)
+                           > 1800000000 OR LAG(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+                FROM events)
+            SELECT user_id, SUM(new_session) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM o GROUP BY user_id
+        """,
+        "json_props": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(COALESCE(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT), 0)) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "doc_stats": """
+            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_token_counts": f"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "doc_estimate_chunks": f"""
+            SELECT doc_id,
+                   GREATEST(1, CAST((length(regexp_extract_all(text,
+                       '{_TOKEN_RE_SQL}')) + 89) // 90 AS BIGINT)) AS n_chunks
+            FROM documents
+        """,
+        "doc_language_id": f"""
+            WITH c AS (SELECT doc_id, {lang_counts} FROM documents)
+            SELECT doc_id, c_en, c_de, c_fr, c_es,
+                   CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0
+                            THEN 'unknown'
+                        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+                            THEN 'en'
+                        WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                        WHEN c_fr >= c_es THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM c
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                        AS BIGINT) AS n_words,
+                   CAST(length(regexp_extract_all(text,
+                        '[^A-Za-z0-9 \\t\\n\\r]')) AS BIGINT) AS n_punct,
+                   CASE WHEN length(text) > 0 THEN
+                        CAST(length(regexp_extract_all(text,
+                             '[^A-Za-z0-9 \\t\\n\\r]')) AS DOUBLE)
+                        / length(text) ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN length(regexp_extract_all(text,
+                             '[A-Za-z0-9]+')) > 0 THEN
+                        CAST(length(regexp_extract_all(lower(text),
+                             '{_STOP_SQL["en"]}')) AS DOUBLE)
+                        / length(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                        ELSE 0.0 END AS stop_ratio
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        """,
+        "normalize_lines": f"""
+            SELECT doc_id, {_NORM_LINES_SQL} AS norm_text FROM documents
+        """,
+        "extract_text_roundtrip": f"""
+            SELECT doc_id, {_NORM_LINES_SQL} AS extracted FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fingerprint,
+                   MIN(doc_id) AS keep_id
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "knn_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+        """,
+        "cosine_threshold": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+            FROM embeddings e, q
+            WHERE ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 6) >= 0.2
+            ORDER BY e.vec_id
+        """,
+        "neardup_cosine": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+                 ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 500 AND b.vec_id < 500
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.9
+            ORDER BY a.vec_id, b.vec_id
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id, 'image' AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+                   CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+                   CAST(octet_length(encode(text)) % 3 + 1 AS INT) AS channels
+            FROM documents
+        """,
+        # minhash_lsh_dedup / simhash_pairs / ann_lsh_topk: approximate or
+        # hash-construction-specific -> rows-only check (no SQL equivalent).
+        # kg_*: full construction pipeline over synthesized pages -> rows-only.
+    }

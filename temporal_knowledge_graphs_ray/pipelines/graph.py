@@ -1,0 +1,184 @@
+"""Graph-algorithm batch jobs over the materialized nodes/edges tables.
+
+Query-side analogues of the reference's retrieval layer (SURVEY.md §2.9):
+
+- Personalized PageRank (Q1): the reference extracts a bounded subgraph
+  and power-iterates locally (ppr_traversal.py:29-259, damping 0.85,
+  converge 1e-6 / 20 iters). Here: per-iteration distributed contribution
+  pass (map_batches over the edges Dataset with the current score vector
+  broadcast) + groupby(target).sum, scores collected to the driver between
+  iterations. The score vector is O(#entities) — small relative to edges;
+  for graphs where it is not, shard the broadcast by entity-hash.
+- entity co-mention counts (G6) over the mentions table.
+- entity-match chunk search (Q5): chunks mentioning ANY of a name set,
+  scored by matched/|set|.
+- temporal validity filter on edges (V8): valid_from <= t < valid_to.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.rounding import round_half_away
+
+
+def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
+        max_iters: int = 20, tol: float = 1e-6,
+        asof=None) -> pd.DataFrame:
+    """Personalized PageRank over (subj_id, obj_id[, valid_from]) edges.
+
+    Returns (entity_id, score) sorted desc, rounded to 8. Edges are
+    treated as undirected for traversal like the reference's
+    ``-[r:RELATES_TO]-`` pattern (ppr_traversal.py:281-299); an ``asof``
+    timestamp applies the V8 validity filter first.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    cols = ["subj_id", "obj_id"]
+    if asof is not None:
+        edges_ds = edges_ds.map_batches(
+            lambda t: t.filter(pc.less_equal(t["valid_from"],
+                                             pa.scalar(asof))),
+            batch_format="pyarrow",
+        )
+    edges_ds = edges_ds.select_columns(cols).materialize()
+
+    # undirected adjacency: each edge contributes both directions
+    out_deg_df = (
+        edges_ds.map_batches(
+            lambda t: pa.Table.from_pydict({
+                "node": t["subj_id"].to_pylist() + t["obj_id"].to_pylist(),
+                "one": [1] * (2 * len(t)),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("node").aggregate(Sum("one", alias_name="deg"))
+        .to_pandas()
+    )
+    degree = dict(zip(out_deg_df["node"], out_deg_df["deg"]))
+    if not degree:
+        return pd.DataFrame({"entity_id": [], "score": []})
+
+    seeds = [s for s in seed_ids if s in degree] or sorted(degree)[:1]
+    scores = {s: 1.0 / len(seeds) for s in seeds}
+    teleport = dict(scores)
+    degree_ref = ray.put(degree)  # broadcast once, not per closure
+
+    for _ in range(max_iters):
+        scores_ref = ray.put(scores)
+
+        def contribute(t: pa.Table, _d=damping, _sref=scores_ref) -> pa.Table:
+            import ray as _ray
+
+            sc = _ray.get(_sref)
+            deg = _ray.get(degree_ref)
+            nodes, contribs = [], []
+            subs = t["subj_id"].to_pylist()
+            objs = t["obj_id"].to_pylist()
+            for a, b in zip(subs, objs):
+                sa = sc.get(a)
+                if sa:
+                    nodes.append(b)
+                    contribs.append(_d * sa / deg[a])
+                sb = sc.get(b)
+                if sb:
+                    nodes.append(a)
+                    contribs.append(_d * sb / deg[b])
+            return pa.Table.from_pydict({"node": nodes, "contrib": contribs})
+
+        agg = (
+            edges_ds.map_batches(contribute, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("contrib", alias_name="s"))
+            .to_pandas()
+        )
+        new_scores = dict(zip(agg["node"], agg["s"]))
+        for s, w in teleport.items():
+            new_scores[s] = new_scores.get(s, 0.0) + (1 - damping) * w
+        total = sum(new_scores.values())
+        if total > 0:
+            new_scores = {k: v / total for k, v in new_scores.items()}
+        delta = sum(abs(new_scores.get(k, 0.0) - scores.get(k, 0.0))
+                    for k in set(scores) | set(new_scores))
+        scores = new_scores
+        if delta < tol:
+            break
+
+    out = pd.DataFrame({
+        "entity_id": list(scores),
+        "score": round_half_away(np.array(list(scores.values())), 8),
+    })
+    return out.sort_values(["score", "entity_id"],
+                           ascending=[False, True], ignore_index=True)
+
+
+def comention_pairs(mentions_ds, min_count: int = 2) -> pd.DataFrame:
+    """Entity co-mention counts per chunk (G6) with pair-key groupby."""
+    from ray.data.aggregate import Count
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = sorted(set(g["entity_key"]))
+        a, b = [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                a.append(keys[i])
+                b.append(keys[j])
+        return pd.DataFrame({"a": a, "b": b})
+
+    out = (
+        mentions_ds.select_columns(["chunk_id", "entity_key"])
+        .groupby("chunk_id")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_chunks"))
+        .to_pandas()
+    )
+    out = out[out["n_chunks"] >= min_count]
+    return out.sort_values(["n_chunks", "a", "b"],
+                           ascending=[False, True, True], ignore_index=True)
+
+
+def entity_match_chunks(mentions_ds, names: list[str],
+                        match_all: bool = False, k: int = 10) -> pd.DataFrame:
+    """Entity-match chunk search (Q5): score = matched / |name set|."""
+    from ..functions.normalize import surface_key
+
+    want = {surface_key(n) for n in names}
+    want_arr = pa.array(sorted(want))
+
+    def match(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["entity_key"], value_set=want_arr))
+
+    hits = (
+        mentions_ds.select_columns(["chunk_id", "entity_key"])
+        .map_batches(match, batch_format="pyarrow")
+        .to_pandas().drop_duplicates()
+    )
+    if hits.empty:
+        return pd.DataFrame({"chunk_id": [], "score": []})
+    counts = hits.groupby("chunk_id")["entity_key"].nunique()
+    scores = (counts / len(want)).rename("score").reset_index()
+    if match_all:
+        scores = scores[scores["score"] >= 1.0]
+    scores["score"] = round_half_away(scores["score"].to_numpy(), 6)
+    return (scores.sort_values(["score", "chunk_id"],
+                               ascending=[False, True], ignore_index=True)
+            .head(k))
+
+
+def edges_valid_at(edges_ds, t):
+    """Relationship validity filter (V8): valid_from <= t < valid_to."""
+    ts = pa.scalar(t)
+
+    def valid(tbl: pa.Table) -> pa.Table:
+        open_ended = pc.is_null(tbl["valid_to"])
+        in_range = pc.and_(
+            pc.less_equal(tbl["valid_from"], ts),
+            pc.or_(open_ended, pc.greater(tbl["valid_to"], ts)),
+        )
+        return tbl.filter(in_range)
+
+    return edges_ds.map_batches(valid, batch_format="pyarrow")

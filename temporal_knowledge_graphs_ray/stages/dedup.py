@@ -1,0 +1,206 @@
+"""Document deduplication stages (training-data pipeline additions).
+
+No equivalent exists in the reference (its dedup is entity-level, SURVEY.md
+§2.6); these are the corpus-level dedup operators a 100 TB training-data
+pipeline needs, built on the stable hashing kernels (functions/hashing.py):
+
+- exact dedup: content fingerprint -> hash-partitioned groupby -> keep the
+  smallest doc_id per group (deterministic winner).
+- MinHash-LSH near-dup: shingle -> minhash signature -> band hashes ->
+  explode to (band_hash) rows -> groupby band -> candidate pairs -> verify
+  true Jaccard -> connected components via union-find on the (small)
+  verified-pair set.
+- SimHash near-dup: 64-bit simhash -> bucket by 4 x 16-bit sub-keys (docs
+  within Hamming distance <= 3 of each other share at least one sub-key if
+  the differing bits fall outside it; standard block-permuted construction)
+  -> verify Hamming distance within buckets.
+- n-gram Jaccard: brute-force verified Jaccard over LSH candidates.
+
+All stages are Dataset -> Dataset; heavy work is vectorized or per-batch,
+shuffles are explicit groupbys keyed by hashes (uniformly distributed — no
+skew by construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import (
+    hamming64,
+    jaccard,
+    minhash_bands,
+    minhash_signature,
+    simhash64,
+    word_shingles,
+)
+from ..functions.textstats import fingerprint
+from ..functions.unionfind import cluster_pairs
+
+
+def add_fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """documents -> (id, fingerprint) via vectorized map_batches."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                batch[id_col],
+                pa.array([fingerprint(t) for t in texts], pa.string()),
+            ],
+            names=[id_col, "fingerprint"],
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=4096)
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep one representative (min id) per content fingerprint.
+
+    Pattern: add hash column -> groupby(hash) -> min(id). The groupby key
+    is a uniform hash, so no skew handling is needed.
+    """
+    from ray.data.aggregate import Min
+
+    return (
+        add_fingerprint(ds, text_col, id_col)
+        .groupby("fingerprint")
+        .aggregate(Min(id_col, alias_name="keep_id"))
+    )
+
+
+def minhash_rows(ds, text_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, num_bands: int = 16, shingle_k: int = 3):
+    """documents -> exploded (id, band_index, band_hash) rows."""
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids, bands_ix, bands_h = [], [], []
+        for did, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            sig = minhash_signature(word_shingles(text, shingle_k), num_perm)
+            for bi, bh in enumerate(minhash_bands(sig, num_bands)):
+                ids.append(did)
+                bands_ix.append(bi)
+                bands_h.append(bh)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(bands_ix, pa.int32()),
+             pa.array(bands_h, pa.int64())],
+            names=[id_col, "band_index", "band_hash"],
+        )
+
+    return ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=1024)
+
+
+def _candidate_pairs_from_bands(band_ds, id_col: str = "doc_id"):
+    """groupby (band_index, band_hash) -> unique candidate id pairs."""
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group[id_col].tolist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"a": a, "b": b})
+
+    return (
+        band_ds.groupby(["band_index", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, num_bands: int = 16,
+                      shingle_k: int = 3, jaccard_threshold: float = 0.8):
+    """Full MinHash-LSH near-dup pipeline.
+
+    Returns a pandas DataFrame (id, cluster_id) for near-duplicate docs
+    (cluster_id = min member id). The verified-pair set is tiny relative to
+    the corpus (only near-dups survive), so the final union-find runs on
+    the driver — the documented smallness assumption; at extreme dup rates
+    switch to iterated min-label propagation.
+    """
+    texts_ref = None  # texts fetched per verified pair below
+
+    band_ds = minhash_rows(ds, text_col, id_col, num_perm, num_bands, shingle_k)
+    cand = _candidate_pairs_from_bands(band_ds, id_col).to_pandas()
+    cand = cand.drop_duplicates(ignore_index=True)
+    if cand.empty:
+        return pd.DataFrame({id_col: [], "cluster_id": []})
+
+    # verify true n-gram Jaccard for candidates (broadcast the shingle sets
+    # of candidate docs only — small side)
+    needed = sorted(set(cand["a"]) | set(cand["b"]))
+    import pyarrow.compute as pc
+
+    def keep_needed(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=pa.array(needed)))
+
+    doc_rows = (
+        ds.map_batches(keep_needed, batch_format="pyarrow")
+        .select_columns([id_col, text_col]).take_all()
+    )
+    shingles = {r[id_col]: set(word_shingles(r[text_col], shingle_k))
+                for r in doc_rows}
+    verified = [
+        (a, b) for a, b in zip(cand["a"], cand["b"])
+        if jaccard(shingles[a], shingles[b]) >= jaccard_threshold
+    ]
+    _ = texts_ref
+    rows = []
+    for cluster in cluster_pairs(verified):
+        cid = min(cluster)
+        for member in cluster:
+            rows.append({id_col: member, "cluster_id": cid})
+    out = pd.DataFrame(rows, columns=[id_col, "cluster_id"])
+    return out.sort_values(id_col, ignore_index=True)
+
+
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3):
+    """SimHash near-dup: 4 x 16-bit block buckets, verify Hamming distance.
+
+    Returns pandas (a, b, hamming) pairs with distance <= max_hamming.
+    """
+
+    def sims(batch: pa.Table) -> pa.Table:
+        ids, hashes, blocks, block_ix = [], [], [], []
+        for did, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            h = simhash64(word_shingles(text, 2))
+            for b in range(4):
+                ids.append(did)
+                hashes.append(np.int64(np.uint64(h).astype(np.int64)))
+                blocks.append((h >> (16 * b)) & 0xFFFF)
+                block_ix.append(b)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array(hashes, pa.int64()),
+             pa.array(blocks, pa.int32()),
+             pa.array(block_ix, pa.int32())],
+            names=[id_col, "simhash", "block", "block_index"],
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group[[id_col, "simhash"]].drop_duplicates().values.tolist()
+        rows.sort()
+        a, b, d = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                dist = hamming64(np.uint64(rows[i][1]).item() & (2**64 - 1),
+                                 np.uint64(rows[j][1]).item() & (2**64 - 1))
+                if dist <= max_hamming:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    d.append(dist)
+        return pd.DataFrame({"a": a, "b": b, "hamming": d})
+
+    out = (
+        ds.map_batches(sims, batch_format="pyarrow", batch_size=1024)
+        .groupby(["block_index", "block"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"], ignore_index=True))

@@ -1,0 +1,94 @@
+"""Text-analysis stages over a documents table (scale additions).
+
+Each stage is a vectorized / per-batch map with an exact DuckDB SQL oracle
+(see functions/textstats.py for the determinism rules).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.textstats import (
+    LANG_ORDER,
+    detect_language,
+    fingerprint,
+    quality_signals,
+    stopword_counts,
+)
+from ..functions.tokenize import count_tokens, estimate_chunks
+
+
+def token_count_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        return pa.Table.from_arrays(
+            [batch[id_col],
+             pa.array([count_tokens(t) for t in texts], pa.int64())],
+            names=[id_col, "n_tokens"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def estimate_chunks_stage(ds, chunk_size: int = 100, chunk_overlap: int = 10,
+                          text_col: str = "text", id_col: str = "doc_id"):
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        return pa.Table.from_arrays(
+            [batch[id_col],
+             pa.array(
+                 [estimate_chunks(count_tokens(t), chunk_size, chunk_overlap)
+                  for t in texts], pa.int64())],
+            names=[id_col, "n_chunks"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def language_id_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """n-gram/stopword-heuristic language ID + per-language counts."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        counts = [stopword_counts(t) for t in texts]
+        arrays = [batch[id_col]]
+        names = [id_col]
+        for lang in LANG_ORDER:
+            arrays.append(pa.array([c[lang] for c in counts], pa.int64()))
+            names.append(f"c_{lang}")
+        arrays.append(pa.array([detect_language(t) for t in texts], pa.string()))
+        names.append("lang_pred")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def quality_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
+    def fn(batch: pa.Table) -> pa.Table:
+        sigs = [quality_signals(t) for t in batch[text_col].to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                batch[id_col],
+                pa.array([s["n_chars"] for s in sigs], pa.int64()),
+                pa.array([s["n_words"] for s in sigs], pa.int64()),
+                pa.array([s["n_punct"] for s in sigs], pa.int64()),
+                pa.array([s["punct_ratio"] for s in sigs], pa.float64()),
+                pa.array([s["stop_ratio"] for s in sigs], pa.float64()),
+            ],
+            names=[id_col, "n_chars", "n_words", "n_punct", "punct_ratio",
+                   "stop_ratio"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def fingerprint_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        return pa.Table.from_arrays(
+            [batch[id_col],
+             pa.array([fingerprint(t) for t in texts], pa.string())],
+            names=[id_col, "fingerprint"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)

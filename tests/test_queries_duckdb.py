@@ -1,0 +1,101 @@
+"""Self-check of the driver contract: every queries() entry with an
+oracle_sql() entry must match DuckDB on the same tables (sf0.001) —
+row-count, schema (column names), and order-insensitive values. This is
+exactly what the driver's CORRECTNESS gate does at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _as_table(res) -> pa.Table:
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    if isinstance(res, pd.DataFrame):
+        return pa.Table.from_pandas(res, preserve_index=False)
+    if isinstance(res, pa.Table):
+        return res
+    raise TypeError(type(res))
+
+
+def _normalize(table: pa.Table) -> list[tuple]:
+    cols = sorted(table.column_names)
+    rows = []
+    data = {c: table[c].to_pylist() for c in cols}
+    for i in range(table.num_rows):
+        row = []
+        for c in cols:
+            v = data[c][i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            if isinstance(v, bool):
+                v = int(v)
+            row.append(v)
+        rows.append(tuple(row))
+    rows.sort(key=repr)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, con, ray_session):
+    ray_res = _as_table(QUERIES[name](SF_DIR))
+    duck_res = con.sql(ORACLES[name]).arrow()
+    assert sorted(ray_res.column_names) == sorted(duck_res.column_names), (
+        f"{name}: column mismatch {ray_res.column_names} vs "
+        f"{duck_res.column_names}"
+    )
+    ours = _normalize(ray_res)
+    oracle = _normalize(duck_res)
+    assert len(ours) == len(oracle), (
+        f"{name}: row count {len(ours)} vs {len(oracle)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(ours, oracle) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, ray_session):
+    """Queries without SQL oracles must still run and return a result."""
+    res = _as_table(QUERIES[name](SF_DIR))
+    assert res.num_rows >= 0
+    assert len(res.column_names) > 0
+
+
+def test_entry_runs(ray_session):
+    res = entrymod.entry()
+    import ray.data
+
+    assert isinstance(res, ray.data.Dataset)
+    assert res.count() > 0
+    assert set(res.schema().names) >= {"subj", "pred", "obj", "valid_from"}
