@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+    {"metric": "kg_pipeline_sec", "value": N, "unit": "sec",
+     "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+     "kg_pages": n, "kg_edges": n, "triples_per_sec": n}
+
+--scaling: run the headline KG pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs
+plus scaling efficiency (BASELINE.md protocol; the sandbox stand-in for
+the N- vs 4N-node cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from temporal_knowledge_graphs_ray.pipelines import queries as q
+    from temporal_knowledge_graphs_ray.pipelines.kg import build_kg
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        alias_table,
+        pages_from_documents,
+    )
+    from temporal_knowledge_graphs_ray.stages.dedup import (
+        exact_dedup,
+        minhash_lsh_dedup,
+    )
+    from temporal_knowledge_graphs_ray.stages.similarity import knn_brute_force
+    from temporal_knowledge_graphs_ray.stages.textstats import (
+        language_id_stage,
+        quality_stage,
+    )
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    import pyarrow.dataset as pads
+
+    for t in ("documents", "lineitem", "events", "embeddings"):
+        pads.dataset(f"{sf_dir}/{t}.parquet").to_table()
+
+    # ---- headline: full KG construction ----
+    out_dir = "/tmp/tkg_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def kg():
+        pages = pages_from_documents(sf_dir)
+        return build_kg(pages, out_dir, alias_table=alias_table())
+
+    res = timed("kg_pipeline", kg)
+    extra["kg_edges"] = res["edge_rows"]
+    extra["kg_nodes"] = res["node_rows"]
+    import duckdb
+
+    n_pages = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    extra["kg_pages"] = n_pages
+    extra["triples_per_sec"] = round(
+        res["edge_rows"] / timings["kg_pipeline"], 2
+    )
+    extra["pages_per_sec"] = round(n_pages / timings["kg_pipeline"], 2)
+
+    # ---- secondary pipelines ----
+    import numpy as np
+    import ray.data as rd
+
+    timed("pricing_summary", lambda: q.q_pricing_summary(sf_dir))
+    timed("cooccurrence", lambda: q.q_cooccurrence(sf_dir))
+    timed("sessionize",
+          lambda: q.q_sessionize(sf_dir).to_pandas())
+    timed("exact_dedup",
+          lambda: exact_dedup(
+              rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])).to_pandas())
+    timed("minhash_lsh_dedup",
+          lambda: minhash_lsh_dedup(
+              rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])))
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qvec = np.array(emb.take(1)[0]["embedding"], dtype=np.float64)
+    timed("knn_topk", lambda: knn_brute_force(emb, qvec, 10).to_pandas())
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    timed("language_id", lambda: language_id_stage(docs).to_pandas())
+    timed("quality", lambda: quality_stage(docs).to_pandas())
+
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": timings["kg_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **extra,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, same input, two parallelism levels in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "triples_per_sec_8": r_lo["triples_per_sec"],
+        "triples_per_sec_32": r_hi["triples_per_sec"],
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

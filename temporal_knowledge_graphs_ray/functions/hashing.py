@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import zlib
 
 import numpy as np
 
@@ -29,6 +30,17 @@ def stable_hash64(text: str, seed: int = 0) -> int:
     """Unsigned 63-bit stable hash (fits int64)."""
     h = hashlib.md5(f"{seed}|{text}".encode("utf-8")).digest()
     return int.from_bytes(h[:8], "big") >> 1
+
+
+def fast_hash64(text: str, seed: int = 0) -> int:
+    """Fast stable 63-bit hash (two salted CRC32s) for high-volume sketch
+    inputs (shingles, simhash tokens). Stable across processes/machines —
+    unlike Python's salted ``hash`` — and ~20x faster than MD5. Not used
+    for identities/fingerprints (those stay MD5)."""
+    b = text.encode("utf-8")
+    hi = zlib.crc32(b, seed & 0xFFFFFFFF)
+    lo = zlib.crc32(b, (seed ^ 0x9E3779B9) & 0xFFFFFFFF)
+    return ((hi << 32) | lo) >> 1
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:
@@ -57,7 +69,7 @@ def minhash_signature(shingles: list[str], num_perm: int = 64) -> np.ndarray:
     if not shingles:
         return sig
     base = np.fromiter(
-        (stable_hash64(s) for s in set(shingles)), dtype=np.uint64,
+        (fast_hash64(s) for s in set(shingles)), dtype=np.uint64,
     )
     seeds = _PERM_SEEDS[:num_perm]
     if len(seeds) < num_perm:
@@ -76,21 +88,25 @@ _PERM_SEEDS = np.array(
 def minhash_bands(sig: np.ndarray, num_bands: int = 16) -> list[int]:
     """Split a signature into bands; returns a stable hash per band.
 
-    Docs sharing any band hash are LSH candidates.
+    Docs sharing any band hash are LSH candidates. Band hashing is a
+    vectorized FNV-style polynomial over the band's rows (no string ops).
     """
     rows = len(sig) // num_bands
-    out = []
-    for b in range(num_bands):
-        band = sig[b * rows:(b + 1) * rows]
-        out.append(stable_hash64(",".join(map(str, band.tolist())), seed=b))
-    return out
+    bands = sig[: rows * num_bands].reshape(num_bands, rows)
+    acc = np.full(num_bands, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for r in range(rows):
+        acc = (acc ^ bands[:, r]) * prime
+    # fold in the band index so identical bands in different positions differ
+    acc = (acc ^ np.arange(num_bands, dtype=np.uint64)) * prime
+    return [int(x >> np.uint64(1)) for x in acc]
 
 
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over token hashes (Charikar 2002)."""
     if not tokens:
         return 0
-    hashes = np.fromiter((stable_hash64(t) for t in tokens), dtype=np.uint64)
+    hashes = np.fromiter((fast_hash64(t) for t in tokens), dtype=np.uint64)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
     votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hashes)  # +1 / -1 votes
     return int((votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))

@@ -119,18 +119,27 @@ def comention_pairs(mentions_ds, min_count: int = 2) -> pd.DataFrame:
     """Entity co-mention counts per chunk (G6) with pair-key groupby."""
     from ray.data.aggregate import Count
 
+    from ..functions.hashing import fast_hash64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = pa.array(
+            [fast_hash64(c) % 64 for c in t["chunk_id"].to_pylist()],
+            pa.int32(),
+        )
+        return t.append_column("bucket", bucket)
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        keys = sorted(set(g["entity_key"]))
-        a, b = [], []
-        for i in range(len(keys)):
-            for j in range(i + 1, len(keys)):
-                a.append(keys[i])
-                b.append(keys[j])
-        return pd.DataFrame({"a": a, "b": b})
+        df = g[["chunk_id", "entity_key"]].drop_duplicates()
+        m = df.merge(df, on="chunk_id", suffixes=("_a", "_b"))
+        m = m[m["entity_key_a"] < m["entity_key_b"]]
+        out = m[["chunk_id", "entity_key_a", "entity_key_b"]].drop_duplicates()
+        return out.rename(columns={"entity_key_a": "a", "entity_key_b": "b"})[
+            ["a", "b"]]
 
     out = (
         mentions_ds.select_columns(["chunk_id", "entity_key"])
-        .groupby("chunk_id")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_chunks"))

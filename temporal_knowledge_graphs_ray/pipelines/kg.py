@@ -248,42 +248,60 @@ def build_kg(
             self.n = cfg.num_partitions
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out = []
-            for r in batch.to_pylist():
-                sid, sname = self.cmap.get(
-                    (r["subj_type"], r["subj_key"]),
-                    (None, r["subj_surface"]),
+            # column-wise (no per-row dicts): resolve both endpoints via
+            # the broadcast map
+            cmap = self.cmap
+            s_types = batch["subj_type"].to_pylist()
+            s_keys = batch["subj_key"].to_pylist()
+            s_surf = batch["subj_surface"].to_pylist()
+            o_types = batch["obj_type"].to_pylist()
+            o_keys = batch["obj_key"].to_pylist()
+            o_surf = batch["obj_surface"].to_pylist()
+            preds = batch["pred"].to_pylist()
+
+            def resolve(ts, ks, surfs):
+                ids, names = [], []
+                for t, k, s in zip(ts, ks, surfs):
+                    hit = cmap.get((t, k))
+                    if hit is None:
+                        # endpoint with no mention row (cannot happen for
+                        # our extractor, guarded for pluggable ones)
+                        ids.append("x" + hex(stable_hash64(t + "|" + k))[2:17])
+                        names.append(s)
+                    else:
+                        ids.append(hit[0])
+                        names.append(hit[1])
+                return ids, names
+
+            sids, snames = resolve(s_types, s_keys, s_surf)
+            oids, onames = resolve(o_types, o_keys, o_surf)
+            rows = [
+                {
+                    "source": sn, "subj_id": si, "target": on, "obj_id": oi,
+                    "relationship": p, "valid_from": vf, "description": d,
+                    "confidence": c, "source_chunks": sc,
+                }
+                for sn, si, on, oi, p, vf, d, c, sc in zip(
+                    snames, sids, onames, oids, preds,
+                    batch["valid_from"].to_pylist(),
+                    batch["description"].to_pylist(),
+                    batch["confidence"].to_pylist(),
+                    batch["source_chunks"].to_pylist(),
                 )
-                oid, oname = self.cmap.get(
-                    (r["obj_type"], r["obj_key"]),
-                    (None, r["obj_surface"]),
-                )
-                # an edge endpoint with no mention row (cannot happen for
-                # our extractor, guarded for pluggable ones): synthesize a
-                # stable id from (type, key)
-                if sid is None:
-                    sid = "x" + hex(stable_hash64(r["subj_type"] + "|" + r["subj_key"]))[2:17]
-                if oid is None:
-                    oid = "x" + hex(stable_hash64(r["obj_type"] + "|" + r["obj_key"]))[2:17]
-                out.append({
-                    "source": sname,
-                    "subj_id": sid,
-                    "target": oname,
-                    "obj_id": oid,
-                    "relationship": r["pred"],
-                    "valid_from": r["valid_from"],
-                    "description": r["description"],
-                    "confidence": r["confidence"],
-                    "source_chunks": r["source_chunks"],
-                })
+            ]
             merged = merge_duplicate_relations(
-                out, key_fields=("subj_id", "obj_id"))
+                rows, key_fields=("subj_id", "obj_id"))
+            ekey_bucket = [
+                int(stable_hash64(
+                    f"{m['subj_id']}|{m['relationship'].lower()}|{m['obj_id']}"
+                ) % 64)
+                for m in merged
+            ]
             return pa.Table.from_arrays(
                 [
                     pa.array([m["source"] for m in merged], pa.string()),
                     pa.array([m["subj_id"] for m in merged], pa.string()),
                     pa.array([m["relationship"] for m in merged], pa.string()),
-                    pa.array([m["relationship"].lower() for m in merged], pa.string()),
                     pa.array([m["target"] for m in merged], pa.string()),
                     pa.array([m["obj_id"] for m in merged], pa.string()),
                     pa.array([m["valid_from"] for m in merged], pa.timestamp("us")),
@@ -291,15 +309,19 @@ def build_kg(
                     pa.array([m["confidence"] for m in merged], pa.float32()),
                     pa.array([m["source_chunks"] for m in merged], pa.list_(pa.string())),
                     pa.array([int(stable_hash64(m["subj_id"]) % self.n) for m in merged], pa.int32()),
+                    pa.array(ekey_bucket, pa.int32()),
                 ],
-                names=["subj", "subj_id", "pred", "pred_key", "obj", "obj_id",
+                names=["subj", "subj_id", "pred", "obj", "obj_id",
                        "valid_from", "description", "confidence",
-                       "source_chunks", "part"],
+                       "source_chunks", "part", "ekey_bucket"],
             )
 
     import pandas as pd
 
     def final_merge(group: pd.DataFrame) -> pd.DataFrame:
+        # one call per hash bucket (64 total), merging every (subj, pred,
+        # obj) key inside it via the dict-keyed kernel — O(rows), not
+        # O(groups) scheduling overhead
         rows = group.to_dict("records")
         for r in rows:
             r["source"] = r.pop("subj")
@@ -312,13 +334,14 @@ def build_kg(
             m["subj"] = m.pop("source")
             m["obj"] = m.pop("target")
             m["pred"] = m.pop("relationship")
+            m.pop("ekey_bucket", None)
         return pd.DataFrame(merged)
 
     edges_final = (
         rd.read_parquet(edges_raw_dir)
         .map_batches(CanonicalRewriteStage, batch_format="pyarrow",
                      batch_size=8192, concurrency=(1, 4))
-        .groupby(["subj_id", "pred_key", "obj_id"])
+        .groupby("ekey_bucket")
         .map_groups(final_merge, batch_format="pandas")
         .map_batches(
             lambda t: pa.Table.from_arrays(

@@ -112,15 +112,38 @@ def q_revenue_by_brand(sf_dir: str):
 
 # ------------------------------------------------------------------ temporal
 
+def _bucketed_by_key(ds, key_col: str, fn, num_buckets: int = 64):
+    """groupby(hash(key) % B).map_groups(fn): per-key semantics with a
+    BOUNDED number of group invocations — fn gets one bucket (a pandas
+    frame containing every row of each key it owns) and runs vectorized
+    pandas per-key logic inside. The standard fix for the numerous-tiny-
+    groups shuffle (a per-key map_groups schedules one call per key)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.bit_wise_and(t[key_col].cast(pa.int64()),
+                            pa.scalar(num_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("bucket", bucket)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fn, batch_format="pandas")
+    )
+
+
 def q_latest_event_per_user(sf_dir: str):
     """Keep-latest per key (V1/V3 supersession semantics)."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=[False, False])
-        return g.head(1)
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = g.groupby("user_id", sort=True).tail(1)
+        return out[["user_id", "event_id", "ts"]]
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+    return _bucketed_by_key(ds, "user_id", latest)
 
 
 def q_version_history(sf_dir: str):
@@ -128,12 +151,13 @@ def q_version_history(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
     def versions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        g["version"] = np.arange(1, len(g) + 1, dtype="int64")
-        g["is_current"] = g["version"] == len(g)
-        return g
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        grp = g.groupby("user_id", sort=False)
+        g["version"] = grp.cumcount() + 1
+        g["is_current"] = g["version"] == grp["version"].transform("max")
+        return g[["user_id", "event_id", "ts", "version", "is_current"]]
 
-    return ds.groupby("user_id").map_groups(versions, batch_format="pandas")
+    return _bucketed_by_key(ds, "user_id", versions)
 
 
 def q_asof_counts(sf_dir: str, asof: str = "2024-01-15"):
@@ -281,16 +305,23 @@ def q_sessionize(sf_dir: str, gap_s: int = 1800):
     gap_us = gap_s * 1_000_000
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("datetime64[us]").astype("int64").values)
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": [int(new_session.sum())],
-            "n_events": [len(ts)],
-        })
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        new_user = g["user_id"] != g["user_id"].shift(1)
+        gap = ts - ts.shift(1)
+        new_session = (new_user | (gap > gap_us)).astype("int64")
+        g["new_session"] = new_session
+        out = (
+            g.groupby("user_id", sort=True)
+            .agg(n_sessions=("new_session", "sum"),
+                 n_events=("user_id", "size"))
+            .reset_index()
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _bucketed_by_key(ds, "user_id", sessions)
 
 
 # ------------------------------------------------------------- rank / fusion
@@ -367,17 +398,15 @@ def q_cooccurrence(sf_dir: str, min_users: int = 5):
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        types = sorted(set(g["event_type"]))
-        a, b = [], []
-        for i in range(len(types)):
-            for j in range(i + 1, len(types)):
-                a.append(types[i])
-                b.append(types[j])
-        return pd.DataFrame({"type_a": a, "type_b": b})
+        df = g[["user_id", "event_type"]].drop_duplicates()
+        m = df.merge(df, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        out = m[["event_type_a", "event_type_b"]]
+        out.columns = ["type_a", "type_b"]
+        return out
 
     out = (
-        distinct.groupby("user_id")
-        .map_groups(pairs, batch_format="pandas")
+        _bucketed_by_key(distinct, "user_id", pairs)
         .groupby(["type_a", "type_b"])
         .aggregate(Count(alias_name="n_users"))
         .to_pandas()

@@ -195,13 +195,48 @@ def make_canonicalize_group_fn(cfg: EngineConfig = DEFAULT_CONFIG):
     return canonicalize_group
 
 
-def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG):
-    """mentions Dataset -> canonical map Dataset (one row per entity_key)."""
+def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG,
+                 num_buckets: int = 64):
+    """mentions Dataset -> canonical map Dataset (one row per entity_key).
+
+    The shuffle key is ``bucket = hash(type, block) % num_buckets`` rather
+    than (type, block) directly: blocking groups are numerous and tiny, so
+    grouping by a bounded bucket count keeps the number of ``map_groups``
+    invocations fixed (64 parallel merges) while each invocation loops the
+    blocking groups inside vectorized pandas — same semantics (a blocking
+    group never spans buckets), far less per-group scheduling overhead.
+    """
+    from ..functions.hashing import stable_hash64
+
     partial = make_partial_agg_stage(cfg)
     group_fn = make_canonicalize_group_fn(cfg)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        types = t["type"].to_pylist()
+        blocks = t["block"].to_pylist()
+        bucket = pa.array(
+            [stable_hash64(f"{ty}|{bl}") % num_buckets
+             for ty, bl in zip(types, blocks)],
+            pa.int32(),
+        )
+        return t.append_column("bucket", bucket)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            group_fn(sub)
+            for _, sub in df.groupby(["type", "block"], sort=True)
+        ]
+        outs = [o for o in outs if not o.empty]
+        if not outs:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object")
+                 for f in CANONICAL_SCHEMA})
+        return pd.concat(outs, ignore_index=True)
+
     return (
         mentions_ds.map_batches(partial, batch_format="pyarrow",
                                 batch_size=8192)
-        .groupby(["type", "block"])
-        .map_groups(group_fn, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )

@@ -92,20 +92,38 @@ def minhash_rows(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(sig_rows, batch_format="pyarrow", batch_size=1024)
 
 
-def _candidate_pairs_from_bands(band_ds, id_col: str = "doc_id"):
-    """groupby (band_index, band_hash) -> unique candidate id pairs."""
+def _candidate_pairs_from_bands(band_ds, id_col: str = "doc_id",
+                                num_buckets: int = 64):
+    """(band_index, band_hash) rows -> unique candidate id pairs.
+
+    Shuffle key is ``band_hash % num_buckets`` (band groups are numerous
+    and mostly singletons — a bounded bucket count keeps map_groups
+    invocations fixed); within a bucket a vectorized pandas self-merge on
+    the full band key generates the pairs.
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bucket = pc.cast(
+            pc.bit_wise_and(t["band_hash"],
+                            pa.scalar(num_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("bucket", bucket)
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group[id_col].tolist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
+        df = group[["band_index", "band_hash", id_col]].drop_duplicates()
+        m = df.merge(df, on=["band_index", "band_hash"],
+                     suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        out.columns = ["a", "b"]
+        return out
 
     return (
-        band_ds.groupby(["band_index", "band_hash"])
+        band_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
 
@@ -182,23 +200,40 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             names=[id_col, "simhash", "block", "block_index"],
         )
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        combined = pc.add(
+            pc.multiply(t["block_index"].cast(pa.int64()),
+                        pa.scalar(65536, pa.int64())),
+            t["block"].cast(pa.int64()),
+        )
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(combined,
+                                              pa.scalar(63, pa.int64())),
+                              pa.int32()))
+
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group[[id_col, "simhash"]].drop_duplicates().values.tolist()
-        rows.sort()
-        a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                dist = hamming64(np.uint64(rows[i][1]).item() & (2**64 - 1),
-                                 np.uint64(rows[j][1]).item() & (2**64 - 1))
-                if dist <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(dist)
-        return pd.DataFrame({"a": a, "b": b, "hamming": d})
+        df = group[["block_index", "block", id_col, "simhash"]].drop_duplicates()
+        m = df.merge(df, on=["block_index", "block"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        m = m.drop_duplicates(subset=[f"{id_col}_a", f"{id_col}_b"])
+        if m.empty:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        ham = [
+            hamming64(int(x) & (2**64 - 1), int(y) & (2**64 - 1))
+            for x, y in zip(m["simhash_a"], m["simhash_b"])
+        ]
+        m = m.assign(hamming=ham)
+        m = m[m["hamming"] <= max_hamming]
+        out = m[[f"{id_col}_a", f"{id_col}_b", "hamming"]]
+        out.columns = ["a", "b", "hamming"]
+        return out
 
     out = (
         ds.map_batches(sims, batch_format="pyarrow", batch_size=1024)
-        .groupby(["block_index", "block"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()
     )
