@@ -218,6 +218,83 @@ def _simhash_pairs(sf_dir: str):
                          max_hamming=8)
 
 
+def _ectqa_roundtrip(sf_dir: str):
+    """Synthesize an ECT-QA JSONL from the documents table, run the S6/S7
+    loader pipeline over it; the oracle recomputes the projection in SQL
+    directly from documents."""
+    import json
+    import os
+
+    import duckdb
+
+    from temporal_knowledge_graphs_ray.sources.ectqa import read_ectqa
+
+    jsonl = os.path.join(
+        "/tmp/tkg_ectqa", sf_dir.strip("/").replace("/", "_") + ".jsonl"
+    )
+    os.makedirs(os.path.dirname(jsonl), exist_ok=True)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    with open(jsonl, "w") as f:
+        for doc_id, text, lang in rows:
+            f.write(json.dumps({
+                "company_name": f"Comp{doc_id}",
+                "stock_code": f"S{doc_id}",
+                "sector": lang,
+                "year": str(2015 + doc_id % 8),
+                "quarter": f"q{doc_id % 4 + 1}",
+                "URL": f"https://ectqa.example/{doc_id}",
+                "cleaned_content": text,
+                "token_count": len(text.split()),
+            }) + "\n")
+    ds = read_ectqa(jsonl)
+    df = ds.select_columns(
+        ["title", "stock_code", "sector", "year", "quarter", "token_count",
+         "created_at"]
+    ).to_pandas()
+    return df.sort_values("stock_code", ignore_index=True)
+
+
+def _temporal_filter_orders(sf_dir: str):
+    """M11: TemporalFilter compiled to an Arrow expression over a
+    versioned view of orders (fiscal fields derived from o_orderdate)."""
+    import pyarrow as pa
+    import pyarrow.compute as pcc
+
+    from temporal_knowledge_graphs_ray.functions.temporal_filter import (
+        TemporalFilter,
+    )
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def versioned(t: pa.Table) -> pa.Table:
+        year = pcc.year(t["o_orderdate"])
+        month = pcc.month(t["o_orderdate"]).to_numpy()
+        import numpy as np
+
+        quarter = (month - 1) // 3 + 1
+        keys = t["o_orderkey"].to_numpy()
+        return pa.Table.from_arrays(
+            [
+                t["o_orderkey"],
+                year.cast(pa.int64()),
+                pa.array([f"Q{q}" for q in quarter], pa.string()),
+                pa.array((keys % 3 != 0)),
+            ],
+            names=["o_orderkey", "fiscal_year", "fiscal_quarter",
+                   "is_current"],
+        )
+
+    filt = TemporalFilter.time_range(1996, 1996, "Q2", "Q3")
+    out = filt.apply(
+        ds.map_batches(versioned, batch_format="pyarrow", batch_size=65536)
+    )
+    return out
+
+
 def _multimodal_meta(sf_dir: str):
     from temporal_knowledge_graphs_ray.pipelines.queries import _read
     from temporal_knowledge_graphs_ray.stages.multimodal import (
@@ -284,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _ann_lsh,
         # multimodal plumbing
         "multimodal_meta": _multimodal_meta,
+        "ectqa_roundtrip": _ectqa_roundtrip,
+        "temporal_filter_orders": _temporal_filter_orders,
         # KG pipeline (flagship)
         "kg_edges": _kg_edges,
         "kg_nodes": _kg_nodes,
@@ -546,6 +625,34 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.9
             ORDER BY a.vec_id, b.vec_id
+        """,
+        "ectqa_roundtrip": """
+            SELECT 'Comp' || doc_id || ' (S' || doc_id || ') - Q'
+                       || (doc_id % 4 + 1) || ' ' || (2015 + doc_id % 8)
+                       || ' Earnings Call' AS title,
+                   'S' || doc_id AS stock_code,
+                   lang AS sector,
+                   CAST(2015 + doc_id % 8 AS VARCHAR) AS year,
+                   'Q' || (doc_id % 4 + 1) AS quarter,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS token_count,
+                   CAST(make_date(CAST(2015 + doc_id % 8 AS INT),
+                       (doc_id % 4 + 1) * 3,
+                       CASE WHEN (doc_id % 4 + 1) * 3 IN (6, 9)
+                            THEN 30 ELSE 31 END) AS TIMESTAMP) AS created_at
+            FROM documents
+        """,
+        "temporal_filter_orders": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS fiscal_year,
+                   'Q' || ((month(o_orderdate) - 1) // 3 + 1)
+                       AS fiscal_quarter,
+                   o_orderkey % 3 <> 0 AS is_current
+            FROM orders
+            WHERE year(o_orderdate) = 1996
+              AND 'Q' || ((month(o_orderdate) - 1) // 3 + 1) >= 'Q2'
+              AND 'Q' || ((month(o_orderdate) - 1) // 3 + 1) <= 'Q3'
+              AND o_orderkey % 3 <> 0
         """,
         "multimodal_meta": """
             SELECT doc_id AS media_id, 'image' AS media_type,

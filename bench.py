@@ -70,15 +70,26 @@ def run_bench() -> dict:
     for t in ("documents", "lineitem", "events", "embeddings"):
         pads.dataset(f"{sf_dir}/{t}.parquet").to_table()
 
+    # warm the Ray worker pool (process spawn is once-per-session cost, not
+    # part of the measured pipeline)
+    import ray.data as _rd
+
+    _rd.range(num_cpus * 8, override_num_blocks=num_cpus * 4).map_batches(
+        lambda t: t, batch_format="pyarrow").materialize()
+
     # ---- headline: full KG construction ----
     out_dir = "/tmp/tkg_bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    repeat = int(os.environ.get("GRAFT_KG_REPEAT", "1"))
+
     def kg():
-        pages = pages_from_documents(sf_dir)
+        pages = pages_from_documents(sf_dir, repeat=repeat)
         return build_kg(pages, out_dir, alias_table=alias_table())
 
     res = timed("kg_pipeline", kg)
+    for ph, sec in res.get("phase_sec", {}).items():
+        timings[f"kg_{ph}"] = sec
     extra["kg_edges"] = res["edge_rows"]
     extra["kg_nodes"] = res["node_rows"]
     import duckdb
@@ -86,15 +97,29 @@ def run_bench() -> dict:
     n_pages = duckdb.sql(
         f"select count(*) from '{sf_dir}/documents.parquet'"
     ).fetchone()[0]
+    n_pages *= repeat
     extra["kg_pages"] = n_pages
     extra["triples_per_sec"] = round(
         res["edge_rows"] / timings["kg_pipeline"], 2
     )
     extra["pages_per_sec"] = round(n_pages / timings["kg_pipeline"], 2)
 
-    # ---- secondary pipelines ----
+    # ---- secondary pipelines (skipped in scaling child runs) ----
     import numpy as np
     import ray.data as rd
+
+    if os.environ.get("GRAFT_SCALING_CHILD") == "1":
+        result = {
+            "metric": "kg_pipeline_sec",
+            "value": timings["kg_pipeline"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            **extra,
+        }
+        ray.shutdown()
+        return result
 
     timed("pricing_summary", lambda: q.q_pricing_summary(sf_dir))
     timed("cooccurrence", lambda: q.q_cooccurrence(sf_dir))
@@ -135,6 +160,9 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scale the headline input so compute dominates fixed startup cost
+        env.setdefault("GRAFT_KG_REPEAT", "128")
+        env["GRAFT_SCALING_CHILD"] = "1"
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

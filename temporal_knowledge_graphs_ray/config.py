@@ -32,14 +32,31 @@ class EngineConfig:
     # text stages move large strings: big batches. extractor stages are
     # regex-heavy: medium batches. All chosen so batch x concurrency fits a
     # worker heap at 100 TB scale (html dropped right after text extraction).
+    # NOTE: when stages fuse, Ray bundles ~max(batch_size) INPUT rows per
+    # task — keep these moderate so a fused chain still yields >= cluster
+    # CPUs tasks on small inputs (1 -> N fan-out stages amplify rows).
     read_batch_size: int = 2048
-    extract_batch_size: int = 1024
-    chunk_batch_size: int = 512
-    ner_batch_size: int = 256
-    relation_batch_size: int = 256
-    # actor pool sizes: (min, max) autoscaling pools
-    ner_concurrency: tuple = (2, 8)
-    relation_concurrency: tuple = (2, 8)
+    extract_batch_size: int = 64
+    chunk_batch_size: int = 64
+    ner_batch_size: int = 64
+    relation_batch_size: int = 64
+    # actor pool sizes: None -> sized to the cluster at pipeline build time
+    # ((2, num_cpus)); a fixed (min, max) tuple pins the pool. A pool that
+    # cannot grow with the cluster flattens scaling — see BASELINE.md.
+    ner_concurrency: tuple | None = None
+    relation_concurrency: tuple | None = None
+    # "actors": stages run as actor pools (the right mode when _extract
+    # holds a real model — weights load once per actor). "tasks": stateless
+    # task pool (faster for the deterministic rule-based extractor: no pool
+    # cold-start per phase; broadcast objects still fetched once per worker
+    # via the lazy object-ref resolution in the stage classes).
+    extractor_compute: str = "tasks"
+    # "memory": derived tables are materialized in the object store for the
+    # downstream phases (Parquet writes are checkpoint-only); "disk": every
+    # phase re-reads the written Parquet (no object-store footprint — the
+    # 100 TB setting; resume always uses this path).
+    stage_cache: str = "memory"
+
 
     # --- output layout / resume ---
     num_partitions: int = 16  # hash(url) % num_partitions → part column

@@ -128,9 +128,26 @@ def build_kg(
     (url, warc_ts, html, text?, lang). Ray must already be initialised by
     the caller (driver contract).
     """
+    import time
+
+    import ray
     import ray.data as rd
 
+    phase_sec: dict[str, float] = {}
+    _t = time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t
+        now = time.perf_counter()
+        phase_sec[name] = round(now - _t, 3)
+        _t = now
+
     os.makedirs(out_dir, exist_ok=True)
+    # size actor pools to the cluster unless pinned in cfg
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ner_conc = cfg.ner_concurrency or (2, max(4, ncpu))
+    rel_conc = cfg.relation_concurrency or (2, max(4, ncpu))
+    as_tasks = cfg.extractor_compute == "tasks"
     alias_ref = put_alias_dict(alias_table) if alias_table is not None else None
 
     chunk_ents_dir = os.path.join(out_dir, "chunk_ents")
@@ -156,19 +173,51 @@ def build_kg(
         make_chunk_stage(cfg), batch_format="pyarrow",
         batch_size=cfg.chunk_batch_size,
     )
-    chunk_ents = chunks.map_batches(
-        EntityExtractorStage,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=cfg.ner_batch_size,
-        concurrency=cfg.ner_concurrency,
-    )
-    chunk_ents.write_parquet(chunk_ents_dir, partition_cols=["part"])
-    _write_part_manifests(out_dir, "chunk_ents")
+    if as_tasks:
+        chunk_ents = chunks.map_batches(
+            EntityExtractorStage(cfg), batch_format="pyarrow",
+            batch_size=cfg.ner_batch_size,
+        )
+    else:
+        chunk_ents = chunks.map_batches(
+            EntityExtractorStage,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.ner_batch_size,
+            concurrency=ner_conc,
+        )
+    # stage-cache chunk_ents in the object store (spills under pressure):
+    # phases B1/B2 consume it twice without re-running extraction, and the
+    # durable Parquet checkpoint (resume contract) is written from the
+    # cached copy. At 100 TB prefer cfg.stage_cache="disk": skip the
+    # materialize and re-read the written Parquet instead (cold-path cost,
+    # no object-store footprint).
+    ce_mat = chunk_ents.materialize()
+
+    # checkpoint writes are durable-lineage only in memory mode — nothing
+    # downstream reads them in this run — so they proceed on background
+    # threads, off the critical path; each thread writes its manifests
+    # AFTER its data (the resume contract: marker => partition complete).
+    # All writers are joined before returning.
+    import threading
+
+    checkpoint_threads: list[threading.Thread] = []
+
+    def _checkpoint(ds, path: str, table: str) -> None:
+        def run() -> None:
+            ds.write_parquet(path, partition_cols=["part"])
+            _write_part_manifests(out_dir, table)
+
+        t = threading.Thread(target=run, name=f"ckpt-{table}", daemon=True)
+        t.start()
+        checkpoint_threads.append(t)
+
+    _checkpoint(ce_mat, chunk_ents_dir, "chunk_ents")
+    _mark("A_extract_chunk_ner")
 
     # ---- phase B: mentions + raw edges from the checkpointed chunk_ents ----
     done_b = completed_parts(out_dir, "mentions") if resume else set()
-    ce = rd.read_parquet(chunk_ents_dir)
+    ce = ce_mat
     ce_mentions = ce
     if done_b:
         keep_set = pa.array(sorted(done_b), pa.int32())
@@ -179,14 +228,32 @@ def build_kg(
             ),
             batch_format="pyarrow",
         )
-    ce_mentions.map_batches(
-        MentionLinkStage,
-        fn_constructor_kwargs={"alias_ref": alias_ref, "cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=cfg.ner_batch_size,
-        concurrency=cfg.ner_concurrency,
-    ).write_parquet(mentions_dir, partition_cols=["part"])
-    _write_part_manifests(out_dir, "mentions")
+    # on resume (or stage_cache="disk") phase C must see old + new parts,
+    # so it reads the durable Parquet; otherwise it reuses the in-memory
+    # materialized table and the Parquet write is checkpoint-only
+    use_disk = resume or cfg.stage_cache == "disk"
+    if as_tasks:
+        mentions_new = ce_mentions.map_batches(
+            MentionLinkStage(alias_ref, cfg), batch_format="pyarrow",
+            batch_size=cfg.ner_batch_size,
+        )
+    else:
+        mentions_new = ce_mentions.map_batches(
+            MentionLinkStage,
+            fn_constructor_kwargs={"alias_ref": alias_ref, "cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.ner_batch_size,
+            concurrency=ner_conc,
+        )
+    if use_disk:
+        mentions_new.write_parquet(mentions_dir, partition_cols=["part"])
+        _write_part_manifests(out_dir, "mentions")
+        mentions_for_c = None
+    else:
+        mentions_mat = mentions_new.materialize()
+        _checkpoint(mentions_mat, mentions_dir, "mentions")
+        mentions_for_c = mentions_mat
+    _mark("B1_mentions")
 
     done_e = completed_parts(out_dir, "edges_raw") if resume else set()
     ce_edges = ce
@@ -199,25 +266,42 @@ def build_kg(
             ),
             batch_format="pyarrow",
         )
-    (
-        ce_edges.map_batches(
+    if as_tasks:
+        edges_raw_new = ce_edges.map_batches(
+            RelationExtractorStage(alias_ref, cfg), batch_format="pyarrow",
+            batch_size=cfg.relation_batch_size,
+        )
+    else:
+        edges_raw_new = ce_edges.map_batches(
             RelationExtractorStage,
             fn_constructor_kwargs={"alias_ref": alias_ref, "cfg": cfg},
             batch_format="pyarrow",
             batch_size=cfg.relation_batch_size,
-            concurrency=cfg.relation_concurrency,
+            concurrency=rel_conc,
         )
-        .write_parquet(edges_raw_dir, partition_cols=["part"])
-    )
-    _write_part_manifests(out_dir, "edges_raw")
+    if use_disk:
+        edges_raw_new.write_parquet(edges_raw_dir, partition_cols=["part"])
+        _write_part_manifests(out_dir, "edges_raw")
+        edges_raw_for_c = None
+    else:
+        edges_raw_mat = edges_raw_new.materialize()
+        _checkpoint(edges_raw_mat, edges_raw_dir, "edges_raw")
+        edges_raw_for_c = edges_raw_mat
+    _mark("B2_relations")
 
     # ---- phase C: global shuffles over the (much smaller) derived tables ----
-    mentions_all = rd.read_parquet(
-        mentions_dir,
-        columns=["type", "entity_key", "linked_name", "mention_count",
-                 "valid_from"],
-    )
+    if mentions_for_c is not None:
+        mentions_all = mentions_for_c.select_columns(
+            ["type", "entity_key", "linked_name", "mention_count",
+             "valid_from"])
+    else:
+        mentions_all = rd.read_parquet(
+            mentions_dir,
+            columns=["type", "entity_key", "linked_name", "mention_count",
+                     "valid_from"],
+        )
     canonical_ds = canonicalize(mentions_all, cfg).materialize()  # small
+    _mark("C1_canonicalize")
     canonical_tbl = pa.Table.from_pandas(
         canonical_ds.to_pandas(), schema=CANONICAL_SCHEMA,
         preserve_index=False,
@@ -239,13 +323,20 @@ def build_kg(
     cmap_ref = put_canonical_map(canonical_tbl)
 
     class CanonicalRewriteStage:
-        """Actor stage: broadcast canonical map fetched once per actor."""
+        """Rewrite stage: broadcast canonical map, resolved lazily once
+        per worker process (task mode) / per actor (actor mode)."""
 
         def __init__(self):
-            import ray
-
-            self.cmap = ray.get(cmap_ref)
+            self._cmap = None
             self.n = cfg.num_partitions
+
+        @property
+        def cmap(self):
+            if self._cmap is None:
+                import ray
+
+                self._cmap = ray.get(cmap_ref)
+            return self._cmap
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             # column-wise (no per-row dicts): resolve both endpoints via
@@ -338,9 +429,10 @@ def build_kg(
         return pd.DataFrame(merged)
 
     edges_final = (
-        rd.read_parquet(edges_raw_dir)
-        .map_batches(CanonicalRewriteStage, batch_format="pyarrow",
-                     batch_size=8192, concurrency=(1, 4))
+        (edges_raw_for_c if edges_raw_for_c is not None
+         else rd.read_parquet(edges_raw_dir))
+        .map_batches(CanonicalRewriteStage(), batch_format="pyarrow",
+                     batch_size=8192)
         .groupby("ekey_bucket")
         .map_groups(final_merge, batch_format="pandas")
         .map_batches(
@@ -366,6 +458,9 @@ def build_kg(
     shutil.rmtree(edges_dir, ignore_errors=True)
     edges_final.write_parquet(edges_dir, partition_cols=["part"])
     edge_counts = _write_part_manifests(out_dir, "edges")
+    for t in checkpoint_threads:  # durable lineage complete before return
+        t.join()
+    _mark("C2_edge_merge")
 
     write_run_manifest(out_dir, {
         "tables": ["chunk_ents", "mentions", "edges_raw", "nodes", "edges"],
@@ -382,4 +477,5 @@ def build_kg(
         "edges": edges_dir,
         "node_rows": nodes_tbl.num_rows,
         "edge_rows": sum(edge_counts.values()),
+        "phase_sec": phase_sec,
     }

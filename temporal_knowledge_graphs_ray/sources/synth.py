@@ -223,23 +223,50 @@ def synthesize_pages_dataset(num_pages: int, *, parallelism: int = 8):
     )
 
 
-def pages_from_documents(sf_dir: str):
+def pages_from_documents(sf_dir: str, repeat: int = 1):
     """Build the pages Dataset from a driver-provided documents.parquet.
 
     Each document row becomes one page whose body contains the document's
     text lines plus planted fact sentences keyed by doc_id — deterministic,
     so repeated runs and the sequential oracle see identical pages.
+
+    ``repeat`` scales the corpus: replica k derives its pages from page id
+    ``doc_id + k * 10_000_019`` (distinct ids -> distinct urls/facts), used
+    by the scaling benchmark so compute dominates fixed startup cost.
     """
+    import pyarrow.parquet as pq
+    import ray
     import ray.data as rd
 
-    def to_pages(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        rows = [make_page(int(i), t) for i, t in zip(ids, texts)]
+    # TEST-SCALE SHIM: the documents table is tiny (KBs-MBs), so it is read
+    # once on the driver and BROADCAST (ray.put), and page generation is
+    # driven by rd.range — giving explicit block control so the downstream
+    # fused chain parallelizes across the whole cluster. At production
+    # scale the input is the pages Parquet itself (read_parquet with
+    # natural 128 MiB blocks) and none of this applies.
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    doc_ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    docs_ref = ray.put((doc_ids, texts)) if ray.is_initialized() else None
+    n_docs = len(doc_ids)
+
+    def gen(batch: dict) -> pa.Table:
+        if docs_ref is not None:
+            ids_list, texts_list = ray.get(docs_ref)
+        else:
+            ids_list, texts_list = doc_ids, texts
+        rows = []
+        for x in batch["id"]:
+            x = int(x)
+            k, i = divmod(x, n_docs)
+            rows.append(
+                make_page(int(ids_list[i]) + k * 10_000_019, texts_list[i])
+            )
         return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return (
-        rd.read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "text"])
-        .map_batches(to_pages, batch_format="pyarrow", batch_size=512)
+        rd.range(n_docs * repeat, override_num_blocks=max(16, ncpu * 4))
+        .map_batches(gen, batch_format="numpy", batch_size=256)
     )

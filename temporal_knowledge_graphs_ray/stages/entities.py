@@ -107,11 +107,24 @@ class MentionLinkStage:
     """
 
     def __init__(self, alias_ref=None, cfg: EngineConfig = DEFAULT_CONFIG):
-        import ray
-
         self.cfg = cfg
-        # dict[(type, alias_lower)] -> canonical name
-        self.aliases: dict = ray.get(alias_ref) if alias_ref is not None else {}
+        self._alias_ref = alias_ref
+        self._aliases: dict | None = None
+
+    @property
+    def aliases(self) -> dict:
+        # resolved lazily on the worker: in actor mode this runs once per
+        # actor; in task mode the instance ships with only the tiny object
+        # ref and each worker process fetches the dict from its local
+        # object store (never re-shipped per batch)
+        if self._aliases is None:
+            if self._alias_ref is None:
+                self._aliases = {}
+            else:
+                import ray
+
+                self._aliases = ray.get(self._alias_ref)
+        return self._aliases
 
     def _link(self, name: str, etype: str) -> str:
         return self.aliases.get((etype, name.lower()), name)

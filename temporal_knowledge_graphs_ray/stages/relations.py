@@ -42,10 +42,20 @@ class RelationExtractorStage:
     """Actor-pool stage: chunk_ents -> raw (pre-merged) edge rows."""
 
     def __init__(self, alias_ref=None, cfg: EngineConfig = DEFAULT_CONFIG):
-        import ray
-
         self.cfg = cfg
-        self.aliases: dict = ray.get(alias_ref) if alias_ref is not None else {}
+        self._alias_ref = alias_ref
+        self._aliases: dict | None = None
+
+    @property
+    def aliases(self) -> dict:
+        if self._aliases is None:
+            if self._alias_ref is None:
+                self._aliases = {}
+            else:
+                import ray
+
+                self._aliases = ray.get(self._alias_ref)
+        return self._aliases
 
     def _extract(self, text: str, entity_names: list[str], valid_from):
         return extract_quads(text, entity_names, valid_from)
@@ -79,6 +89,12 @@ class RelationExtractorStage:
                 s_linked = self.aliases.get((s_type, s_name.lower()), s_name)
                 t_linked = self.aliases.get((t_type, t_name.lower()), t_name)
                 rows.append({
+                    # partial-merge keys must include the TYPE: the same
+                    # surface can be typed differently in different chunks,
+                    # and a type-blind merge would keep whichever type came
+                    # first in the batch (batch-order nondeterminism)
+                    "_skey": f"{s_type}|{s_linked}",
+                    "_tkey": f"{t_type}|{t_linked}",
                     "source": s_linked,
                     "subj_type": s_type,
                     "target": t_linked,
@@ -93,7 +109,8 @@ class RelationExtractorStage:
         # reduction before the global (subj, pred, obj) shuffle)
         merged: list[dict] = []
         for part in sorted(rows_by_part):
-            for r in merge_duplicate_relations(rows_by_part[part]):
+            for r in merge_duplicate_relations(rows_by_part[part],
+                                               key_fields=("_skey", "_tkey")):
                 r["part"] = part
                 merged.append(r)
         return pa.Table.from_arrays(
