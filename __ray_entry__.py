@@ -295,6 +295,28 @@ def _temporal_filter_orders(sf_dir: str):
     return out
 
 
+def _embed_documents(sf_dir: str):
+    """A3: deterministic hash-embedding of the documents table; rows-only
+    (no SQL equivalent for the hash embedder). Returns id + vector norm."""
+    import numpy as np
+    import pyarrow as pa
+
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.embed import embed_documents
+
+    ds = embed_documents(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def norms(t: pa.Table) -> pa.Table:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        return pa.Table.from_arrays(
+            [t["doc_id"],
+             pa.array(np.round(np.linalg.norm(m, axis=1), 4))],
+            names=["doc_id", "norm"],
+        )
+
+    return ds.map_batches(norms, batch_format="pyarrow")
+
+
 def _multimodal_meta(sf_dir: str):
     from temporal_knowledge_graphs_ray.pipelines.queries import _read
     from temporal_knowledge_graphs_ray.stages.multimodal import (
@@ -336,6 +358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "period_compare": q.q_period_compare,
         "temporal_decay": q.q_temporal_decay,
         "fiscal_derive": q.q_fiscal_derive,
+        "evolution_diff": q.q_evolution_diff,
+        "version_gc": q.q_version_gc,
+        "flatten_metadata": q.q_flatten_metadata,
         # windows / sessions
         "tumbling_window": q.q_tumbling_window,
         "sessionize": q.q_sessionize,
@@ -361,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _ann_lsh,
         # multimodal plumbing
         "multimodal_meta": _multimodal_meta,
+        "embed_documents": _embed_documents,
         "ectqa_roundtrip": _ectqa_roundtrip,
         "temporal_filter_orders": _temporal_filter_orders,
         # KG pipeline (flagship)
@@ -625,6 +651,45 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.9
             ORDER BY a.vec_id, b.vec_id
+        """,
+        "evolution_diff": """
+            WITH d AS (
+                SELECT DISTINCT event_type, user_id,
+                       CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                                 AND ts < TIMESTAMP '2024-01-30' THEN 2
+                            ELSE 1 END AS period
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-01'
+                  AND ts < TIMESTAMP '2024-01-30')
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT CASE WHEN in2 AND NOT in1
+                        THEN user_id END) AS BIGINT) AS n_new,
+                   CAST(COUNT(DISTINCT CASE WHEN in1 AND in2
+                        THEN user_id END) AS BIGINT) AS n_persistent,
+                   CAST(COUNT(DISTINCT CASE WHEN in1 AND NOT in2
+                        THEN user_id END) AS BIGINT) AS n_disappeared
+            FROM (SELECT event_type, user_id,
+                         bool_or(period = 1) AS in1,
+                         bool_or(period = 2) AS in2
+                  FROM d GROUP BY event_type, user_id)
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "version_gc": """
+            WITH r AS (SELECT user_id,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+                       FROM events)
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(SUM(CASE WHEN rk > 3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_deleted
+            FROM r GROUP BY user_id
+        """,
+        "flatten_metadata": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS meta_k
+            FROM events
         """,
         "ectqa_roundtrip": """
             SELECT 'Comp' || doc_id || ' (S' || doc_id || ') - Q'

@@ -78,7 +78,11 @@ def run_bench() -> dict:
         lambda t: t, batch_format="pyarrow").materialize()
 
     # ---- headline: full KG construction ----
-    out_dir = "/tmp/tkg_bench_out"
+    # write to shm when available: on a real cluster checkpoint writes go
+    # to per-node disks / a parallel store and scale with cluster size; a
+    # single sandbox disk would otherwise serialize both parallelism levels
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    out_dir = os.path.join(base, "tkg_bench_out")
     shutil.rmtree(out_dir, ignore_errors=True)
 
     repeat = int(os.environ.get("GRAFT_KG_REPEAT", "1"))
@@ -161,7 +165,7 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # scale the headline input so compute dominates fixed startup cost
-        env.setdefault("GRAFT_KG_REPEAT", "128")
+        env.setdefault("GRAFT_KG_REPEAT", "256")
         env["GRAFT_SCALING_CHILD"] = "1"
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

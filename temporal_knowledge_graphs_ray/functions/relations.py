@@ -165,12 +165,12 @@ def merge_duplicate_relations(
         cur = merged.get(key)
         if cur is None:
             cur = dict(row)
-            cur["source_chunks"] = list(row.get("source_chunks", []))
+            # set-union: hub-pair edges accumulate many chunk ids and a
+            # list-membership scan would be quadratic per hot key
+            cur["source_chunks"] = set(row.get("source_chunks", []))
             merged[key] = cur
             continue
-        for cid in row.get("source_chunks", []):
-            if cid not in cur["source_chunks"]:
-                cur["source_chunks"].append(cid)
+        cur["source_chunks"].update(row.get("source_chunks", []))
         cur["confidence"] = max(cur["confidence"], row["confidence"])
         rd, cd = row["description"], cur["description"]
         # longest wins; equal length -> lexicographically smaller wins

@@ -392,25 +392,31 @@ def q_cooccurrence(sf_dir: str, min_users: int = 5):
     """Co-occurrence counts (G6): event-type pairs sharing a user."""
     from ray.data.aggregate import Count
 
+    _ = Count  # (kept for parity with other grouped queries)
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    distinct = ds.groupby(["user_id", "event_type"]).aggregate(
-        Count(alias_name="_n")
-    )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # map-side dedup shrinks the shuffle; ONE bucketed exchange computes
+    # per-user distinct sets, pair generation AND per-bucket partial pair
+    # counts; the final merge is over <= |types|^2 rows on the driver
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         df = g[["user_id", "event_type"]].drop_duplicates()
         m = df.merge(df, on="user_id", suffixes=("_a", "_b"))
         m = m[m["event_type_a"] < m["event_type_b"]]
-        out = m[["event_type_a", "event_type_b"]]
-        out.columns = ["type_a", "type_b"]
+        out = (m.groupby(["event_type_a", "event_type_b"], sort=True)
+               .size().rename("n").reset_index())
+        out.columns = ["type_a", "type_b", "n"]
         return out
 
-    out = (
-        _bucketed_by_key(distinct, "user_id", pairs)
-        .groupby(["type_a", "type_b"])
-        .aggregate(Count(alias_name="n_users"))
-        .to_pandas()
-    )
+    partials = _bucketed_by_key(
+        ds.map_batches(local_distinct, batch_format="pyarrow",
+                       batch_size=65536),
+        "user_id", bucket_pairs,
+    ).to_pandas()
+    out = (partials.groupby(["type_a", "type_b"], sort=True)["n"].sum()
+           .rename("n_users").reset_index())
     out = out[out["n_users"] >= min_users]
     return out.sort_values(["type_a", "type_b"], ignore_index=True)
 
@@ -502,3 +508,94 @@ def q_extract_text_roundtrip(sf_dir: str):
 
     return ds.map_batches(wrap_and_extract, batch_format="pyarrow",
                           batch_size=2048)
+
+
+def q_evolution_diff(sf_dir: str, t0: str = "2024-01-01",
+                     t1: str = "2024-01-15", t2: str = "2024-01-30"):
+    """Temporal evolution diff (T6, reference temporal_retrieval.py:376-416):
+    per event_type, users new / persistent / disappeared between period 1
+    [t0,t1) and period 2 [t1,t2)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    lo = pa.scalar(np.datetime64(t0 + "T00:00:00", "us"))
+    mid = pa.scalar(np.datetime64(t1 + "T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64(t2 + "T00:00:00", "us"))
+
+    def tag_period(t: pa.Table) -> pa.Table:
+        in1 = pc.and_(pc.greater_equal(t["ts"], lo), pc.less(t["ts"], mid))
+        in2 = pc.and_(pc.greater_equal(t["ts"], mid), pc.less(t["ts"], hi))
+        keep = pc.or_(in1, in2)
+        t = t.filter(keep)
+        period = pc.if_else(
+            pc.and_(pc.greater_equal(t["ts"], mid), pc.less(t["ts"], hi)),
+            pa.scalar(2, pa.int32()), pa.scalar(1, pa.int32()))
+        return pa.Table.from_arrays(
+            [t["event_type"], t["user_id"], period],
+            names=["event_type", "user_id", "period"],
+        ).group_by(["event_type", "user_id", "period"]).aggregate([])
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for etype, sub in g.groupby("event_type", sort=True):
+            p1 = set(sub.loc[sub["period"] == 1, "user_id"])
+            p2 = set(sub.loc[sub["period"] == 2, "user_id"])
+            out.append({
+                "event_type": etype,
+                "n_new": len(p2 - p1),
+                "n_persistent": len(p1 & p2),
+                "n_disappeared": len(p1 - p2),
+            })
+        return pd.DataFrame(out)
+
+    # event_type is low-cardinality: one group per type is fine (5 types)
+    tagged = ds.map_batches(tag_period, batch_format="pyarrow",
+                            batch_size=65536)
+    out = (tagged.groupby("event_type")
+           .map_groups(diff, batch_format="pandas").to_pandas())
+    for c in ("n_new", "n_persistent", "n_disappeared"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type", ignore_index=True)
+
+
+def q_version_gc(sf_dir: str, keep: int = 3):
+    """Old-version GC (V6, reference versioning.py:224-262): per user keep
+    the newest ``keep`` events; report kept/deleted counts (dry-run)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def gc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ascending=[True, False, False])
+        ranked = g.groupby("user_id", sort=True).cumcount() + 1
+        kept = (ranked <= keep).groupby(g["user_id"], sort=True).sum()
+        total = g.groupby("user_id", sort=True).size()
+        out = pd.DataFrame({
+            "user_id": kept.index,
+            "n_kept": kept.astype("int64").values,
+            "n_deleted": (total - kept).astype("int64").values,
+        })
+        return out.reset_index(drop=True)
+
+    return _bucketed_by_key(ds, "user_id", gc)
+
+
+def q_flatten_metadata(sf_dir: str):
+    """Metadata flattening (M10) applied to the events props JSON."""
+    import json as _json
+
+    from ..functions.metadata import flatten_metadata
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def flatten(t: pa.Table) -> pa.Table:
+        ks = []
+        for s_ in t["props"].to_pylist():
+            try:
+                flat = flatten_metadata(_json.loads(s_))
+            except (ValueError, TypeError):
+                flat = {}
+            ks.append(flat.get("meta_k"))
+        return pa.Table.from_arrays(
+            [t["event_id"], pa.array(ks, pa.int64())],
+            names=["event_id", "meta_k"],
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow", batch_size=65536)

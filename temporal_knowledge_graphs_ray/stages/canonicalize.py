@@ -69,22 +69,31 @@ def make_partial_agg_stage(cfg: EngineConfig = DEFAULT_CONFIG):
     prefix = cfg.blocking_prefix_len
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(
-            ["type", "entity_key", "linked_name", "mention_count", "valid_from"]
-        ).to_pandas()
+        import pyarrow.compute as pac
+
+        # Arrow-native (Acero) group_by: ~50x faster than a pandas
+        # round-trip for string keys; this map-side combine is the
+        # head-entity skew defuser (a hub key contributes one row per
+        # batch to the shuffle, not millions)
         g = (
-            df.groupby(["type", "entity_key", "linked_name"], sort=True)
-            .agg(cnt=("mention_count", "sum"),
-                 first_seen=("valid_from", "min"),
-                 last_seen=("valid_from", "max"))
-            .reset_index()
+            batch.select(["type", "entity_key", "linked_name",
+                          "mention_count", "valid_from"])
+            .group_by(["type", "entity_key", "linked_name"])
+            .aggregate([("mention_count", "sum"),
+                        ("valid_from", "min"), ("valid_from", "max")])
         )
-        g["block"] = g["entity_key"].str[:prefix]
-        g["cnt"] = g["cnt"].astype("int64")
-        return pa.Table.from_pandas(
-            g[["type", "block", "entity_key", "linked_name", "cnt",
-               "first_seen", "last_seen"]],
-            schema=PARTIAL_SCHEMA, preserve_index=False,
+        block = pac.utf8_slice_codeunits(g["entity_key"], 0, prefix)
+        return pa.Table.from_arrays(
+            [
+                g["type"].cast(pa.string()).combine_chunks(),
+                block.cast(pa.string()).combine_chunks(),
+                g["entity_key"].cast(pa.string()).combine_chunks(),
+                g["linked_name"].cast(pa.string()).combine_chunks(),
+                g["mention_count_sum"].cast(pa.int64()).combine_chunks(),
+                g["valid_from_min"].cast(pa.timestamp("us")).combine_chunks(),
+                g["valid_from_max"].cast(pa.timestamp("us")).combine_chunks(),
+            ],
+            schema=PARTIAL_SCHEMA,
         )
 
     return partial
@@ -206,7 +215,7 @@ def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG,
     blocking groups inside vectorized pandas — same semantics (a blocking
     group never spans buckets), far less per-group scheduling overhead.
     """
-    from ..functions.hashing import stable_hash64
+    from ..functions.hashing import fast_hash64
 
     partial = make_partial_agg_stage(cfg)
     group_fn = make_canonicalize_group_fn(cfg)
@@ -215,7 +224,7 @@ def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG,
         types = t["type"].to_pylist()
         blocks = t["block"].to_pylist()
         bucket = pa.array(
-            [stable_hash64(f"{ty}|{bl}") % num_buckets
+            [fast_hash64(f"{ty}|{bl}") % num_buckets
              for ty, bl in zip(types, blocks)],
             pa.int32(),
         )
@@ -235,7 +244,7 @@ def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG,
 
     return (
         mentions_ds.map_batches(partial, batch_format="pyarrow",
-                                batch_size=8192)
+                                batch_size=65536)
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")

@@ -1,0 +1,67 @@
+"""Embedding generation stage (A3).
+
+The reference embeds chunk texts via an HTTP embedding model with
+client-side micro-batching, tenacity retries and a file cache
+(/root/reference/src/temporal_kg_rag/embeddings/generator.py:20-249,
+cache.py:15-235; batch size default 10, settings.py:85-87). Rebuilt as an
+actor-pool ``map_batches`` stage:
+
+- the "model" is pinned per actor in ``__init__`` (here the deterministic
+  hashed char-n-gram embedder, functions/embed.py; a real encoder drops in
+  by overriding ``_encode``),
+- micro-batching is the map_batches batch size,
+- retries are Ray task retries (the stage is a pure function of its rows,
+  so retries are idempotent — this REPLACES the reference's file cache,
+  whose only purpose was idempotent re-embedding),
+- empty texts get zero vectors (generator.py:156-209's empty-text index
+  bookkeeping collapses to a vectorized mask).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.embed import embed_texts
+
+
+class EmbeddingStage:
+    """text column -> fixed-dim float32 list column."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "embedding",
+                 cfg: EngineConfig = DEFAULT_CONFIG):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.dim = cfg.embed_dim
+        self.ngram = cfg.embed_ngram
+
+    def _encode(self, texts: list[str]) -> np.ndarray:
+        return embed_texts(texts, self.dim, self.ngram)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        nonempty = [t if t and t.strip() else "" for t in texts]
+        vecs = self._encode(nonempty)
+        # empty texts -> zero vector (reference returns zeros for empties)
+        for i, t in enumerate(nonempty):
+            if not t:
+                vecs[i] = 0.0
+        return batch.append_column(
+            self.out_col,
+            pa.array([v.tolist() for v in vecs.astype(np.float32)],
+                     pa.list_(pa.float32())),
+        )
+
+
+def embed_documents(ds, text_col: str = "text",
+                    cfg: EngineConfig = DEFAULT_CONFIG,
+                    concurrency=(1, 8), batch_size: int = 256):
+    """Actor-pool embedding over any Dataset with a text column."""
+    return ds.map_batches(
+        EmbeddingStage,
+        fn_constructor_kwargs={"text_col": text_col, "cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
