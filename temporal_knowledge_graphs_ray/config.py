@@ -19,6 +19,12 @@ class EngineConfig:
     chunk_overlap: int = 100
     chunk_strategy: str = "semantic"  # "semantic" | "fixed"
 
+    # provenance cap: an edge keeps at most this many source chunk ids
+    # (smallest-N, deterministic and safe under partial merging). The
+    # reference is unbounded (relation_extractor.py:456-458) — unbounded
+    # hub-pair edges grow without limit at web scale.
+    max_source_chunks: int = 1000
+
     # --- extraction confidences (entity_extractor.py:137; relation_extractor.py:323) ---
     mention_confidence: float = 0.8
     relation_confidence: float = 0.85

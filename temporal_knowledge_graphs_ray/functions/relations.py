@@ -146,6 +146,7 @@ def extract_quads(
 def merge_duplicate_relations(
     rows: list[dict],
     key_fields: tuple[str, str] = ("source", "target"),
+    max_source_chunks: int | None = None,
 ) -> list[dict]:
     """Exact dedup on (source, target, lower(relationship)).
 
@@ -182,5 +183,11 @@ def merge_duplicate_relations(
             cur["valid_from"] = row["valid_from"]
     out = list(merged.values())
     for row in out:
-        row["source_chunks"] = sorted(row["source_chunks"])
+        sc = sorted(row["source_chunks"])
+        # deterministic provenance cap (smallest-N ids). Safe under
+        # partial->global re-merging: any id in the global smallest-N is in
+        # its partial's smallest-N, so capping partials never loses it.
+        if max_source_chunks is not None:
+            sc = sc[:max_source_chunks]
+        row["source_chunks"] = sc
     return out

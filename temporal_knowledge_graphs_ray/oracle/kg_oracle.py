@@ -131,7 +131,9 @@ def run_oracle(
             "source_chunks": r["source_chunks"],
         })
     # key on entity ids, like the reference (relation_extractor.py:447-451)
-    edges = merge_duplicate_relations(rewritten, key_fields=("subj_id", "obj_id"))
+    edges = merge_duplicate_relations(
+        rewritten, key_fields=("subj_id", "obj_id"),
+        max_source_chunks=cfg.max_source_chunks)
 
     return {
         "texts": texts,

@@ -183,11 +183,87 @@ def edges_valid_at(edges_ds, t):
     ts = pa.scalar(t)
 
     def valid(tbl: pa.Table) -> pa.Table:
+        # Kleene logic: plain and_/or_ propagate the NULL of an open-ended
+        # valid_to and the filter would silently drop those rows
         open_ended = pc.is_null(tbl["valid_to"])
-        in_range = pc.and_(
+        in_range = pc.and_kleene(
             pc.less_equal(tbl["valid_from"], ts),
-            pc.or_(open_ended, pc.greater(tbl["valid_to"], ts)),
+            pc.or_kleene(open_ended, pc.greater(tbl["valid_to"], ts)),
         )
         return tbl.filter(in_range)
 
     return edges_ds.map_batches(valid, batch_format="pyarrow")
+
+
+def expand_context(chunks_ds, mentions_ds, chunk_ids: list[str],
+                   window: int = 1) -> pd.DataFrame:
+    """Context expansion (Q8, reference retrieval/context_expansion.py:23-275):
+    for each seed chunk, gather (a) neighbor chunks within
+    ``chunk_index +- window`` of the same url and (b) chunks sharing an
+    entity with the seed. Returns (seed_chunk_id, related_chunk_id, how).
+
+    Seeds are few (a query's top-k), so seed metadata is collected to the
+    driver and broadcast into the batch filters — no shuffle.
+    """
+    import pyarrow.compute as pcc
+
+    seed_arr = pa.array(chunk_ids)
+    seeds = (
+        chunks_ds.select_columns(["url", "chunk_id", "chunk_index"])
+        .map_batches(lambda t: t.filter(pc.is_in(t["chunk_id"],
+                                                 value_set=seed_arr)),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    _ = pcc
+    if seeds.empty:
+        return pd.DataFrame({"seed_chunk_id": [], "related_chunk_id": [],
+                             "how": []})
+
+    seed_urls = pa.array(sorted(set(seeds["url"])))
+    neighbor_rows = (
+        chunks_ds.select_columns(["url", "chunk_id", "chunk_index"])
+        .map_batches(lambda t: t.filter(pc.is_in(t["url"],
+                                                 value_set=seed_urls)),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = []
+    for seed in seeds.itertuples():
+        same_url = neighbor_rows[neighbor_rows["url"] == seed.url]
+        near = same_url[
+            (same_url["chunk_index"] - seed.chunk_index).abs().le(window)
+            & (same_url["chunk_id"] != seed.chunk_id)
+        ]
+        for cid in near["chunk_id"]:
+            out.append({"seed_chunk_id": seed.chunk_id,
+                        "related_chunk_id": cid, "how": "neighbor"})
+
+    seed_ment = (
+        mentions_ds.select_columns(["chunk_id", "entity_key"])
+        .map_batches(lambda t: t.filter(pc.is_in(t["chunk_id"],
+                                                 value_set=seed_arr)),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not seed_ment.empty:
+        want_keys = pa.array(sorted(set(seed_ment["entity_key"])))
+        related = (
+            mentions_ds.select_columns(["chunk_id", "entity_key"])
+            .map_batches(lambda t: t.filter(pc.is_in(t["entity_key"],
+                                                     value_set=want_keys)),
+                         batch_format="pyarrow")
+            .to_pandas().drop_duplicates()
+        )
+        m = seed_ment.merge(related, on="entity_key",
+                            suffixes=("_seed", "_rel"))
+        m = m[m["chunk_id_seed"] != m["chunk_id_rel"]]
+        for r in m[["chunk_id_seed", "chunk_id_rel"]].drop_duplicates().itertuples():
+            out.append({"seed_chunk_id": r.chunk_id_seed,
+                        "related_chunk_id": r.chunk_id_rel,
+                        "how": "shared_entity"})
+    df = pd.DataFrame(out, columns=["seed_chunk_id", "related_chunk_id",
+                                    "how"])
+    return (df.drop_duplicates()
+            .sort_values(["seed_chunk_id", "how", "related_chunk_id"],
+                         ignore_index=True))

@@ -420,7 +420,8 @@ def build_kg(
             r["relationship"] = r.pop("pred")
             r["source_chunks"] = list(r["source_chunks"])
         merged = merge_duplicate_relations(
-            rows, key_fields=("subj_id", "obj_id"))
+            rows, key_fields=("subj_id", "obj_id"),
+            max_source_chunks=cfg.max_source_chunks)
         for m in merged:
             m["subj"] = m.pop("source")
             m["obj"] = m.pop("target")

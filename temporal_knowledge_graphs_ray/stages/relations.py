@@ -109,8 +109,10 @@ class RelationExtractorStage:
         # reduction before the global (subj, pred, obj) shuffle)
         merged: list[dict] = []
         for part in sorted(rows_by_part):
-            for r in merge_duplicate_relations(rows_by_part[part],
-                                               key_fields=("_skey", "_tkey")):
+            for r in merge_duplicate_relations(
+                rows_by_part[part], key_fields=("_skey", "_tkey"),
+                max_source_chunks=self.cfg.max_source_chunks,
+            ):
                 r["part"] = part
                 merged.append(r)
         return pa.Table.from_arrays(

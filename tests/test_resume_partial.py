@@ -1,0 +1,89 @@
+"""Partition-granular resume after a simulated mid-job kill (north_rule).
+
+Simulates a killed run by deleting the data + manifests of a subset of
+partitions from a completed run, then resumes and verifies:
+- the final graph equals an uninterrupted run's graph,
+- completed partitions were NOT recomputed (their files untouched).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import pytest
+
+
+def _edge_keys(path: str) -> set:
+    t = pads.dataset(path, partitioning="hive").to_table(
+        columns=["subj_id", "pred", "obj_id"])
+    return set(zip(t["subj_id"].to_pylist(), t["pred"].to_pylist(),
+                   t["obj_id"].to_pylist()))
+
+
+def _files_in(path: str) -> set:
+    out = set()
+    for root, _, files in os.walk(path):
+        for f in files:
+            out.add(os.path.join(root, f))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kill_and_resume(tmp_path):
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.kg import build_kg
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        alias_table,
+        pages_table,
+    )
+    from temporal_knowledge_graphs_ray.state.manifests import completed_parts
+
+    pages = pages_table(list(range(80)))
+    pristine_dir = str(tmp_path / "pristine")
+    killed_dir = str(tmp_path / "killed")
+
+    r_pristine = build_kg(rd.from_arrow(pages), pristine_dir,
+                          alias_table=alias_table())
+    build_kg(rd.from_arrow(pages), killed_dir, alias_table=alias_table())
+
+    # simulate a kill that lost half the partitions of every phase table
+    all_parts = sorted(completed_parts(killed_dir, "chunk_ents"))
+    lost = set(all_parts[: len(all_parts) // 2])
+    kept = set(all_parts) - lost
+    assert lost and kept
+    for table in ("chunk_ents", "mentions", "edges_raw"):
+        for part in lost:
+            shutil.rmtree(os.path.join(killed_dir, table, f"part={part}"),
+                          ignore_errors=True)
+            mpath = os.path.join(killed_dir, "_manifests",
+                                 f"{table}-part-{part}.json")
+            if os.path.exists(mpath):
+                os.remove(mpath)
+
+    kept_files_before = {
+        table: {
+            part: _files_in(os.path.join(killed_dir, table, f"part={part}"))
+            for part in kept
+        }
+        for table in ("chunk_ents", "mentions", "edges_raw")
+    }
+
+    r_resumed = build_kg(rd.from_arrow(pages), killed_dir,
+                         alias_table=alias_table(), resume=True)
+
+    # final graph identical to the uninterrupted run
+    assert _edge_keys(r_resumed["edges"]) == _edge_keys(r_pristine["edges"])
+    assert r_resumed["node_rows"] == r_pristine["node_rows"]
+
+    # completed partitions were not recomputed: their files are untouched
+    for table, per_part in kept_files_before.items():
+        for part, files in per_part.items():
+            now = _files_in(os.path.join(killed_dir, table, f"part={part}"))
+            assert files <= now, (table, part)
+
+    # lost partitions were rebuilt and re-marked complete
+    assert completed_parts(killed_dir, "chunk_ents") == set(all_parts)
+    assert completed_parts(killed_dir, "edges_raw") == set(all_parts)
