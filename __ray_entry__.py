@@ -138,6 +138,66 @@ def _kg_entity_match(sf_dir: str):
     )
 
 
+def _kg_ppr_chunks(sf_dir: str):
+    """Q2: chunk scoring from PPR over the constructed KG."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.graph import (
+        ppr,
+        score_chunks_by_ppr,
+    )
+
+    res = _kg_outputs(sf_dir)
+    nodes = rd.read_parquet(res["nodes"]).to_pandas()
+    hubs = nodes.sort_values(["mention_count", "entity_id"],
+                             ascending=[False, True]).head(2)
+    scores = ppr(rd.read_parquet(res["edges"]), hubs["entity_id"].tolist())
+    return score_chunks_by_ppr(rd.read_parquet(res["mentions"]), scores,
+                               k=20)
+
+
+def _kg_bfs(sf_dir: str):
+    """Q3: BFS related entities from the top hub."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.graph import (
+        bfs_related_entities,
+    )
+
+    res = _kg_outputs(sf_dir)
+    nodes = rd.read_parquet(res["nodes"]).to_pandas()
+    hub = nodes.sort_values(["mention_count", "entity_id"],
+                            ascending=[False, True]).iloc[0]["entity_id"]
+    return bfs_related_entities(rd.read_parquet(res["edges"]), [hub],
+                                max_depth=2)
+
+
+def _kg_fulltext(sf_dir: str):
+    """Q6: regex full-text search over chunks."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.graph import fulltext_search
+
+    res = _kg_outputs(sf_dir)
+    chunks = rd.read_parquet(res["chunk_ents"],
+                             columns=["chunk_id", "text"])
+    return fulltext_search(chunks, ["acquired", "revenue", "founded"], k=20)
+
+
+def _kg_hybrid(sf_dir: str):
+    """Hybrid vector+entity RRF retrieval over the constructed KG."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.graph import hybrid_search
+
+    res = _kg_outputs(sf_dir)
+    chunks = rd.read_parquet(res["chunk_ents"], columns=["chunk_id", "text"])
+    mentions = rd.read_parquet(res["mentions"])
+    return hybrid_search(chunks, mentions,
+                         "Acme Inc. acquired a company",
+                         ["Acme Inc.", "OpenAI"], k=20)
+
+
 def _knn_topk(sf_dir: str):
     import numpy as np
 
@@ -397,6 +457,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": _kg_ppr,
         "kg_comentions": _kg_comentions,
         "kg_entity_match": _kg_entity_match,
+        "kg_ppr_chunks": _kg_ppr_chunks,
+        "kg_bfs": _kg_bfs,
+        "kg_fulltext": _kg_fulltext,
+        "kg_hybrid": _kg_hybrid,
     }
 
 

@@ -206,7 +206,7 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # scale the headline input so compute dominates fixed startup cost
-        env.setdefault("GRAFT_KG_REPEAT", "128")
+        env.setdefault("GRAFT_KG_REPEAT", "256")
         env["GRAFT_SCALING_CHILD"] = "1"
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

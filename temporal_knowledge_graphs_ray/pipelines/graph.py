@@ -267,3 +267,148 @@ def expand_context(chunks_ds, mentions_ds, chunk_ids: list[str],
     return (df.drop_duplicates()
             .sort_values(["seed_chunk_id", "how", "related_chunk_id"],
                          ignore_index=True))
+
+
+def score_chunks_by_ppr(mentions_ds, ppr_scores: pd.DataFrame,
+                        k: int = 10, decay: float = 0.95,
+                        ref_year: int = 2024) -> pd.DataFrame:
+    """Chunk scoring from PPR (Q2, reference ppr_traversal.py:337-448):
+    chunk score = sum over mentioned entities of ppr * confidence, then
+    per-year temporal decay from valid_from, then top-k."""
+    import ray
+
+    score_ref = ray.put(dict(zip(ppr_scores["entity_id"],
+                                 ppr_scores["score"])))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        sc = __import__("ray").get(score_ref)
+        from ..stages.entities import entity_id_for
+
+        vals, chunk_ids, years = [], [], []
+        for cid, etype, key, conf, vf in zip(
+            t["chunk_id"].to_pylist(), t["type"].to_pylist(),
+            t["entity_key"].to_pylist(), t["confidence"].to_pylist(),
+            t["valid_from"].to_pylist(),
+        ):
+            p = sc.get(entity_id_for(etype, key))
+            if p:
+                chunk_ids.append(cid)
+                vals.append(p * float(conf))
+                years.append(vf.year if vf is not None else ref_year)
+        return pa.Table.from_pydict({
+            "chunk_id": chunk_ids, "contrib": vals, "year": years,
+        })
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = (
+        mentions_ds.select_columns(
+            ["chunk_id", "type", "entity_key", "confidence", "valid_from"])
+        .map_batches(contrib, batch_format="pyarrow")
+        .groupby("chunk_id")
+        .aggregate(Sum("contrib", alias_name="raw_score"),
+                   Max("year", alias_name="year"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"chunk_id": [], "score": []})
+    age = (ref_year - agg["year"]).clip(lower=0)
+    agg["score"] = round_half_away(
+        (agg["raw_score"] * np.power(decay, age)).to_numpy(), 8)
+    return (agg[["chunk_id", "score"]]
+            .sort_values(["score", "chunk_id"], ascending=[False, True],
+                         ignore_index=True).head(k))
+
+
+def bfs_related_entities(edges_ds, seed_ids: list[str],
+                         max_depth: int = 2) -> pd.DataFrame:
+    """BFS related entities (Q3, reference queries.py:23-57): k rounds of
+    frontier expansion over the (undirected) edge list; returns
+    (entity_id, distance) with minimum distance per entity."""
+    adj = (
+        edges_ds.select_columns(["subj_id", "obj_id"]).to_pandas()
+        .drop_duplicates()
+    )
+    dist = {s: 0 for s in seed_ids}
+    frontier = set(seed_ids)
+    for depth in range(1, max_depth + 1):
+        if not frontier:
+            break
+        fwd = adj[adj["subj_id"].isin(frontier)]["obj_id"]
+        bwd = adj[adj["obj_id"].isin(frontier)]["subj_id"]
+        nxt = (set(fwd) | set(bwd)) - set(dist)
+        for n in nxt:
+            dist[n] = depth
+        frontier = nxt
+    out = pd.DataFrame({"entity_id": list(dist),
+                        "distance": list(dist.values())})
+    return out.sort_values(["distance", "entity_id"], ignore_index=True)
+
+
+def fulltext_search(chunks_ds, query_terms: list[str],
+                    k: int = 10) -> pd.DataFrame:
+    """Full-text fallback search (Q6, reference graph_search.py:557-597):
+    score = number of distinct query terms present (case-insensitive),
+    top-k with chunk_id tiebreak. A regex scan stands in for the Neo4j
+    full-text index; at scale an inverted index actor would back this."""
+    import re as _re
+
+    patterns = [(term, _re.compile(_re.escape(term.lower())))
+                for term in query_terms]
+
+    def score(t: pa.Table) -> pa.Table:
+        cids, scores = [], []
+        for cid, text in zip(t["chunk_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            lowered = text.lower()
+            n = sum(1 for _, rx in patterns if rx.search(lowered))
+            if n:
+                cids.append(cid)
+                scores.append(n)
+        return pa.Table.from_pydict({"chunk_id": cids, "n_terms": scores})
+
+    out = (chunks_ds.select_columns(["chunk_id", "text"])
+           .map_batches(score, batch_format="pyarrow").to_pandas())
+    return (out.sort_values(["n_terms", "chunk_id"],
+                            ascending=[False, True], ignore_index=True)
+            .head(k))
+
+
+def hybrid_search(chunks_ds, mentions_ds, query_text: str,
+                  entity_names: list[str], k: int = 10,
+                  rrf_c: int = 60) -> pd.DataFrame:
+    """Hybrid retrieval (reference hybrid_search.py:34-163): fuse a
+    vector-similarity ranking (deterministic hash embeddings of chunk
+    texts vs the query) with an entity-match ranking via RRF."""
+    import numpy as np_
+
+    from ..functions.embed import embed_text
+    from ..stages.similarity import cosine_scores
+
+    q = embed_text(query_text).astype(np_.float64)
+
+    from ..stages.embed import EmbeddingStage
+
+    embedded = chunks_ds.select_columns(["chunk_id", "text"]).map_batches(
+        EmbeddingStage(text_col="text"), batch_format="pyarrow",
+        batch_size=512,
+    )
+    vec_rank = (
+        cosine_scores(embedded, q, id_col="chunk_id", emb_col="embedding")
+        .to_pandas()
+        .sort_values(["cosine", "chunk_id"], ascending=[False, True],
+                     ignore_index=True).head(100)
+    )
+    ent_rank = entity_match_chunks(mentions_ds, entity_names, k=100)
+
+    scores: dict[str, float] = {}
+    for rank, cid in enumerate(vec_rank["chunk_id"], start=1):
+        scores[cid] = scores.get(cid, 0.0) + 1.0 / (rrf_c + rank)
+    for rank, cid in enumerate(ent_rank["chunk_id"], start=1):
+        scores[cid] = scores.get(cid, 0.0) + 1.0 / (rrf_c + rank)
+    out = pd.DataFrame({"chunk_id": list(scores),
+                        "rrf_score": round_half_away(
+                            np.array(list(scores.values())), 8)})
+    return (out.sort_values(["rrf_score", "chunk_id"],
+                            ascending=[False, True], ignore_index=True)
+            .head(k))

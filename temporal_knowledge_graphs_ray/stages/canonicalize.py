@@ -111,81 +111,108 @@ def _accept_pair(cos: float, jw: float, cfg: EngineConfig) -> bool:
     return 0.6 * cos + 0.4 * jw >= 0.8
 
 
-def make_canonicalize_group_fn(cfg: EngineConfig = DEFAULT_CONFIG):
+def _cluster_block_keys(keys: list[str], cfg: EngineConfig) -> "UnionFind":
+    """Candidate gen + threshold cascade + union-find over one blocking
+    group's distinct entity keys (reference :233-327 semantics)."""
     emb_dim, emb_ngram = cfg.embed_dim, cfg.embed_ngram
     emb_threshold = cfg.dedup_embedding_threshold  # 0.85
     str_threshold = cfg.dedup_string_threshold  # 0.7
     max_cand = cfg.dedup_max_candidates_per_entity  # 10
 
-    def canonicalize_group(group: pd.DataFrame) -> pd.DataFrame:
-        etype = group["type"].iloc[0]
-        # finalize partial aggregates per (entity_key, linked_name)
-        per_name = (
-            group.groupby(["entity_key", "linked_name"], sort=True)
-            .agg(cnt=("cnt", "sum"), first_seen=("first_seen", "min"),
-                 last_seen=("last_seen", "max"))
-            .reset_index()
-        )
-        # per distinct entity_key stats
-        keys_df = (
-            per_name.groupby("entity_key", sort=True)
-            .agg(cnt=("cnt", "sum"), first_seen=("first_seen", "min"),
-                 last_seen=("last_seen", "max"))
-            .reset_index()
-        )
-        keys = keys_df["entity_key"].tolist()
+    uf = UnionFind()
+    for k in keys:
+        uf.find(k)
+    if len(keys) > 1:
+        # embedding blocking (reference :233-297): cosine matrix over
+        # distinct keys in this block, slacked threshold, top-N candidates
+        # per entity, same type only (a block is one type)
+        vecs = embed_texts(keys, emb_dim, emb_ngram)
+        sims = vecs @ vecs.T
+        np.fill_diagonal(sims, -1.0)
+        slack = emb_threshold * 0.8
+        order = np.argsort(-sims, axis=1)[:, :max_cand]
+        seen_pairs: set[tuple[int, int]] = set()
+        for i in range(len(keys)):
+            for j in order[i]:
+                j = int(j)
+                pair = (min(i, j), max(i, j))
+                if pair in seen_pairs:
+                    continue
+                seen_pairs.add(pair)
+                cos = float(sims[i, j])
+                if cos < slack:
+                    continue
+                # string filter (:299-327): keep if jw >= 0.8*thr or cos>=0.95
+                jw = jaro_winkler(keys[pair[0]], keys[pair[1]])
+                if jw < str_threshold * 0.8 and cos < 0.95:
+                    continue
+                if _accept_pair(cos, jw, cfg):
+                    uf.union(keys[pair[0]], keys[pair[1]])
+    return uf
 
-        uf = UnionFind()
-        for k in keys:
-            uf.find(k)
-        if len(keys) > 1:
-            # embedding blocking (reference :233-297): cosine matrix over
-            # distinct keys in this block, slacked threshold, top-N
-            # candidates per entity, same type only (group is one type)
-            vecs = embed_texts(keys, emb_dim, emb_ngram)
-            sims = vecs @ vecs.T
-            np.fill_diagonal(sims, -1.0)
-            slack = emb_threshold * 0.8
-            order = np.argsort(-sims, axis=1)[:, :max_cand]
-            seen_pairs: set[tuple[int, int]] = set()
-            for i in range(len(keys)):
-                for j in order[i]:
-                    j = int(j)
-                    pair = (min(i, j), max(i, j))
-                    if pair in seen_pairs:
-                        continue
-                    seen_pairs.add(pair)
-                    cos = float(sims[i, j])
-                    if cos < slack:
-                        continue
-                    # string filter (:299-327): keep if jw >= 0.8*thr or cos>=0.95
-                    jw = jaro_winkler(keys[pair[0]], keys[pair[1]])
-                    if jw < str_threshold * 0.8 and cos < 0.95:
-                        continue
-                    if _accept_pair(cos, jw, cfg):
-                        uf.union(keys[pair[0]], keys[pair[1]])
 
-        # canonical pick per cluster: highest total count, tie -> smallest key
-        # (order-insensitive replacement for the reference's "first member",
-        # entity_deduplication.py:679-681)
-        cnt_of = dict(zip(keys_df["entity_key"], keys_df["cnt"]))
-        clusters: dict[str, list[str]] = {}
-        for k in keys:
-            clusters.setdefault(str(uf.find(k)), []).append(k)
+def canonicalize_rows(df: pd.DataFrame,
+                      cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Canonicalize a frame holding one or more (type, block) groups.
 
-        name_rows = per_name.set_index("entity_key")
-        out_rows = []
-        for members in clusters.values():
-            canonical_key = min(members, key=lambda k: (-cnt_of[k], k))
+    ONE vectorized two-level aggregation over the whole frame, then a
+    cheap python loop over blocking groups (each already reduced to its
+    distinct keys/names) — most groups hold a single key and skip the
+    clustering machinery entirely.
+    """
+    if df.empty:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in CANONICAL_SCHEMA})
+
+    per_name = (
+        df.groupby(["type", "block", "entity_key", "linked_name"], sort=True)
+        .agg(cnt=("cnt", "sum"), first_seen=("first_seen", "min"),
+             last_seen=("last_seen", "max"))
+        .reset_index()
+    )
+    out_rows = []
+    for (etype, _block), sub in per_name.groupby(["type", "block"],
+                                                 sort=True):
+        # per distinct entity_key totals within this blocking group
+        key_cnt: dict[str, int] = {}
+        key_rows: dict[str, list[int]] = {}
+        for ix, (k, c) in enumerate(zip(sub["entity_key"], sub["cnt"])):
+            key_cnt[k] = key_cnt.get(k, 0) + int(c)
+            key_rows.setdefault(k, []).append(ix)
+        keys = sorted(key_cnt)
+
+        if len(keys) == 1:
+            clusters = [[keys[0]]]
+        else:
+            uf = _cluster_block_keys(keys, cfg)
+            grouped: dict[str, list[str]] = {}
+            for k in keys:
+                grouped.setdefault(str(uf.find(k)), []).append(k)
+            clusters = list(grouped.values())
+
+        names_arr = sub["linked_name"].to_numpy()
+        cnts_arr = sub["cnt"].to_numpy()
+        first_arr = sub["first_seen"].to_numpy()
+        last_arr = sub["last_seen"].to_numpy()
+
+        for members in clusters:
+            # canonical pick: highest total count, tie -> smallest key
+            # (order-insensitive replacement for the reference's "first
+            # member", entity_deduplication.py:679-681)
+            canonical_key = min(members, key=lambda k: (-key_cnt[k], k))
             entity_id = entity_id_for(etype, canonical_key)
-            sub = per_name[per_name["entity_key"].isin(members)]
-            total = int(sub["cnt"].sum())
-            first_seen = sub["first_seen"].min()
-            last_seen = sub["last_seen"].max()
+            row_ix = [i for m in members for i in key_rows[m]]
+            total = int(cnts_arr[row_ix].sum())
+            first_seen = first_arr[row_ix].min()
+            last_seen = last_arr[row_ix].max()
             # canonical display name: most frequent linked_name, tie smallest
-            nm = sub.groupby("linked_name", sort=True)["cnt"].sum()
-            name = min(nm.index[nm == nm.max()].tolist())
-            aliases = sorted(set(sub["linked_name"]))
+            name_cnt: dict[str, int] = {}
+            for i in row_ix:
+                name_cnt[names_arr[i]] = (name_cnt.get(names_arr[i], 0)
+                                          + int(cnts_arr[i]))
+            best = max(name_cnt.values())
+            name = min(n for n, c in name_cnt.items() if c == best)
+            aliases = sorted(name_cnt)
             for member in members:
                 out_rows.append({
                     "type": etype,
@@ -198,8 +225,17 @@ def make_canonicalize_group_fn(cfg: EngineConfig = DEFAULT_CONFIG):
                     "mention_count": total,
                     "aliases": aliases,
                 })
-        _ = name_rows  # (index retained for potential debugging)
-        return pd.DataFrame(out_rows)
+    return pd.DataFrame(out_rows)
+
+
+def make_canonicalize_group_fn(cfg: EngineConfig = DEFAULT_CONFIG):
+    """One-(type,block)-group kernel (oracle/unit-test entry point)."""
+
+    def canonicalize_group(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        if "block" not in g.columns:
+            g["block"] = g["entity_key"].str[:cfg.blocking_prefix_len]
+        return canonicalize_rows(g, cfg)
 
     return canonicalize_group
 
@@ -218,7 +254,6 @@ def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG,
     from ..functions.hashing import fast_hash64
 
     partial = make_partial_agg_stage(cfg)
-    group_fn = make_canonicalize_group_fn(cfg)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         types = t["type"].to_pylist()
@@ -231,21 +266,15 @@ def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG,
         return t.append_column("bucket", bucket)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            group_fn(sub)
-            for _, sub in df.groupby(["type", "block"], sort=True)
-        ]
-        outs = [o for o in outs if not o.empty]
-        if not outs:
-            return pd.DataFrame(
-                {f.name: pd.Series(dtype="object")
-                 for f in CANONICAL_SCHEMA})
-        return pd.concat(outs, ignore_index=True)
+        return canonicalize_rows(df, cfg)
 
     return (
         mentions_ds.map_batches(partial, batch_format="pyarrow",
                                 batch_size=65536)
         .map_batches(add_bucket, batch_format="pyarrow")
+        # spread the (small) partial table so the bucket groupby produces
+        # parallel reduce tasks instead of one task holding all buckets
+        .repartition(num_buckets)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
