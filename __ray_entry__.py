@@ -377,6 +377,18 @@ def _embed_documents(sf_dir: str):
     return ds.map_batches(norms, batch_format="pyarrow")
 
 
+def _streaming_sessionize(sf_dir: str):
+    """Stateful streaming sessionizer (incremental actor state) — returns
+    one row per closed session; oracle recomputes sessions with SQL window
+    functions."""
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.streaming import (
+        sessionize_streaming,
+    )
+
+    return sessionize_streaming(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def _multimodal_meta(sf_dir: str):
     from temporal_knowledge_graphs_ray.pipelines.queries import _read
     from temporal_knowledge_graphs_ray.stages.multimodal import (
@@ -424,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windows / sessions
         "tumbling_window": q.q_tumbling_window,
         "sessionize": q.q_sessionize,
+        "streaming_sessionize": _streaming_sessionize,
         # JSON / loaders
         "json_props": q.q_json_props,
         "doc_stats": q.q_doc_stats,
@@ -612,6 +625,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, SUM(new_session) AS n_sessions,
                    COUNT(*) AS n_events
             FROM o GROUP BY user_id
+        """,
+        "streaming_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                                 > 1800000000
+                            OR LAG(ts) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                 s AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o)
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "json_props": """
             SELECT event_type, COUNT(*) AS n,

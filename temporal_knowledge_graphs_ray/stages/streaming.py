@@ -1,0 +1,111 @@
+"""Streaming-shaped processing with incremental actor state (§2.8).
+
+Ray Data has no event-time windows or watermarks; batch pipelines express
+windows as groupby+map_groups over the ordered log (pipelines/queries.py
+q_tumbling_window / q_sessionize). This module is the OTHER §2.8 pattern —
+for semantics that genuinely need incremental state across arrivals (late
+events, unbounded logs processed in arrival order): one ``@ray.remote``
+actor per key-hash bucket holding open-window state, fed batches in
+timestamp order; closed sessions stream out, a final flush emits the tail.
+
+This is the engine's only raw-actor construct — used exactly where the
+Dataset API cannot express the semantics (a shared mutable per-key state
+across an ordered feed), per the architecture rules.
+
+Ordering assumption (documented per §2.8): batches are fed in globally
+non-decreasing ts order (the driver sorts or the log is naturally
+ordered); within a bucket actor, state transitions are sequential.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _make_sessionizer_actor():
+    import ray
+
+    @ray.remote
+    class SessionizerActor:
+        """Holds open sessions for the keys hashed to this bucket."""
+
+        def __init__(self, gap_us: int):
+            self.gap_us = gap_us
+            # key -> (session_start_us, last_ts_us, n_events)
+            self.open: dict[int, tuple[int, int, int]] = {}
+            self.closed: list[tuple[int, int, int, int]] = []
+
+        def feed(self, keys, ts_us) -> int:
+            """Consume one batch (arrays of key, ts). Returns #closed."""
+            n_closed = 0
+            for k, t in zip(keys, ts_us):
+                k = int(k)
+                t = int(t)
+                cur = self.open.get(k)
+                if cur is None:
+                    self.open[k] = (t, t, 1)
+                    continue
+                start, last, n = cur
+                if t - last > self.gap_us:
+                    self.closed.append((k, start, last, n))
+                    n_closed += 1
+                    self.open[k] = (t, t, 1)
+                else:
+                    self.open[k] = (start, max(last, t), n + 1)
+            return n_closed
+
+        def flush(self):
+            """Close all open sessions; return every closed session."""
+            for k, (start, last, n) in sorted(self.open.items()):
+                self.closed.append((k, start, last, n))
+            self.open.clear()
+            out = sorted(self.closed)
+            self.closed = []
+            return out
+
+    return SessionizerActor
+
+
+def sessionize_streaming(events_ds, key_col: str = "user_id",
+                         ts_col: str = "ts", gap_s: int = 1800,
+                         num_buckets: int = 8) -> pd.DataFrame:
+    """Stream the (sorted) events log through stateful sessionizer actors.
+
+    Returns (user_id, session_start, session_end, n_events) — one row per
+    closed session. Equivalent to the batch q_sessionize aggregate (tested
+    against it) but computed incrementally, the shape a true stream feed
+    would use.
+    """
+    import ray
+
+    SessionizerActor = _make_sessionizer_actor()
+    gap_us = gap_s * 1_000_000
+    actors = [SessionizerActor.remote(gap_us) for _ in range(num_buckets)]
+
+    ordered = events_ds.select_columns([key_col, ts_col]).sort(ts_col)
+    pending = []
+    for batch in ordered.iter_batches(batch_size=8192,
+                                     batch_format="pyarrow"):
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype("int64")
+        ts_us = batch[ts_col].cast("int64").to_numpy(zero_copy_only=False)
+        buckets = keys % num_buckets
+        for b in range(num_buckets):
+            mask = buckets == b
+            if mask.any():
+                pending.append(actors[b].feed.remote(
+                    keys[mask].tolist(), ts_us[mask].tolist()))
+    ray.get(pending)  # all feeds applied before flushing
+
+    rows = []
+    for closed in ray.get([a.flush.remote() for a in actors]):
+        for k, start, last, n in closed:
+            rows.append({
+                key_col: k,
+                "session_start": np.datetime64(start, "us"),
+                "session_end": np.datetime64(last, "us"),
+                "n_events": n,
+            })
+    out = pd.DataFrame(rows, columns=[key_col, "session_start",
+                                      "session_end", "n_events"])
+    return out.sort_values([key_col, "session_start"], ignore_index=True)

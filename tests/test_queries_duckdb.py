@@ -14,7 +14,9 @@ import pytest
 
 import __ray_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -47,6 +49,8 @@ def _normalize(table: pa.Table) -> list[tuple]:
                     v = round(v, 9)
             if isinstance(v, bool):
                 v = int(v)
+            if hasattr(v, "isoformat"):  # datetime / pandas Timestamp
+                v = v.isoformat()
             row.append(v)
         rows.append(tuple(row))
     rows.sort(key=repr)

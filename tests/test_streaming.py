@@ -1,0 +1,67 @@
+"""Stateful streaming sessionizer vs the batch sessionize aggregate."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def event_log(ray_session):
+    import ray.data as rd
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: two sessions (gap 2h between event 2 and 3)
+    for mins in (0, 10, 150, 160, 170):
+        rows.append({"user_id": 1, "ts": t0 + timedelta(minutes=mins)})
+    # user 2: one session
+    for mins in (5, 20):
+        rows.append({"user_id": 2, "ts": t0 + timedelta(minutes=mins)})
+    # user 9 hashes to a different bucket than 1 (9 % 8 = 1)
+    rows.append({"user_id": 9, "ts": t0})
+    schema = pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))])
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+
+def test_streaming_sessionizer(event_log):
+    from temporal_knowledge_graphs_ray.stages.streaming import (
+        sessionize_streaming,
+    )
+
+    out = sessionize_streaming(event_log, gap_s=1800)
+    by_user = out.groupby("user_id")
+    assert len(by_user.get_group(1)) == 2
+    s1 = by_user.get_group(1).iloc[0]
+    assert s1["n_events"] == 2
+    s2 = by_user.get_group(1).iloc[1]
+    assert s2["n_events"] == 3
+    assert len(by_user.get_group(2)) == 1
+    assert by_user.get_group(2).iloc[0]["n_events"] == 2
+    assert len(by_user.get_group(9)) == 1
+
+
+def test_matches_batch_sessionize(ray_session):
+    """Streaming actors and the batch groupby agree on real data."""
+    from temporal_knowledge_graphs_ray.pipelines.queries import (
+        _read,
+        q_sessionize,
+    )
+    from temporal_knowledge_graphs_ray.stages.streaming import (
+        sessionize_streaming,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = sessionize_streaming(_read(sf, "events", ["user_id", "ts"]))
+    agg = (streamed.groupby("user_id")
+           .agg(n_sessions=("user_id", "size"),
+                n_events=("n_events", "sum"))
+           .reset_index())
+    batch = q_sessionize(sf).to_pandas().sort_values(
+        "user_id", ignore_index=True)
+    agg = agg.sort_values("user_id", ignore_index=True)
+    assert agg["user_id"].tolist() == batch["user_id"].tolist()
+    assert agg["n_sessions"].tolist() == batch["n_sessions"].tolist()
+    assert agg["n_events"].tolist() == batch["n_events"].tolist()
