@@ -270,6 +270,14 @@ def _minhash_dedup(sf_dir: str):
                              jaccard_threshold=0.8)
 
 
+def _ngram_jaccard(sf_dir: str):
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents",
+                                     ["doc_id", "text"]), max_id=40)
+
+
 def _simhash_pairs(sf_dir: str):
     from temporal_knowledge_graphs_ray.pipelines.queries import _read
     from temporal_knowledge_graphs_ray.stages.dedup import simhash_dedup
@@ -452,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _exact_dedup,
         "minhash_lsh_dedup": _minhash_dedup,
         "simhash_pairs": _simhash_pairs,
+        "ngram_jaccard": _ngram_jaccard,
         # similarity search
         "knn_topk": _knn_topk,
         "cosine_threshold": _cosine_threshold,
@@ -715,6 +724,25 @@ def oracle_sql() -> dict[str, str]:
                        AS fingerprint,
                    MIN(doc_id) AS keep_id
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "ngram_jaccard": """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents WHERE doc_id < 40),
+            shingles AS (
+                SELECT doc_id,
+                       list_distinct([ws[i] || ' ' || ws[i+1] || ' '
+                                      || ws[i+2]
+                                      for i in range(1, len(ws) - 1)]) AS sh
+                FROM words WHERE len(ws) >= 3)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                       AS jaccard
+            FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) > 0
+            ORDER BY a, b
         """,
         "knn_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -40,7 +40,12 @@ def fast_hash64(text: str, seed: int = 0) -> int:
     b = text.encode("utf-8")
     hi = zlib.crc32(b, seed & 0xFFFFFFFF)
     lo = zlib.crc32(b, (seed ^ 0x9E3779B9) & 0xFFFFFFFF)
-    return ((hi << 32) | lo) >> 1
+    x = (hi << 32) | lo
+    # splitmix64 finalizer: CRC is GF(2)-linear, so low bits of related
+    # inputs correlate; the multiply-xor cascade decorrelates them
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    return (x ^ (x >> 31)) >> 1
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:

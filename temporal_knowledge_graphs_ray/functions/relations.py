@@ -40,6 +40,8 @@ _TOK = r"[A-Z][\w&\-']*\.?"
 _ENT = rf"(?:{_TOK})(?:(?<!\.)[ \t]+(?:(?:of|and|for|the)[ \t]+)?(?:{_TOK}))*"
 _MONEY = r"\$[\d,]+(?:\.\d+)?(?:\s(?:million|billion|trillion))?"
 
+# (pattern, label, anchor literal): the anchor MUST appear in any match of
+# its pattern, so a cheap substring test gates the expensive regex scan
 _PATTERNS: list[tuple[re.Pattern, str]] = [
     (re.compile(rf"(?P<s>{_ENT})\s+founded\s+(?P<t>{_ENT})\s+in\s+(?P<ts>(?:19|20)\d{{2}})"),
      "founded"),
@@ -60,6 +62,18 @@ _PATTERNS: list[tuple[re.Pattern, str]] = [
     (re.compile(rf"(?P<s>{_ENT})\s+invested\s+in\s+(?P<t>{_ENT})(?:\s+in\s+(?P<ts>(?:19|20)\d{{2}}))?"),
      "invested in"),
 ]
+
+
+_ANCHORS = {
+    "founded": "founded",
+    "acquired": "acquired",
+    "headquartered in": "headquartered",
+    "CEO of": "CEO",
+    "partnered with": "partnered",
+    "reported revenue": "reported",
+    "joined": "joined",
+    "invested in": "invested",
+}
 
 
 @dataclass(frozen=True)
@@ -121,6 +135,8 @@ def extract_quads(
     lookup = build_entity_lookup(entity_names)
     out: list[dict] = []
     for pattern, label in _PATTERNS:
+        if _ANCHORS[label] not in text:
+            continue
         for m in pattern.finditer(text):
             gd = m.groupdict()
             source = find_entity(gd["s"].strip(), lookup)

@@ -24,7 +24,7 @@ from datetime import datetime, timedelta
 
 import pyarrow as pa
 
-from ..functions.hashing import stable_hash64
+from ..functions.hashing import fast_hash64
 
 FIRST_NAMES = ["Alice", "Bob", "Carol", "David", "Emma", "Frank", "Grace",
                "Henry", "Irene", "Jack", "Karen", "Louis"]
@@ -64,7 +64,9 @@ FILLER_LINES = [
 
 
 def _h(key: str, page: int) -> int:
-    return stable_hash64(f"{key}|{page}")
+    # CRC-based: page synthesis calls this ~30x per page; MD5 would be a
+    # third of the fixture generator's cost. Stable across processes.
+    return fast_hash64(f"{key}|{page}")
 
 
 def _person(page: int, salt: int) -> str:

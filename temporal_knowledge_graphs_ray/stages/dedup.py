@@ -239,3 +239,49 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     )
     return (out.drop_duplicates(subset=["a", "b"])
             .sort_values(["a", "b"], ignore_index=True))
+
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_k: int = 3, max_id: int = 40,
+                        min_jaccard: float = 0.0):
+    """Exact n-gram Jaccard over all pairs of a bounded id range.
+
+    The exact (non-LSH) similarity-matrix variant, bounded for testing —
+    the production path is minhash_lsh_dedup which verifies with the same
+    Jaccard. Returns pandas (a, b, jaccard rounded to 6); pairs with
+    empty shingle intersection are dropped. Docs with < shingle_k words
+    are excluded (no full shingle exists).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import round_half_away
+
+    sub = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t[id_col], pa.scalar(max_id))),
+            batch_format="pyarrow",
+        )
+        .select_columns([id_col, text_col])
+        .take_all()
+    )
+    shingle_sets = {}
+    for r in sub:
+        words_shingles = word_shingles(r[text_col], shingle_k)
+        # exclude docs shorter than one full shingle (SQL-oracle parity)
+        if words_shingles and len(words_shingles[0].split(" ")) >= shingle_k:
+            shingle_sets[r[id_col]] = set(words_shingles)
+    ids = sorted(shingle_sets)
+    rows = []
+    for i, a in enumerate(ids):
+        sa = shingle_sets[a]
+        for b in ids[i + 1:]:
+            sb = shingle_sets[b]
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = inter / len(sa | sb)
+            if j >= min_jaccard:
+                rows.append({"a": a, "b": b,
+                             "jaccard": round_half_away(j, 6)})
+    return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).sort_values(
+        ["a", "b"], ignore_index=True)
