@@ -1,0 +1,111 @@
+"""Command-line entry points (reference scripts/ parity).
+
+The reference ships CLI scripts (scripts/ingest_documents.py,
+consolidate_graph.py, evaluate_tkg.py); this module is their batch-engine
+analog:
+
+    python -m temporal_knowledge_graphs_ray.cli build --pages <parquet-dir> --out <dir>
+    python -m temporal_knowledge_graphs_ray.cli build --from-documents /root/testdata/sf0.001 --out <dir>
+    python -m temporal_knowledge_graphs_ray.cli resume --pages ... --out <dir>
+    python -m temporal_knowledge_graphs_ray.cli stats --out <dir>
+
+Owns its Ray session (scripts are allowed to init; the library is not).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _pages_dataset(args):
+    import ray.data as rd
+
+    from .sources.synth import pages_from_documents
+
+    if args.from_documents:
+        return pages_from_documents(args.from_documents,
+                                    repeat=args.repeat)
+    return rd.read_parquet(args.pages)
+
+
+def cmd_build(args, resume: bool = False) -> int:
+    from .pipelines.kg import build_kg
+    from .sources.synth import alias_table
+
+    _init_ray(args.num_cpus)
+    res = build_kg(
+        _pages_dataset(args), args.out,
+        alias_table=alias_table() if args.builtin_aliases else None,
+        resume=resume,
+    )
+    print(json.dumps({k: v for k, v in res.items()
+                      if isinstance(v, (str, int, dict))}, default=str))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def cmd_stats(args) -> int:
+    import os
+
+    from .state.manifests import MANIFEST_DIR, completed_parts
+
+    out = {"out_dir": args.out}
+    for table in ("chunk_ents", "mentions", "edges_raw", "edges"):
+        out[table] = sorted(completed_parts(args.out, table))
+    run_path = os.path.join(args.out, MANIFEST_DIR, "_run.json")
+    if os.path.exists(run_path):
+        with open(run_path) as f:
+            out["run"] = json.load(f)
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="temporal_knowledge_graphs_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name in ("build", "resume"):
+        p = sub.add_parser(name)
+        p.add_argument("--pages", help="pages Parquet path/dir")
+        p.add_argument("--from-documents",
+                       help="testdata dir: synthesize pages from "
+                            "documents.parquet")
+        p.add_argument("--repeat", type=int, default=1)
+        p.add_argument("--out", required=True)
+        p.add_argument("--num-cpus", type=int, default=None)
+        p.add_argument("--builtin-aliases", action="store_true",
+                       default=True)
+
+    p = sub.add_parser("stats")
+    p.add_argument("--out", required=True)
+
+    args = parser.parse_args(argv)
+    if args.cmd == "build":
+        return cmd_build(args, resume=False)
+    if args.cmd == "resume":
+        return cmd_build(args, resume=True)
+    if args.cmd == "stats":
+        return cmd_stats(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

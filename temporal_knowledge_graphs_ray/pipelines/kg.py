@@ -156,6 +156,14 @@ def build_kg(
     nodes_dir = os.path.join(out_dir, "nodes")
     edges_dir = os.path.join(out_dir, "edges")
 
+    if not resume:
+        # a fresh run must not append into a previous run's partitions
+        # (APPEND-mode writes would silently duplicate data); resume=True is
+        # the only path that builds on existing output
+        for d in (chunk_ents_dir, mentions_dir, edges_raw_dir, nodes_dir,
+                  edges_dir, os.path.join(out_dir, "_manifests")):
+            shutil.rmtree(d, ignore_errors=True)
+
     # ---- phase A: extraction (heavy, per-partition resumable) ----
     done = (
         completed_parts(out_dir, "chunk_ents") if resume else set()
