@@ -66,6 +66,45 @@ def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
     seeds = [s for s in seed_ids if s in degree] or sorted(degree)[:1]
     scores = {s: 1.0 / len(seeds) for s in seeds}
     teleport = dict(scores)
+
+    # adaptive: a bounded graph iterates locally in numpy (the reference's
+    # own shape — it extracts an induced subgraph and iterates in-process,
+    # ppr_traversal.py:179-259); the distributed contribution passes below
+    # are the path for graphs that exceed driver memory
+    if edges_ds.count() <= 500_000:
+        import numpy as _np
+
+        etab = edges_ds.to_pandas()
+        node_ix = {n: i for i, n in enumerate(sorted(degree))}
+        a_ix = etab["subj_id"].map(node_ix).to_numpy()
+        b_ix = etab["obj_id"].map(node_ix).to_numpy()
+        deg_arr = _np.array([degree[n] for n in sorted(degree)], dtype=float)
+        vec = _np.zeros(len(node_ix))
+        tele = _np.zeros(len(node_ix))
+        for s, w in teleport.items():
+            vec[node_ix[s]] = w
+            tele[node_ix[s]] = w
+        for _ in range(max_iters):
+            contrib = _np.zeros(len(node_ix))
+            _np.add.at(contrib, b_ix, damping * vec[a_ix] / deg_arr[a_ix])
+            _np.add.at(contrib, a_ix, damping * vec[b_ix] / deg_arr[b_ix])
+            contrib += (1 - damping) * tele
+            total = contrib.sum()
+            if total > 0:
+                contrib /= total
+            delta = float(_np.abs(contrib - vec).sum())
+            vec = contrib
+            if delta < tol:
+                break
+        names = sorted(degree)
+        out = pd.DataFrame({
+            "entity_id": names,
+            "score": round_half_away(vec, 8),
+        })
+        out = out[out["score"] > 0]
+        return out.sort_values(["score", "entity_id"],
+                               ascending=[False, True], ignore_index=True)
+
     degree_ref = ray.put(degree)  # broadcast once, not per closure
 
     for _ in range(max_iters):
@@ -111,6 +150,7 @@ def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
         "entity_id": list(scores),
         "score": round_half_away(np.array(list(scores.values())), 8),
     })
+    out = out[out["score"] > 0]
     return out.sort_values(["score", "entity_id"],
                            ascending=[False, True], ignore_index=True)
 
