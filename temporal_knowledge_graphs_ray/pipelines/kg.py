@@ -310,10 +310,13 @@ def build_kg(
         )
     canonical_ds = canonicalize(mentions_all, cfg).materialize()  # small
     _mark("C1_canonicalize")
-    canonical_tbl = pa.Table.from_pandas(
-        canonical_ds.to_pandas(), schema=CANONICAL_SCHEMA,
-        preserve_index=False,
-    )
+    canonical_pdf = canonical_ds.to_pandas()
+    if canonical_pdf.empty:
+        canonical_tbl = CANONICAL_SCHEMA.empty_table()
+    else:
+        canonical_tbl = pa.Table.from_pandas(
+            canonical_pdf, schema=CANONICAL_SCHEMA, preserve_index=False,
+        )
 
     # nodes = canonical rows where the member IS the canonical key
     nodes_tbl = (
@@ -476,6 +479,9 @@ def build_kg(
         "num_partitions": cfg.num_partitions,
         "edge_rows": sum(edge_counts.values()),
         "node_rows": nodes_tbl.num_rows,
+        "phase_sec": phase_sec,
+        "cluster_cpus": ncpu,
+        "extractor_compute": cfg.extractor_compute,
     })
     return {
         "out_dir": out_dir,
