@@ -46,7 +46,11 @@ from ..state.broadcast import put_alias_dict, put_canonical_map
 from ..state.manifests import completed_parts, write_manifest, write_run_manifest
 from ..stages.canonicalize import CANONICAL_SCHEMA, canonicalize
 from ..stages.entities import EntityExtractorStage, MentionLinkStage
-from ..stages.extract_text import make_chunk_stage, make_extract_text_stage
+from ..stages.extract_text import (
+    dedup_recrawls_keep_latest,
+    make_chunk_stage,
+    make_extract_text_stage,
+)
 from ..stages.relations import RelationExtractorStage
 
 EDGES_SCHEMA = pa.schema([
@@ -121,6 +125,7 @@ def build_kg(
     cfg: EngineConfig = DEFAULT_CONFIG,
     alias_table: pa.Table | None = None,
     resume: bool = False,
+    dedup_recrawls: bool = False,
 ) -> dict:
     """Run the full construction pipeline. Returns output paths + metrics.
 
@@ -163,6 +168,12 @@ def build_kg(
         for d in (chunk_ents_dir, mentions_dir, edges_raw_dir, nodes_dir,
                   edges_dir, os.path.join(out_dir, "_manifests")):
             shutil.rmtree(d, ignore_errors=True)
+
+    if dedup_recrawls:
+        # keep only the latest crawl of each url (V1 supersession); the one
+        # stage that shuffles raw page bytes — off by default because the
+        # synthetic input's url is a primary key
+        pages_ds = dedup_recrawls_keep_latest(pages_ds)
 
     # ---- phase A: extraction (heavy, per-partition resumable) ----
     done = (

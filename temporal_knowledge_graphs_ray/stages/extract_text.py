@@ -110,3 +110,41 @@ def make_chunk_stage(cfg: EngineConfig = DEFAULT_CONFIG):
         )
 
     return chunk
+
+
+def dedup_recrawls_keep_latest(pages_ds, num_buckets: int = 64):
+    """Supersession at the pipeline head (V1, reference versioning.py:26-74):
+    Common-Crawl-style inputs carry multiple crawls of the same url; only
+    the LATEST (max warc_ts; ties broken by longest html then html bytes)
+    contributes to the graph — the older crawl is superseded, exactly the
+    reference's is_current=false semantics collapsed to a batch decision.
+
+    Implementation: ONE hash-partitioned exchange on url (bucketed
+    map_groups, vectorized keep-last inside each bucket). This is the only
+    stage that shuffles raw page bytes; enable it via
+    ``build_kg(dedup_recrawls=True)`` only when the input may contain
+    re-crawls (the input_hint's synthetic tables use url as a primary key).
+    """
+    import pandas as pd
+
+    from ..functions.hashing import fast_hash64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = pa.array(
+            [fast_hash64(u) % num_buckets for u in t["url"].to_pylist()],
+            pa.int32(),
+        )
+        return t.append_column("bucket", bucket)
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_len=g["html"].str.len())
+        g = g.sort_values(["url", "warc_ts", "_len", "html"],
+                          kind="mergesort")
+        out = g.groupby("url", sort=True).tail(1)
+        return out.drop(columns=["bucket", "_len"])
+
+    return (
+        pages_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keep_latest, batch_format="pandas")
+    )
