@@ -29,7 +29,6 @@ _KEYWORDS = {  # temporal_retrieval.py:162-167
     "history": ["history", "evolution", "changed", "over time", "timeline"],
 }
 
-_YEAR_RE = re.compile(r"\b(19|20)\d{2}\b")
 _FULL_YEAR_RE = re.compile(r"\b((?:19|20)\d{2})\b")
 _CAPSEQ_RE = re.compile(r"\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*\b")
 _QUESTION_WORDS = {"What", "When", "Where", "Who", "How", "Why", "Which"}

@@ -139,7 +139,7 @@ def read_ectqa(
 
 def ectqa_stats(docs_ds) -> dict:
     """Dataset stats (ectqa_loader.py:244-305): grouped counts + sums."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     by_sector = (docs_ds.groupby("sector")
                  .aggregate(Count(alias_name="n")).to_pandas())
