@@ -96,34 +96,46 @@ def neardup_pairs_cosine(ds, threshold: float = 0.95, limit_ids: int = 500,
 
 
 class LshAnnIndexStage:
-    """Random-hyperplane LSH bucketing: each vector -> (bucket, id).
+    """Multi-table random-hyperplane LSH: each vector -> one bucket id per
+    table (standard L-tables-of-k-planes construction; recall grows with L
+    because a near neighbor only needs to collide in ONE table).
 
     Hyperplanes are derived from stable hashes (deterministic across
-    processes). ANN query = compute the query's bucket, rescore exactly
-    within it; multi-probe by flipping one bit raises recall.
+    processes). The stage emits a list column ``buckets`` (one per table);
+    the ANN query unions its buckets' members and rescores exactly.
     """
 
-    def __init__(self, dim: int, n_planes: int = 12, seed: int = 7):
+    def __init__(self, dim: int, n_planes: int = 6, n_tables: int = 8,
+                 seed: int = 7):
         rng = np.random.RandomState(
             stable_hash64(f"lsh-{seed}") % (2 ** 32)
         )
-        self.planes = rng.standard_normal((n_planes, dim))
+        self.n_tables = n_tables
+        self.n_planes = n_planes
+        self.planes = rng.standard_normal((n_tables, n_planes, dim))
 
-    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
-        signs = (vecs @ self.planes.T) > 0
-        weights = (1 << np.arange(signs.shape[1])).astype(np.int64)
-        return signs.astype(np.int64) @ weights
+    def buckets_of(self, vecs: np.ndarray) -> np.ndarray:
+        """(n, n_tables) int64 bucket ids, table index folded in."""
+        weights = (1 << np.arange(self.n_planes)).astype(np.int64)
+        out = np.empty((len(vecs), self.n_tables), dtype=np.int64)
+        for t in range(self.n_tables):
+            signs = (vecs @ self.planes[t].T) > 0
+            out[:, t] = (signs.astype(np.int64) @ weights
+                         + (t << (self.n_planes + 1)))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _to_matrix(batch["embedding"])
-        buckets = self.bucket_of(m)
-        return batch.append_column("bucket", pa.array(buckets, pa.int64()))
+        buckets = self.buckets_of(m)
+        return batch.append_column(
+            "buckets", pa.array(buckets.tolist(), pa.list_(pa.int64())))
 
 
 def ann_lsh_topk(ds, query_vec: np.ndarray, k: int = 10, dim: int | None = None,
-                 n_planes: int = 8, id_col: str = "vec_id",
-                 emb_col: str = "embedding"):
-    """Approximate top-k: LSH bucket + one-bit multi-probe, exact rescore.
+                 n_planes: int = 6, n_tables: int = 8,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Approximate top-k: union of the query's buckets across L tables,
+    exact rescore of the candidates.
 
     Returns pandas (id, cosine). Recall measured against brute force in
     tests; the pattern is the 100 TB path (bucket groupby instead of a full
@@ -134,14 +146,24 @@ def ann_lsh_topk(ds, query_vec: np.ndarray, k: int = 10, dim: int | None = None,
     q = np.asarray(query_vec, dtype=np.float64)
     if dim is None:
         dim = len(q)
-    index = LshAnnIndexStage(dim, n_planes)
+    index = LshAnnIndexStage(dim, n_planes, n_tables)
     bucketed = ds.map_batches(index, batch_format="pyarrow", batch_size=4096)
-    q_bucket = int(index.bucket_of(q[None, :])[0])
-    probes = [q_bucket] + [q_bucket ^ (1 << b) for b in range(n_planes)]
-    cand = bucketed.map_batches(
-        lambda t: t.filter(pc.is_in(t["bucket"],
-                                    value_set=pa.array(probes, pa.int64()))),
-        batch_format="pyarrow",
-    )
+    q_buckets = pa.array(index.buckets_of(q[None, :])[0].tolist(),
+                         pa.int64())
+
+    def cand_filter(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t["buckets"])
+        hit = pc.is_in(flat, value_set=q_buckets)
+        # row matches if ANY of its table buckets matches the query's
+        lengths = pc.list_value_length(t["buckets"]).to_numpy()
+        hits = hit.to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        pos = 0
+        for i, ln in enumerate(lengths):
+            keep[i] = hits[pos:pos + ln].any()
+            pos += ln
+        return t.filter(pa.array(keep)).drop_columns(["buckets"])
+
+    cand = bucketed.map_batches(cand_filter, batch_format="pyarrow")
     top = knn_brute_force(cand, q, k, id_col, emb_col).to_pandas()
     return top

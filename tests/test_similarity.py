@@ -1,0 +1,47 @@
+"""Similarity-search quality: LSH ANN recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_recall_vs_brute_force():
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.similarity import (
+        ann_lsh_topk,
+        knn_brute_force,
+    )
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    recalls = []
+    for qid in (0, 7, 42):
+        q = np.array(
+            ds.filter(lambda r, _q=qid: r["vec_id"] == _q).take(1)[0]
+            ["embedding"], dtype=np.float64)
+        exact = set(knn_brute_force(ds, q, 10).to_pandas()["vec_id"])
+        approx = set(ann_lsh_topk(ds, q, 10)["vec_id"])
+        recalls.append(len(exact & approx) / len(exact))
+    # multi-probe LSH on 500 vecs: recall well above chance; brute force
+    # remains the exactness baseline (q:knn_topk has the SQL oracle)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_is_subset_quality_ordered():
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.similarity import ann_lsh_topk
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    q = np.array(ds.take(1)[0]["embedding"], dtype=np.float64)
+    out = ann_lsh_topk(ds, q, 10)
+    # scores are sorted desc and the query's own vector ranks first
+    assert list(out["cosine"]) == sorted(out["cosine"], reverse=True)
+    assert out.iloc[0]["cosine"] == 1.0
