@@ -161,8 +161,9 @@ def canonicalize_rows(df: pd.DataFrame,
     clustering machinery entirely.
     """
     if df.empty:
-        return pd.DataFrame(
-            {f.name: pd.Series(dtype="object") for f in CANONICAL_SCHEMA})
+        # properly typed empty frame (an object-dtype frame would emit a
+        # mismatched-schema RefBundle for empty buckets)
+        return CANONICAL_SCHEMA.empty_table().to_pandas()
 
     per_name = (
         df.groupby(["type", "block", "entity_key", "linked_name"], sort=True)
