@@ -403,7 +403,8 @@ def build_kg(
                 )
             ]
             merged = merge_duplicate_relations(
-                rows, key_fields=("subj_id", "obj_id"))
+                rows, key_fields=("subj_id", "obj_id"),
+                max_source_chunks=cfg.max_source_chunks)
             ekey_bucket = [
                 int(stable_hash64(
                     f"{m['subj_id']}|{m['relationship'].lower()}|{m['obj_id']}"
