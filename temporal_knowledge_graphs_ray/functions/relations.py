@@ -135,7 +135,8 @@ def extract_quads(
     lookup = build_entity_lookup(entity_names)
     out: list[dict] = []
     for pattern, label in _PATTERNS:
-        if _ANCHORS[label] not in text:
+        anchor = _ANCHORS.get(label)
+        if anchor is not None and anchor not in text:
             continue
         for m in pattern.finditer(text):
             gd = m.groupdict()
