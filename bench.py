@@ -118,7 +118,8 @@ def run_bench() -> dict:
             "value": timings["kg_pipeline"],
             "unit": "sec",
             "queries": timings,
-            "sf": sf_dir,
+            "sf": _sf_number(sf_dir),
+        "sf_dir": sf_dir,
             "num_cpus": num_cpus,
             **extra,
         }
@@ -151,7 +152,8 @@ def run_bench() -> dict:
         "value": timings["kg_pipeline"],
         "unit": "sec",
         "queries": timings,
-        "sf": sf_dir,
+        "sf": _sf_number(sf_dir),
+        "sf_dir": sf_dir,
         "num_cpus": num_cpus,
         **extra,
     }
@@ -198,6 +200,17 @@ def _kernel_work(args):
         for c in chunk_text(text):
             extract_entities(c.text)
     return n_pages
+
+
+def _sf_number(sf_dir: str):
+    """'/root/testdata/sf0.1' -> 0.1 (falls back to the raw string)."""
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    try:
+        return float(m.group(1)) if m else sf_dir
+    except ValueError:
+        return sf_dir
 
 
 def run_scaling() -> dict:
