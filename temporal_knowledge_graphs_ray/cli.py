@@ -97,6 +97,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("stats")
     p.add_argument("--out", required=True)
 
+    p = sub.add_parser("verify")
+    p.add_argument("--out", required=True)
+
     args = parser.parse_args(argv)
     if args.cmd == "build":
         return cmd_build(args, resume=False)
@@ -104,6 +107,12 @@ def main(argv=None) -> int:
         return cmd_build(args, resume=True)
     if args.cmd == "stats":
         return cmd_stats(args)
+    if args.cmd == "verify":
+        from .state.manifests import verify_output
+
+        res = verify_output(args.out)
+        print(json.dumps(res, default=str))
+        return 0 if res["ok"] else 1
     return 2
 
 

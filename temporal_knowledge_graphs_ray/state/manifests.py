@@ -68,3 +68,63 @@ def write_run_manifest(out_dir: str, payload: dict[str, Any]) -> None:
     with open(tmp, "w") as f:
         json.dump(payload, f, sort_keys=True, default=str)
     os.replace(tmp, path)
+
+
+def verify_output(out_dir: str) -> dict:
+    """Output-layout verification (the reference's ``init_db.py
+    --verify-only`` schema check, graph/schema.py:344-392, applied to the
+    Parquet graph store): tables present, schemas match the engine's
+    published schemas, every data partition has a completion marker.
+    Returns {"ok": bool, "problems": [...], "tables": {...}}.
+    """
+    import pyarrow.dataset as pads
+
+    from ..pipelines.kg import EDGES_SCHEMA, NODES_SCHEMA
+
+    problems: list[str] = []
+    tables: dict[str, dict] = {}
+
+    def check(table: str, required_fields: dict | None, partitioned: bool):
+        path = os.path.join(out_dir, table)
+        if not os.path.isdir(path):
+            problems.append(f"missing table dir: {table}")
+            return
+        try:
+            ds = pads.dataset(path, format="parquet",
+                              partitioning="hive" if partitioned else None)
+            schema = ds.schema
+            n_rows = sum(f.metadata.num_rows for f in ds.get_fragments())
+        except Exception as exc:  # unreadable parquet
+            problems.append(f"{table}: unreadable ({exc})")
+            return
+        names = set(schema.names)
+        if required_fields:
+            for fname, ftype in required_fields.items():
+                if fname not in names:
+                    problems.append(f"{table}: missing column {fname}")
+                elif ftype is not None and schema.field(fname).type != ftype:
+                    problems.append(
+                        f"{table}.{fname}: type {schema.field(fname).type}"
+                        f" != {ftype}")
+        if partitioned:
+            data_parts = set()
+            for frag in ds.get_fragments():
+                for piece in frag.path.split(os.sep):
+                    if piece.startswith("part="):
+                        data_parts.add(int(piece[len("part="):]))
+            marked = completed_parts(out_dir, table)
+            unmarked = data_parts - marked
+            if unmarked:
+                problems.append(
+                    f"{table}: partitions without completion markers: "
+                    f"{sorted(unmarked)}")
+        tables[table] = {"rows": n_rows, "columns": sorted(names)}
+
+    edge_req = {f.name: f.type for f in EDGES_SCHEMA
+                if f.name != "part"}
+    node_req = {f.name: f.type for f in NODES_SCHEMA}
+    check("edges", edge_req, partitioned=True)
+    check("nodes", node_req, partitioned=False)
+    check("mentions", None, partitioned=True)
+    check("chunk_ents", None, partitioned=True)
+    return {"ok": not problems, "problems": problems, "tables": tables}
