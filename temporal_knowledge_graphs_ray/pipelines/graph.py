@@ -363,20 +363,30 @@ def score_chunks_by_ppr(mentions_ds, ppr_scores: pd.DataFrame,
 def bfs_related_entities(edges_ds, seed_ids: list[str],
                          max_depth: int = 2) -> pd.DataFrame:
     """BFS related entities (Q3, reference queries.py:23-57): k rounds of
-    frontier expansion over the (undirected) edge list; returns
-    (entity_id, distance) with minimum distance per entity."""
-    adj = (
-        edges_ds.select_columns(["subj_id", "obj_id"]).to_pandas()
-        .drop_duplicates()
-    )
+    frontier expansion over the (undirected) edges; returns
+    (entity_id, distance) with minimum distance per entity.
+
+    Each round is a broadcast-frontier semi-join: only edges touching the
+    current frontier leave the workers, so the driver holds the visited
+    set (O(reachable entities)), never the edge list — the scale-correct
+    shape for k rounds of hash join on edges (SURVEY.md Q3 mapping).
+    """
+    edges_small = edges_ds.select_columns(["subj_id", "obj_id"]).materialize()
     dist = {s: 0 for s in seed_ids}
     frontier = set(seed_ids)
     for depth in range(1, max_depth + 1):
         if not frontier:
             break
-        fwd = adj[adj["subj_id"].isin(frontier)]["obj_id"]
-        bwd = adj[adj["obj_id"].isin(frontier)]["subj_id"]
-        nxt = (set(fwd) | set(bwd)) - set(dist)
+        want = pa.array(sorted(frontier))
+
+        def touching(t: pa.Table, _w=want) -> pa.Table:
+            keep = pc.or_(pc.is_in(t["subj_id"], value_set=_w),
+                          pc.is_in(t["obj_id"], value_set=_w))
+            return t.filter(keep)
+
+        hits = (edges_small.map_batches(touching, batch_format="pyarrow")
+                .to_pandas())
+        nxt = (set(hits["subj_id"]) | set(hits["obj_id"])) - set(dist)
         for n in nxt:
             dist[n] = depth
         frontier = nxt
