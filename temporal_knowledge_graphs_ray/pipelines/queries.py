@@ -355,7 +355,12 @@ def q_rrf_fusion(sf_dir: str, k: int = 100, top: int = 20, c: int = 60):
 
 def q_overlap_users(sf_dir: str, type_a: str = "purchase",
                     type_b: str = "signup"):
-    """Set ops (T5) as semi/anti joins with a broadcast key set."""
+    """Set ops (T5) as semi/anti joins with a broadcast key set.
+
+    The broadcast side is the distinct users of one event type; when that
+    set outgrows worker memory at scale, swap the exact set for a Bloom
+    filter of it (same pattern, bounded memory, tiny false-positive rate).
+    """
     import ray
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
