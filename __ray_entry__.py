@@ -631,7 +631,7 @@ def oracle_sql() -> dict[str, str]:
                            (PARTITION BY user_id ORDER BY ts) IS NULL
                        THEN 1 ELSE 0 END AS new_session
                 FROM events)
-            SELECT user_id, SUM(new_session) AS n_sessions,
+            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM o GROUP BY user_id
         """,
@@ -656,12 +656,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(COALESCE(CAST(json_extract_string(props, '$.k')
-                       AS BIGINT), 0)) AS sum_k
+                   CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT), 0)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
         "doc_stats": """
-            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
         """,
         "doc_token_counts": f"""

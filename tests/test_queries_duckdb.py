@@ -77,6 +77,30 @@ def test_query_matches_oracle(name, con, ray_session):
         f"{name}: column mismatch {ray_res.column_names} vs "
         f"{duck_res.column_names}"
     )
+    # The driver's value-hash is dtype-sensitive (int64 vs float64 sums
+    # hash differently even when values are equal) — enforce type KIND
+    # equality per column, not just value equality.
+    def _kind(t: pa.DataType) -> str:
+        if pa.types.is_integer(t):
+            return "int"
+        if pa.types.is_floating(t):
+            return "float"
+        if pa.types.is_boolean(t):
+            return "bool"
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            return "time"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "str"
+        return str(t)
+
+    for c in ray_res.column_names:
+        ka = _kind(ray_res.schema.field(c).type)
+        kb = _kind(duck_res.schema.field(c).type)
+        assert ka == kb, (
+            f"{name}.{c}: dtype kind mismatch engine={ka} oracle={kb} "
+            f"({ray_res.schema.field(c).type} vs "
+            f"{duck_res.schema.field(c).type})"
+        )
     ours = _normalize(ray_res)
     oracle = _normalize(duck_res)
     assert len(ours) == len(oracle), (
