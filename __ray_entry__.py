@@ -198,6 +198,51 @@ def _kg_hybrid(sf_dir: str):
                          ["Acme Inc.", "OpenAI"], k=20)
 
 
+def _kg_shortest_path(sf_dir: str):
+    """Q4: shortest path between the top-2 hub entities (reference
+    operations.py:532-567), deterministic lexicographic-min-predecessor
+    reconstruction."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.oracle.materialize import (
+        SHORTEST_PATH_MAX_HOPS,
+    )
+    from temporal_knowledge_graphs_ray.pipelines.graph import shortest_path
+
+    res = _kg_outputs(sf_dir)
+    nodes = rd.read_parquet(res["nodes"]).to_pandas()
+    hubs = nodes.sort_values(["mention_count", "entity_id"],
+                             ascending=[False, True]).head(2)
+    ids = hubs["entity_id"].tolist()
+    return shortest_path(rd.read_parquet(res["edges"]), ids[0], ids[-1],
+                         max_hops=SHORTEST_PATH_MAX_HOPS)
+
+
+def _eval_evidence_join(sf_dir: str):
+    """J6: join benchmark questions' evidence urls against the ingested
+    chunks/mentions tables to count evidence coverage (reference
+    evaluate_tkg.py:95-135)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.evaluate import evidence_join
+    from temporal_knowledge_graphs_ray.sources.synth import page_url
+
+    res = _kg_outputs(sf_dir)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    qids = [int(d) for d in docs["doc_id"].to_pylist()]
+    questions = pa.Table.from_pydict({
+        "question_id": pa.array(qids, pa.int64()),
+        "url": pa.array([page_url(q) for q in qids], pa.string()),
+    })
+    return evidence_join(
+        questions,
+        rd.read_parquet(res["chunk_ents"], columns=["url"]),
+        rd.read_parquet(res["mentions"], columns=["url"]),
+    )
+
+
 def _knn_topk(sf_dir: str):
     import numpy as np
 
@@ -237,7 +282,10 @@ def _neardup_cosine(sf_dir: str):
     )
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return neardup_pairs_cosine(ds, threshold=0.9, limit_ids=500)
+    # threshold 0.4: the driver-provided embeddings are near-random (max
+    # pairwise cosine ~0.5), so 0.9 returned an empty — vacuously green —
+    # result; 0.4 yields ~60 real pairs at both test scales
+    return neardup_pairs_cosine(ds, threshold=0.4, limit_ids=500)
 
 
 def _ann_lsh(sf_dir: str):
@@ -263,11 +311,17 @@ def _exact_dedup(sf_dir: str):
 
 
 def _minhash_dedup(sf_dir: str):
+    """MinHash-LSH candidates + distributed exact-Jaccard verify; with
+    r=2 banding the detection probability at J>=0.8 is ~1, so the result
+    must EQUAL the exact inverted-index Jaccard oracle (recall gate)."""
     from temporal_knowledge_graphs_ray.pipelines.queries import _read
-    from temporal_knowledge_graphs_ray.stages.dedup import minhash_lsh_dedup
+    from temporal_knowledge_graphs_ray.stages.dedup import (
+        minhash_verified_pairs,
+    )
 
-    return minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
-                             jaccard_threshold=0.8)
+    return minhash_verified_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        num_bands=32, jaccard_threshold=0.8)
 
 
 def _ngram_jaccard(sf_dir: str):
@@ -279,11 +333,13 @@ def _ngram_jaccard(sf_dir: str):
 
 
 def _simhash_pairs(sf_dir: str):
+    """9-block bucket LSH guarantees exact recall at Hamming <= 8, so the
+    result must EQUAL the exact all-pairs Hamming oracle (recall gate)."""
     from temporal_knowledge_graphs_ray.pipelines.queries import _read
     from temporal_knowledge_graphs_ray.stages.dedup import simhash_dedup
 
     return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
-                         max_hamming=8)
+                         max_hamming=8, num_blocks=9)
 
 
 def _ectqa_roundtrip(sf_dir: str):
@@ -448,13 +504,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # JSON / loaders
         "json_props": q.q_json_props,
         "doc_stats": q.q_doc_stats,
-        # text analysis
-        "doc_token_counts": _textstat("token_count_stage"),
-        "doc_estimate_chunks": _textstat("estimate_chunks_stage"),
+        # text analysis (token/chunk stats merged into one pass; quality +
+        # fingerprint merged into one pass — the driver judges at most 50
+        # queries, so near-duplicate entries are consolidated)
+        "doc_token_counts": _textstat("token_stats_stage"),
         "doc_language_id": _textstat("language_id_stage"),
-        "doc_quality": _textstat("quality_stage"),
-        "doc_fingerprint": _textstat("fingerprint_stage"),
-        "normalize_lines": q.q_normalize_lines,
+        "doc_quality": _textstat("quality_fingerprint_stage"),
         "extract_text_roundtrip": q.q_extract_text_roundtrip,
         # dedup
         "exact_dedup": _exact_dedup,
@@ -483,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs": _kg_bfs,
         "kg_fulltext": _kg_fulltext,
         "kg_hybrid": _kg_hybrid,
+        "kg_shortest_path": _kg_shortest_path,
+        "eval_evidence_join": _eval_evidence_join,
     }
 
 
@@ -506,6 +563,28 @@ _NORM_LINES_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
+    # The KG pipeline's outputs (and the graph/similarity queries over
+    # them) have no closed-form SQL over the input tables; their oracle is
+    # the SEQUENTIAL implementation (oracle/kg_oracle.py + the dict-based
+    # graph oracles in oracle/materialize.py), materialized to Parquet
+    # here and read by DuckDB's parquet scan. The driver judges at sf0.01
+    # (GRAFT_TEST_SF overrides for self-tests).
+    from temporal_knowledge_graphs_ray.functions.normalize import surface_key
+    from temporal_knowledge_graphs_ray.oracle.materialize import (
+        ENTITY_MATCH_NAMES,
+        FULLTEXT_TERMS,
+        materialize_kg_oracle,
+    )
+
+    sf = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    o = materialize_kg_oracle(sf)
+
+    match_keys = sorted({surface_key(n) for n in ENTITY_MATCH_NAMES})
+    match_in = ", ".join(f"'{k}'" for k in match_keys)
+    term_sum = " + ".join(
+        f"CAST(contains(lower(text), '{t.lower()}') AS INT)"
+        for t in FULLTEXT_TERMS
+    )
     lang_counts = ", ".join(
         f"CAST(length(regexp_extract_all(lower(text), '{pat}')) AS BIGINT)"
         f" AS c_{lang}"
@@ -668,11 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": f"""
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))
-                        AS BIGINT) AS n_tokens
-            FROM documents
-        """,
-        "doc_estimate_chunks": f"""
-            SELECT doc_id,
+                        AS BIGINT) AS n_tokens,
                    GREATEST(1, CAST((length(regexp_extract_all(text,
                        '{_TOKEN_RE_SQL}')) + 89) // 90 AS BIGINT)) AS n_chunks
             FROM documents
@@ -705,17 +780,10 @@ def oracle_sql() -> dict[str, str]:
                         CAST(length(regexp_extract_all(lower(text),
                              '{_STOP_SQL["en"]}')) AS DOUBLE)
                         / length(regexp_extract_all(text, '[A-Za-z0-9]+'))
-                        ELSE 0.0 END AS stop_ratio
-            FROM documents
-        """,
-        "doc_fingerprint": """
-            SELECT doc_id,
+                        ELSE 0.0 END AS stop_ratio,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                        AS fingerprint
             FROM documents
-        """,
-        "normalize_lines": f"""
-            SELECT doc_id, {_NORM_LINES_SQL} AS norm_text FROM documents
         """,
         "extract_text_roundtrip": f"""
             SELECT doc_id, {_NORM_LINES_SQL} AS extracted FROM documents
@@ -774,7 +842,7 @@ def oracle_sql() -> dict[str, str]:
                  ON a.vec_id < b.vec_id
             WHERE a.vec_id < 500 AND b.vec_id < 500
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.9
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY a.vec_id, b.vec_id
         """,
         "evolution_diff": """
@@ -852,7 +920,142 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) % 3 + 1 AS INT) AS channels
             FROM documents
         """,
-        # minhash_lsh_dedup / simhash_pairs / ann_lsh_topk: approximate or
-        # hash-construction-specific -> rows-only check (no SQL equivalent).
-        # kg_*: full construction pipeline over synthesized pages -> rows-only.
+        # ---- recall gates for the approximate dedup operators ----
+        # exact inverted-index Jaccard over ALL documents; the engine's
+        # LSH+verify result must equal it (banding chosen for ~1 recall)
+        "minhash_lsh_dedup": """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct([ws[i] || ' ' || ws[i+1] || ' '
+                                      || ws[i+2]
+                                      for i in range(1, len(ws) - 1)]) AS sh
+                FROM words WHERE len(ws) >= 3),
+            sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+            co AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+                   FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2)
+            SELECT co.a, co.b,
+                   ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+            FROM co JOIN sizes sa ON sa.doc_id = co.a
+                    JOIN sizes sb ON sb.doc_id = co.b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+            ORDER BY co.a, co.b
+        """,
+        # exact all-pairs Hamming over the sequential oracle's simhashes;
+        # 9-block bucketing guarantees recall at Hamming <= 8
+        "simhash_pairs": f"""
+            WITH s AS (SELECT doc_id, h FROM '{o}/simhash.parquet')
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h, b.h)) <= 8
+            ORDER BY a, b
+        """,
+        "embed_documents": f"""
+            SELECT doc_id, norm FROM '{o}/embed_norms.parquet'
+        """,
+        # ---- KG pipeline vs the sequential oracle (materialized) ----
+        "kg_edges": f"""
+            SELECT subj, pred, obj, valid_from FROM '{o}/edges.parquet'
+        """,
+        "kg_nodes": f"""
+            SELECT entity_id, name, type, mention_count
+            FROM '{o}/nodes.parquet'
+        """,
+        "kg_mention_type_counts": f"""
+            SELECT type, COUNT(*) AS n_mentions
+            FROM '{o}/mentions.parquet' GROUP BY type
+        """,
+        "kg_chunk_stats": f"""
+            SELECT url, COUNT(*) AS n_chunks,
+                   CAST(SUM(token_count) AS BIGINT) AS total_tokens,
+                   MAX(chunk_index) AS max_index
+            FROM '{o}/chunks.parquet' GROUP BY url
+        """,
+        "kg_ppr": f"""
+            SELECT entity_id, score FROM '{o}/ppr.parquet'
+            ORDER BY score DESC, entity_id ASC LIMIT 50
+        """,
+        "kg_ppr_chunks": f"""
+            SELECT chunk_id, score FROM '{o}/ppr_chunks.parquet'
+        """,
+        "kg_comentions": f"""
+            WITH d AS (SELECT DISTINCT chunk_id, entity_key
+                       FROM '{o}/mentions.parquet'),
+                 p AS (SELECT x.entity_key AS a, y.entity_key AS b,
+                              COUNT(*) AS n_chunks
+                       FROM d x JOIN d y ON x.chunk_id = y.chunk_id
+                            AND x.entity_key < y.entity_key
+                       GROUP BY 1, 2)
+            SELECT a, b, n_chunks FROM p WHERE n_chunks >= 2
+            ORDER BY n_chunks DESC, a, b
+        """,
+        "kg_entity_match": f"""
+            WITH m AS (SELECT DISTINCT chunk_id, entity_key
+                       FROM '{o}/mentions.parquet'
+                       WHERE entity_key IN ({match_in})),
+                 s AS (SELECT chunk_id,
+                              ROUND(CAST(COUNT(DISTINCT entity_key)
+                                    AS DOUBLE) / {len(match_keys)}, 6)
+                                  AS score
+                       FROM m GROUP BY chunk_id)
+            SELECT chunk_id, score FROM s
+            ORDER BY score DESC, chunk_id ASC LIMIT 20
+        """,
+        "kg_bfs": f"""
+            WITH hub AS (SELECT entity_id FROM '{o}/nodes.parquet'
+                         ORDER BY mention_count DESC, entity_id ASC LIMIT 1),
+                 e AS (SELECT subj_id AS a, obj_id AS b
+                       FROM '{o}/edges.parquet'
+                       UNION ALL
+                       SELECT obj_id, subj_id FROM '{o}/edges.parquet'),
+                 d1 AS (SELECT DISTINCT e.b AS id
+                        FROM e JOIN hub ON e.a = hub.entity_id
+                        WHERE e.b NOT IN (SELECT entity_id FROM hub)),
+                 d2 AS (SELECT DISTINCT e.b AS id FROM e
+                        WHERE e.a IN (SELECT id FROM d1)
+                          AND e.b NOT IN (SELECT id FROM d1)
+                          AND e.b NOT IN (SELECT entity_id FROM hub))
+            SELECT entity_id, CAST(0 AS BIGINT) AS distance FROM hub
+            UNION ALL
+            SELECT id, CAST(1 AS BIGINT) FROM d1
+            UNION ALL
+            SELECT id, CAST(2 AS BIGINT) FROM d2
+            ORDER BY distance, entity_id
+        """,
+        "kg_fulltext": f"""
+            WITH s AS (SELECT chunk_id,
+                              CAST({term_sum} AS BIGINT) AS n_terms
+                       FROM '{o}/chunks.parquet')
+            SELECT chunk_id, n_terms FROM s WHERE n_terms > 0
+            ORDER BY n_terms DESC, chunk_id ASC LIMIT 20
+        """,
+        "kg_hybrid": f"""
+            SELECT chunk_id, rrf_score FROM '{o}/hybrid.parquet'
+        """,
+        "kg_shortest_path": f"""
+            SELECT step, entity_id FROM '{o}/shortest_path.parquet'
+        """,
+        "eval_evidence_join": f"""
+            WITH q AS (SELECT question_id, url FROM '{o}/questions.parquet'),
+                 c AS (SELECT url, COUNT(*) AS nc
+                       FROM '{o}/chunks.parquet' GROUP BY url),
+                 m AS (SELECT url, COUNT(*) AS nm
+                       FROM '{o}/mentions.parquet' GROUP BY url)
+            SELECT q.question_id,
+                   CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_evidence_chunks,
+                   CAST(COALESCE(m.nm, 0) AS BIGINT) AS n_evidence_mentions,
+                   COALESCE(c.nc, 0) > 0 AS covered
+            FROM q LEFT JOIN c ON c.url = q.url
+                   LEFT JOIN m ON m.url = q.url
+            ORDER BY q.question_id
+        """,
+        # ann_lsh_topk: approximate by construction -> rows-only here;
+        # its recall >= 0.9 gate vs exact KNN runs in pytest
+        # (tests/test_similarity.py).
     }

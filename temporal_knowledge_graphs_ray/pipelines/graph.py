@@ -379,20 +379,87 @@ def bfs_related_entities(edges_ds, seed_ids: list[str],
             break
         want = pa.array(sorted(frontier))
 
-        def touching(t: pa.Table, _w=want) -> pa.Table:
-            keep = pc.or_(pc.is_in(t["subj_id"], value_set=_w),
-                          pc.is_in(t["obj_id"], value_set=_w))
-            return t.filter(keep)
+        def neighbors(t: pa.Table, _w=want) -> pa.Table:
+            # project to the neighbor ids and dedup WORKER-side: on a hub
+            # frontier the touching-edge set is nearly the whole edge list,
+            # so shipping full rows to the driver would be O(edges)
+            a_in = t.filter(pc.is_in(t["subj_id"], value_set=_w))
+            b_in = t.filter(pc.is_in(t["obj_id"], value_set=_w))
+            nodes = pa.concat_arrays([
+                a_in["obj_id"].combine_chunks(),
+                b_in["subj_id"].combine_chunks(),
+            ])
+            return pa.Table.from_arrays([pc.unique(nodes)], names=["node"])
 
-        hits = (edges_small.map_batches(touching, batch_format="pyarrow")
+        hits = (edges_small.map_batches(neighbors, batch_format="pyarrow")
                 .to_pandas())
-        nxt = (set(hits["subj_id"]) | set(hits["obj_id"])) - set(dist)
+        nxt = set(hits["node"]) - set(dist)
         for n in nxt:
             dist[n] = depth
         frontier = nxt
     out = pd.DataFrame({"entity_id": list(dist),
                         "distance": list(dist.values())})
     return out.sort_values(["distance", "entity_id"], ignore_index=True)
+
+
+def shortest_path(edges_ds, src: str, dst: str,
+                  max_hops: int = 6) -> pd.DataFrame:
+    """Shortest path between two entities (Q4, reference
+    operations.py:532-567 ``shortestPath((a)-[:RELATES_TO*1..h]-(b))``).
+
+    Distributed BFS with predecessor tracking: each round is a
+    broadcast-frontier semi-join that emits (node, candidate-pred) pairs
+    worker-side and reduces them with a distributed ``Min`` — the
+    predecessor of every newly-reached node is the lexicographically
+    smallest frontier neighbor, which makes the reconstructed path unique
+    and deterministic regardless of block order. Returns (step, entity_id)
+    rows; empty frame if unreachable within ``max_hops``.
+    """
+    from ray.data.aggregate import Min
+
+    if src == dst:
+        return pd.DataFrame({"step": [0], "entity_id": [src]})
+    edges_small = edges_ds.select_columns(["subj_id", "obj_id"]).materialize()
+    dist = {src: 0}
+    pred: dict[str, str] = {}
+    frontier = {src}
+    for _depth in range(1, max_hops + 1):
+        if not frontier:
+            break
+        want = pa.array(sorted(frontier))
+
+        def pred_edges(t: pa.Table, _w=want) -> pa.Table:
+            a_in = t.filter(pc.is_in(t["subj_id"], value_set=_w))
+            b_in = t.filter(pc.is_in(t["obj_id"], value_set=_w))
+            node = pa.concat_arrays([a_in["obj_id"].combine_chunks(),
+                                     b_in["subj_id"].combine_chunks()])
+            p = pa.concat_arrays([a_in["subj_id"].combine_chunks(),
+                                  b_in["obj_id"].combine_chunks()])
+            return pa.Table.from_arrays([node, p], names=["node", "pred"])
+
+        cand = (
+            edges_small.map_batches(pred_edges, batch_format="pyarrow")
+            .groupby("node").aggregate(Min("pred", alias_name="min_pred"))
+            .to_pandas()
+        )
+        nxt = set()
+        for node, p in zip(cand["node"], cand["min_pred"]):
+            if node not in dist:
+                nxt.add(node)
+                pred[node] = p
+        for n in nxt:
+            dist[n] = _depth
+        if dst in dist:
+            break
+        frontier = nxt
+    if dst not in dist:
+        return pd.DataFrame({"step": pd.Series([], dtype="int64"),
+                             "entity_id": pd.Series([], dtype="object")})
+    path = [dst]
+    while path[-1] != src:
+        path.append(pred[path[-1]])
+    path.reverse()
+    return pd.DataFrame({"step": range(len(path)), "entity_id": path})
 
 
 def fulltext_search(chunks_ds, query_terms: list[str],

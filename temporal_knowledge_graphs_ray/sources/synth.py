@@ -133,10 +133,13 @@ def _fact_sentences(page: int, n_facts: int) -> list[str]:
     return out
 
 
+def page_url(page: int, site_count: int = 50) -> str:
+    return f"https://site{_h('site', page) % site_count}.example/page/{page}"
+
+
 def make_page(page: int, extra_text: str = "", site_count: int = 50) -> dict:
     """One pages-table row. ``extra_text`` lines are woven into the body."""
-    url = (f"https://site{_h('site', page) % site_count}.example/"
-           f"page/{page}")
+    url = page_url(page, site_count)
     n_facts = 2 + _h("nfacts", page) % 4
     facts = _fact_sentences(page, n_facts)
     fillers = [FILLER_LINES[_h(f"fill{j}", page) % len(FILLER_LINES)]

@@ -114,6 +114,19 @@ def _candidate_pairs_from_bands(band_ds, id_col: str = "doc_id",
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         df = group[["band_index", "band_hash", id_col]].drop_duplicates()
+        # hot-band guard: a degenerate band key shared by B docs generates
+        # B^2/2 pairs in one task (empty/boilerplate docs at web scale all
+        # hash identically). Cap the group size and report the drop — the
+        # exact-dedup pass catches identical docs anyway.
+        sizes = df.groupby(["band_index", "band_hash"])[id_col].transform("size")
+        hot = sizes > _MAX_BAND_GROUP
+        if hot.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash-lsh: dropping %d rows in bands over %d members",
+                int(hot.sum()), _MAX_BAND_GROUP)
+            df = df[~hot]
         m = df.merge(df, on=["band_index", "band_hash"],
                      suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
@@ -126,6 +139,151 @@ def _candidate_pairs_from_bands(band_ds, id_col: str = "doc_id",
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+# band groups larger than this are dropped (with a log line) rather than
+# pair-expanded quadratically; identical docs are handled by exact_dedup
+_MAX_BAND_GROUP = 4096
+
+
+def _as_array(col) -> pa.Array:
+    """Table column (ChunkedArray) -> single contiguous Array."""
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                           num_perm: int = 64, num_bands: int = 32,
+                           shingle_k: int = 3,
+                           jaccard_threshold: float = 0.8) -> pd.DataFrame:
+    """MinHash-LSH candidates -> DISTRIBUTED exact-Jaccard verification.
+
+    Returns (a, b, jaccard) for every candidate pair whose true shingle
+    Jaccard >= threshold — with bands chosen so detection probability at
+    the threshold is ~1 (num_bands=32 over 64 perms -> r=2,
+    P(detect | J=0.8) = 1-(1-0.64)^32 ≈ 1-1e-14), this equals the exact
+    all-pairs result and is checked against a pure-SQL inverted-index
+    Jaccard oracle (the recall gate).
+
+    Verification is worker-side: shingle sets are attached to pair-halves
+    via a doc-keyed bucketed groupby, then pairs reunite via a pair-keyed
+    bucketed groupby and Jaccard is computed inside the group task. The
+    driver only ever holds the candidate ID SET (for the semi-join filter;
+    swap for a Bloom filter when candidates exceed driver memory) — never
+    texts, shingles, or a Python verify loop.
+
+    Docs with fewer than ``shingle_k`` words are excluded (no full shingle
+    exists — matching the SQL oracle's ``len(ws) >= k`` guard).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import round_half_away
+
+    band_ds = minhash_rows(ds, text_col, id_col, num_perm, num_bands,
+                           shingle_k)
+    cand = (
+        _candidate_pairs_from_bands(band_ds, id_col)
+        .groupby(["a", "b"]).count()  # global pair dedup, distributed
+        .select_columns(["a", "b"])
+    ).materialize()
+    cand_ids = set()
+    for batch in cand.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(batch["a"].to_pylist())
+        cand_ids.update(batch["b"].to_pylist())
+    if not cand_ids:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    needed = pa.array(sorted(cand_ids), pa.int64())
+
+    # (doc, payload) rows: candidate docs' shingle sets, serialized as a
+    # list column; non-candidates are filtered worker-side (semi-join)
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[id_col], value_set=needed))
+        docs, sh = [], []
+        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            grams = word_shingles(text, shingle_k)
+            if grams and len(grams[0].split(" ")) >= shingle_k:
+                docs.append(did)
+                # serialized as one NUL-joined string (shingles never
+                # contain NUL) — plain string columns survive the
+                # pandas<->Arrow round-trips of the group stages
+                sh.append("\x00".join(sorted(set(grams))))
+        return pa.Table.from_arrays(
+            [pa.array(docs, pa.int64()),
+             pa.array([-1] * len(docs), pa.int64()),
+             pa.array([-1] * len(docs), pa.int64()),
+             pa.array(sh, pa.string())],
+            names=["doc", "pa", "pb", "shingles"],
+        )
+
+    # pair-half rows: one per (pair, endpoint), shingles empty until joined
+    def half_rows(t: pa.Table) -> pa.Table:
+        a = _as_array(t["a"].cast(pa.int64()))
+        b = _as_array(t["b"].cast(pa.int64()))
+        doc = pa.concat_arrays([a, b])
+        pa_col = pa.concat_arrays([a, a])
+        pb_col = pa.concat_arrays([b, b])
+        empty = pa.array([None] * len(doc), pa.string())
+        return pa.Table.from_arrays([doc, pa_col, pb_col, empty],
+                                    names=["doc", "pa", "pb", "shingles"])
+
+    def attach_shingles(g: pd.DataFrame) -> pd.DataFrame:
+        # one group per doc bucket: join the doc's shingle list onto its
+        # pair-half rows
+        sh_rows = g[g["pa"] < 0]
+        lookup = dict(zip(sh_rows["doc"], sh_rows["shingles"]))
+        halves = g[g["pa"] >= 0].copy()
+        halves["shingles"] = halves["doc"].map(lookup)
+        halves = halves[halves["shingles"].notna()]
+        return halves[["pa", "pb", "doc", "shingles"]]
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (a, b), grp in g.groupby(["pa", "pb"], sort=False):
+            if len(grp) != 2:
+                continue  # an endpoint had no full shingle
+            s1, s2 = (set(x.split("\x00")) for x in grp["shingles"])
+            inter = len(s1 & s2)
+            if inter == 0:
+                continue
+            j = inter / len(s1 | s2)
+            if j >= jaccard_threshold:
+                rows.append({"a": int(a), "b": int(b),
+                             "jaccard": float(round_half_away(
+                                 np.array([j]), 6)[0])})
+        return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+    def bucket_by(col: str, n: int = 64):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return t.append_column(
+                "bucket",
+                _pc.cast(_pc.bit_wise_and(t[col].cast(pa.int64()),
+                                          pa.scalar(n - 1, pa.int64())),
+                         pa.int32()))
+
+        return fn
+
+    halves_ds = cand.map_batches(half_rows, batch_format="pyarrow")
+    sh_ds = (ds.map_batches(shingle_rows, batch_format="pyarrow")
+             .union(halves_ds))
+    joined = (
+        sh_ds.map_batches(bucket_by("doc"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attach_shingles, batch_format="pandas")
+    )
+    out = (
+        joined.map_batches(bucket_by("pa"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return out.sort_values(["a", "b"], ignore_index=True)
 
 
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -175,22 +333,46 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     return out.sort_values(id_col, ignore_index=True)
 
 
+def _block_bounds(num_blocks: int) -> list[tuple[int, int]]:
+    """Split 64 bits into num_blocks near-equal (offset, width) blocks."""
+    base, extra = divmod(64, num_blocks)
+    bounds, off = [], 0
+    for i in range(num_blocks):
+        w = base + (1 if i < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3):
-    """SimHash near-dup: 4 x 16-bit block buckets, verify Hamming distance.
+                  max_hamming: int = 3, num_blocks: int = 4):
+    """SimHash near-dup: block-permuted bucket LSH, verify Hamming distance.
 
     Returns pandas (a, b, hamming) pairs with distance <= max_hamming.
+    Pigeonhole guarantee: with ``num_blocks`` blocks, any pair within
+    Hamming distance <= num_blocks - 1 shares at least one identical
+    block, so recall is EXACT iff ``max_hamming < num_blocks`` (use
+    num_blocks=9 for the standard Hamming-8 near-dup setting; the default
+    4 x 16-bit blocks cover Hamming <= 3).
     """
+    bounds = _block_bounds(num_blocks)
+    if max_hamming >= num_blocks:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "simhash: max_hamming=%d >= num_blocks=%d — recall is "
+            "approximate (pairs whose diffs span every block are missed)",
+            max_hamming, num_blocks)
 
     def sims(batch: pa.Table) -> pa.Table:
         ids, hashes, blocks, block_ix = [], [], [], []
         for did, text in zip(batch[id_col].to_pylist(),
                              batch[text_col].to_pylist()):
             h = simhash64(word_shingles(text, 2))
-            for b in range(4):
+            for b, (off, w) in enumerate(bounds):
                 ids.append(did)
                 hashes.append(np.int64(np.uint64(h).astype(np.int64)))
-                blocks.append((h >> (16 * b)) & 0xFFFF)
+                blocks.append((h >> off) & ((1 << w) - 1))
                 block_ix.append(b)
         return pa.Table.from_arrays(
             [pa.array(ids, pa.int64()),

@@ -45,6 +45,25 @@ def estimate_chunks_stage(ds, chunk_size: int = 100, chunk_overlap: int = 10,
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 
 
+def token_stats_stage(ds, chunk_size: int = 100, chunk_overlap: int = 10,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Token count + chunk estimate in one pass (M4): tokenization is the
+    shared cost, so the two derived columns come from one kernel call."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n_tokens = [count_tokens(t) for t in texts]
+        return pa.Table.from_arrays(
+            [batch[id_col],
+             pa.array(n_tokens, pa.int64()),
+             pa.array([estimate_chunks(n, chunk_size, chunk_overlap)
+                       for n in n_tokens], pa.int64())],
+            names=[id_col, "n_tokens", "n_chunks"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
 def language_id_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
     """n-gram/stopword-heuristic language ID + per-language counts."""
 
@@ -77,6 +96,31 @@ def quality_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
             ],
             names=[id_col, "n_chars", "n_words", "n_punct", "punct_ratio",
                    "stop_ratio"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def quality_fingerprint_stage(ds, text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """Quality signals + content fingerprint in one pass (the per-doc
+    text-analysis bundle: one read of the text column, all derived cols)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sigs = [quality_signals(t) for t in texts]
+        return pa.Table.from_arrays(
+            [
+                batch[id_col],
+                pa.array([s["n_chars"] for s in sigs], pa.int64()),
+                pa.array([s["n_words"] for s in sigs], pa.int64()),
+                pa.array([s["n_punct"] for s in sigs], pa.int64()),
+                pa.array([s["punct_ratio"] for s in sigs], pa.float64()),
+                pa.array([s["stop_ratio"] for s in sigs], pa.float64()),
+                pa.array([fingerprint(t) for t in texts], pa.string()),
+            ],
+            names=[id_col, "n_chars", "n_words", "n_punct", "punct_ratio",
+                   "stop_ratio", "fingerprint"],
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)

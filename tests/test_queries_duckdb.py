@@ -17,6 +17,9 @@ import __ray_entry__ as entrymod
 import os
 
 SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+# oracle_sql() materializes the sequential-oracle Parquet for the sf it is
+# judged at — point it at the same sf this test uses
+os.environ["GRAFT_TEST_SF"] = SF_DIR
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
