@@ -67,6 +67,13 @@ class EngineConfig:
     # --- output layout / resume ---
     num_partitions: int = 16  # hash(url) % num_partitions → part column
 
+    # canonical-map broadcast ceiling: above this many entities the edge
+    # rewrite switches from a ray.put broadcast (read zero-copy per worker)
+    # to a distributed bucketed hash join on (type, entity_key) — at
+    # 10^12-doc scale the entity table itself is 10^8-10^9 rows and no
+    # longer broadcastable
+    canonical_broadcast_limit: int = 5_000_000
+
     # --- canonicalization blocking ---
     blocking_prefix_len: int = 4  # (type, skey[:4]) blocking key
     salt_buckets: int = 8  # salting factor for hub-key partial aggregation

@@ -35,6 +35,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -117,6 +118,217 @@ def _write_part_manifests(out_dir: str, table: str) -> dict[int, int]:
     for part, rows in counts.items():
         write_manifest(out_dir, table, part, {"rows": rows})
     return counts
+
+
+def _fallback_id(etype: str, key: str) -> str:
+    """Entity id for an endpoint with no mention row (cannot happen for
+    the built-in extractor, guarded for pluggable ones)."""
+    return "x" + hex(stable_hash64(etype + "|" + key))[2:17]
+
+
+def _merged_edges_table(snames, sids, onames, oids, preds, valid_froms,
+                        descriptions, confidences, source_chunks,
+                        cfg: EngineConfig) -> pa.Table:
+    """Resolved edge columns -> partially-merged Arrow table with the
+    shuffle keys (ekey_bucket for the global merge, part for the output
+    layout). The merge itself stays the dict-keyed exact kernel — it runs
+    on the (much smaller) post-combine rows."""
+    rows = [
+        {
+            "source": sn, "subj_id": si, "target": on, "obj_id": oi,
+            "relationship": p, "valid_from": vf, "description": d,
+            "confidence": c, "source_chunks": sc,
+        }
+        for sn, si, on, oi, p, vf, d, c, sc in zip(
+            snames, sids, onames, oids, preds, valid_froms,
+            descriptions, confidences, source_chunks,
+        )
+    ]
+    merged = merge_duplicate_relations(
+        rows, key_fields=("subj_id", "obj_id"),
+        max_source_chunks=cfg.max_source_chunks)
+    ekey_bucket = [
+        int(stable_hash64(
+            f"{m['subj_id']}|{m['relationship'].lower()}|{m['obj_id']}"
+        ) % 64)
+        for m in merged
+    ]
+    return pa.Table.from_arrays(
+        [
+            pa.array([m["source"] for m in merged], pa.string()),
+            pa.array([m["subj_id"] for m in merged], pa.string()),
+            pa.array([m["relationship"] for m in merged], pa.string()),
+            pa.array([m["target"] for m in merged], pa.string()),
+            pa.array([m["obj_id"] for m in merged], pa.string()),
+            pa.array([m["valid_from"] for m in merged], pa.timestamp("us")),
+            pa.array([m["description"] for m in merged], pa.large_string()),
+            pa.array([m["confidence"] for m in merged], pa.float32()),
+            pa.array([m["source_chunks"] for m in merged],
+                     pa.list_(pa.string())),
+            pa.array([int(stable_hash64(m["subj_id"]) % cfg.num_partitions)
+                      for m in merged], pa.int32()),
+            pa.array(ekey_bucket, pa.int32()),
+        ],
+        names=["subj", "subj_id", "pred", "obj", "obj_id",
+               "valid_from", "description", "confidence",
+               "source_chunks", "part", "ekey_bucket"],
+    )
+
+
+class CanonicalRewriteStage:
+    """Edge-endpoint rewrite via the BROADCAST canonical map.
+
+    The map ships as an Arrow resolve-table (``ray.put`` once, read
+    zero-copy per worker); both endpoints resolve with vectorized
+    ``pc.index_in`` + ``pc.take`` — no per-row Python in the hot path.
+    Misses (endpoints without a mention row) fall back to a hashed id via
+    a loop over ONLY the missing positions.
+    """
+
+    def __init__(self, cmap_ref, cfg: EngineConfig):
+        self.cmap_ref = cmap_ref
+        self.cfg = cfg
+        self._keys = None
+        self._ids = None
+        self._names = None
+
+    def _ensure(self):
+        if self._keys is None:
+            import ray
+
+            tbl = ray.get(self.cmap_ref)
+            self._keys = tbl["jk"].combine_chunks()
+            self._ids = tbl["entity_id"].combine_chunks()
+            self._names = tbl["name"].combine_chunks()
+
+    def _resolve(self, types, keys, surfaces):
+        ix = pc.index_in(
+            pc.binary_join_element_wise(types.cast(pa.string()),
+                                        keys.cast(pa.string()), "\x00"),
+            value_set=self._keys,
+        )
+        ids = pc.take(self._ids, ix)
+        names = pc.coalesce(pc.take(self._names, ix),
+                            surfaces.cast(pa.string()))
+        if ids.null_count:
+            import numpy as np
+
+            miss = np.flatnonzero(pc.is_null(ix).to_numpy(
+                zero_copy_only=False))
+            id_list = ids.to_pylist()
+            t_list, k_list = types.to_pylist(), keys.to_pylist()
+            for i in miss:
+                id_list[i] = _fallback_id(t_list[i], k_list[i])
+            ids = pa.array(id_list, pa.string())
+        return ids, names
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._ensure()
+        sids, snames = self._resolve(batch["subj_type"], batch["subj_key"],
+                                     batch["subj_surface"])
+        oids, onames = self._resolve(batch["obj_type"], batch["obj_key"],
+                                     batch["obj_surface"])
+        return _merged_edges_table(
+            snames.to_pylist(), sids.to_pylist(),
+            onames.to_pylist(), oids.to_pylist(),
+            batch["pred"].to_pylist(), batch["valid_from"].to_pylist(),
+            batch["description"].to_pylist(),
+            batch["confidence"].to_pylist(),
+            batch["source_chunks"].to_pylist(), self.cfg,
+        )
+
+
+def rewrite_edges_distributed(edges_raw_ds, canonical_tbl: pa.Table,
+                              cfg: EngineConfig,
+                              num_partitions: int | None = None):
+    """Edge-endpoint rewrite via Ray Data's DISTRIBUTED hash join — the
+    scale path when the canonical map exceeds
+    ``cfg.canonical_broadcast_limit`` (10^8+ entities): nothing is
+    broadcast; edges shuffle twice (``Dataset.join`` left-outer, once per
+    endpoint) keyed by jk = type + NUL + entity_key, misses fall back to
+    the hashed id exactly like the broadcast stage. Produces the same
+    partially-merged table, bit-for-bit."""
+    import ray
+    import pyarrow.compute as pcc
+    import ray.data as rd
+
+    if num_partitions is None:
+        # one join partition per ~2 cores, capped: each partition is an
+        # aggregating actor; too many starves small clusters, too few
+        # limits shuffle parallelism
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(64, ncpu // 2))
+    jk = pcc.binary_join_element_wise(
+        canonical_tbl["type"].cast(pa.string()),
+        canonical_tbl["entity_key"].cast(pa.string()), "\x00")
+    resolve_ds = rd.from_arrow(pa.Table.from_arrays(
+        [jk.combine_chunks() if isinstance(jk, pa.ChunkedArray) else jk,
+         canonical_tbl["entity_id"].cast(pa.string()).combine_chunks(),
+         canonical_tbl["name"].cast(pa.string()).combine_chunks()],
+        names=["jk", "cm_id", "cm_name"]))
+
+    def _add_jk(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if "source_chunks" in t.column_names:
+                # Acero hash joins reject list payload columns — carry the
+                # provenance as a NUL-joined string through the two joins
+                # (chunk ids never contain NUL)
+                sc = pcc.binary_join(
+                    t["source_chunks"].cast(pa.list_(pa.string())), "\x00")
+                t = t.drop_columns(["source_chunks"]).append_column(
+                    "sc_str", sc)
+            if "jk" in t.column_names:
+                t = t.drop_columns(["jk"])
+            return t.append_column("jk", pcc.binary_join_element_wise(
+                t[f"{side}_type"].cast(pa.string()),
+                t[f"{side}_key"].cast(pa.string()), "\x00"))
+
+        return fn
+
+    def _finish(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["cm_id"]
+            names = pc.coalesce(t["cm_name"],
+                                t[f"{side}_surface"].cast(pa.string()))
+            if ids.null_count:
+                miss = np.flatnonzero(
+                    pc.is_null(ids).to_numpy(zero_copy_only=False))
+                id_list = ids.to_pylist()
+                t_list = t[f"{side}_type"].to_pylist()
+                k_list = t[f"{side}_key"].to_pylist()
+                for i in miss:
+                    id_list[i] = _fallback_id(t_list[i], k_list[i])
+                ids = pa.array(id_list, pa.string())
+            else:
+                ids = ids.cast(pa.string())
+            t = t.drop_columns(["cm_id", "cm_name", "jk"])
+            t = t.append_column(f"{side}_id", ids)
+            return t.append_column(f"{side}_name", names)
+
+        return fn
+
+    resolved = edges_raw_ds.map_batches(_add_jk("subj"),
+                                        batch_format="pyarrow")
+    resolved = resolved.join(resolve_ds, "left_outer", num_partitions,
+                             on=("jk",))
+    resolved = resolved.map_batches(_finish("subj"), batch_format="pyarrow")
+    resolved = resolved.map_batches(_add_jk("obj"), batch_format="pyarrow")
+    resolved = resolved.join(resolve_ds, "left_outer", num_partitions,
+                             on=("jk",))
+    resolved = resolved.map_batches(_finish("obj"), batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sc = [x.split("\x00") if x else []
+              for x in t["sc_str"].to_pylist()]
+        return _merged_edges_table(
+            t["subj_name"].to_pylist(), t["subj_id"].to_pylist(),
+            t["obj_name"].to_pylist(), t["obj_id"].to_pylist(),
+            t["pred"].to_pylist(), t["valid_from"].to_pylist(),
+            t["description"].to_pylist(), t["confidence"].to_pylist(),
+            sc, cfg)
+
+    return resolved.map_batches(finalize, batch_format="pyarrow",
+                                batch_size=8192)
 
 
 def build_kg(
@@ -342,93 +554,8 @@ def build_kg(
     shutil.rmtree(nodes_dir, ignore_errors=True)
     rd.from_arrow(nodes_tbl).write_parquet(nodes_dir)
 
-    cmap_ref = put_canonical_map(canonical_tbl)
-
-    class CanonicalRewriteStage:
-        """Rewrite stage: broadcast canonical map, resolved lazily once
-        per worker process (task mode) / per actor (actor mode)."""
-
-        def __init__(self):
-            self._cmap = None
-            self.n = cfg.num_partitions
-
-        @property
-        def cmap(self):
-            if self._cmap is None:
-                import ray
-
-                self._cmap = ray.get(cmap_ref)
-            return self._cmap
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            # column-wise (no per-row dicts): resolve both endpoints via
-            # the broadcast map
-            cmap = self.cmap
-            s_types = batch["subj_type"].to_pylist()
-            s_keys = batch["subj_key"].to_pylist()
-            s_surf = batch["subj_surface"].to_pylist()
-            o_types = batch["obj_type"].to_pylist()
-            o_keys = batch["obj_key"].to_pylist()
-            o_surf = batch["obj_surface"].to_pylist()
-            preds = batch["pred"].to_pylist()
-
-            def resolve(ts, ks, surfs):
-                ids, names = [], []
-                for t, k, s in zip(ts, ks, surfs):
-                    hit = cmap.get((t, k))
-                    if hit is None:
-                        # endpoint with no mention row (cannot happen for
-                        # our extractor, guarded for pluggable ones)
-                        ids.append("x" + hex(stable_hash64(t + "|" + k))[2:17])
-                        names.append(s)
-                    else:
-                        ids.append(hit[0])
-                        names.append(hit[1])
-                return ids, names
-
-            sids, snames = resolve(s_types, s_keys, s_surf)
-            oids, onames = resolve(o_types, o_keys, o_surf)
-            rows = [
-                {
-                    "source": sn, "subj_id": si, "target": on, "obj_id": oi,
-                    "relationship": p, "valid_from": vf, "description": d,
-                    "confidence": c, "source_chunks": sc,
-                }
-                for sn, si, on, oi, p, vf, d, c, sc in zip(
-                    snames, sids, onames, oids, preds,
-                    batch["valid_from"].to_pylist(),
-                    batch["description"].to_pylist(),
-                    batch["confidence"].to_pylist(),
-                    batch["source_chunks"].to_pylist(),
-                )
-            ]
-            merged = merge_duplicate_relations(
-                rows, key_fields=("subj_id", "obj_id"),
-                max_source_chunks=cfg.max_source_chunks)
-            ekey_bucket = [
-                int(stable_hash64(
-                    f"{m['subj_id']}|{m['relationship'].lower()}|{m['obj_id']}"
-                ) % 64)
-                for m in merged
-            ]
-            return pa.Table.from_arrays(
-                [
-                    pa.array([m["source"] for m in merged], pa.string()),
-                    pa.array([m["subj_id"] for m in merged], pa.string()),
-                    pa.array([m["relationship"] for m in merged], pa.string()),
-                    pa.array([m["target"] for m in merged], pa.string()),
-                    pa.array([m["obj_id"] for m in merged], pa.string()),
-                    pa.array([m["valid_from"] for m in merged], pa.timestamp("us")),
-                    pa.array([m["description"] for m in merged], pa.large_string()),
-                    pa.array([m["confidence"] for m in merged], pa.float32()),
-                    pa.array([m["source_chunks"] for m in merged], pa.list_(pa.string())),
-                    pa.array([int(stable_hash64(m["subj_id"]) % self.n) for m in merged], pa.int32()),
-                    pa.array(ekey_bucket, pa.int32()),
-                ],
-                names=["subj", "subj_id", "pred", "obj", "obj_id",
-                       "valid_from", "description", "confidence",
-                       "source_chunks", "part", "ekey_bucket"],
-            )
+    use_broadcast = canonical_tbl.num_rows <= cfg.canonical_broadcast_limit
+    cmap_ref = put_canonical_map(canonical_tbl) if use_broadcast else None
 
     import pandas as pd
 
@@ -452,11 +579,17 @@ def build_kg(
             m.pop("ekey_bucket", None)
         return pd.DataFrame(merged)
 
+    edges_raw_ds = (edges_raw_for_c if edges_raw_for_c is not None
+                    else rd.read_parquet(edges_raw_dir))
+    if use_broadcast:
+        rewritten = edges_raw_ds.map_batches(
+            CanonicalRewriteStage(cmap_ref, cfg), batch_format="pyarrow",
+            batch_size=8192)
+    else:
+        rewritten = rewrite_edges_distributed(edges_raw_ds, canonical_tbl,
+                                              cfg)
     edges_final = (
-        (edges_raw_for_c if edges_raw_for_c is not None
-         else rd.read_parquet(edges_raw_dir))
-        .map_batches(CanonicalRewriteStage(), batch_format="pyarrow",
-                     batch_size=8192)
+        rewritten
         .groupby("ekey_bucket")
         .map_groups(final_merge, batch_format="pandas")
         .map_batches(

@@ -29,23 +29,28 @@ def put_alias_dict(alias_table: pa.Table):
 
 
 def put_canonical_map(canonical_table: pa.Table):
-    """canonical map table -> broadcast dict ref.
+    """canonical map table -> broadcast ARROW resolve-table ref.
 
-    dict[(type, entity_key)] -> (entity_id, canonical name). The canonical
-    map is small relative to the corpus (#distinct entities << #mentions).
-    If it ever outgrows worker memory, the edge rewrite falls back to a
-    partitioned hash join on (type, entity_key) — documented scale path,
-    not needed at current scales.
+    Columns: jk = type + NUL + entity_key (the join key), entity_id, name.
+    Shipping Arrow instead of a Python dict means workers read the object
+    zero-copy from the plasma store (no per-actor dict rebuild) and resolve
+    endpoints with vectorized ``pc.index_in`` + ``pc.take``. The canonical
+    map is small relative to the corpus (#distinct entities << #mentions);
+    above cfg.canonical_broadcast_limit the edge rewrite switches to the
+    distributed bucketed hash join in pipelines/kg.py instead.
     """
+    import pyarrow.compute as pc
     import ray
 
-    cmap = {
-        (t, k): (eid, n)
-        for t, k, eid, n in zip(
-            canonical_table["type"].to_pylist(),
-            canonical_table["entity_key"].to_pylist(),
-            canonical_table["entity_id"].to_pylist(),
-            canonical_table["name"].to_pylist(),
-        )
-    }
-    return ray.put(cmap)
+    jk = pc.binary_join_element_wise(
+        canonical_table["type"].cast(pa.string()),
+        canonical_table["entity_key"].cast(pa.string()),
+        "\x00",
+    )
+    tbl = pa.Table.from_arrays(
+        [jk.combine_chunks() if isinstance(jk, pa.ChunkedArray) else jk,
+         canonical_table["entity_id"].cast(pa.string()).combine_chunks(),
+         canonical_table["name"].cast(pa.string()).combine_chunks()],
+        names=["jk", "entity_id", "name"],
+    ).combine_chunks()
+    return ray.put(tbl)
