@@ -380,6 +380,23 @@ def build_kg(
         for d in (chunk_ents_dir, mentions_dir, edges_raw_dir, nodes_dir,
                   edges_dir, os.path.join(out_dir, "_manifests")):
             shutil.rmtree(d, ignore_errors=True)
+    else:
+        # a resumed run may find part=K dirs WITHOUT a completion manifest:
+        # files a killed write left behind. Ray write_parquet appends
+        # uniquely-named files, so recomputation alongside the orphans
+        # would silently duplicate rows — delete them first (marker =>
+        # complete implies no-marker dirs are garbage).
+        for tdir, table in ((chunk_ents_dir, "chunk_ents"),
+                            (mentions_dir, "mentions"),
+                            (edges_raw_dir, "edges_raw")):
+            if not os.path.isdir(tdir):
+                continue
+            marked = completed_parts(out_dir, table)
+            for entry in os.listdir(tdir):
+                if entry.startswith("part=") and \
+                        int(entry[len("part="):]) not in marked:
+                    shutil.rmtree(os.path.join(tdir, entry),
+                                  ignore_errors=True)
 
     if dedup_recrawls:
         # keep only the latest crawl of each url (V1 supersession); the one
@@ -433,11 +450,18 @@ def build_kg(
     import threading
 
     checkpoint_threads: list[threading.Thread] = []
+    checkpoint_errors: list[tuple[str, BaseException]] = []
 
     def _checkpoint(ds, path: str, table: str) -> None:
         def run() -> None:
-            ds.write_parquet(path, partition_cols=["part"])
-            _write_part_manifests(out_dir, table)
+            # exceptions must not die with the daemon thread — a failed
+            # checkpoint silently breaks the durable-resume guarantee, so
+            # they are collected and re-raised after join()
+            try:
+                ds.write_parquet(path, partition_cols=["part"])
+                _write_part_manifests(out_dir, table)
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                checkpoint_errors.append((table, e))
 
         t = threading.Thread(target=run, name=f"ckpt-{table}", daemon=True)
         t.start()
@@ -447,6 +471,24 @@ def build_kg(
     _mark("A_extract_chunk_ner")
 
     # ---- phase B: mentions + raw edges from the checkpointed chunk_ents ----
+    def _chunk_ents_from_disk(want_parts: set[int]):
+        """Durable chunk_ents rows for ``want_parts``, schema-aligned to the
+        in-memory materialization (hive reads type partition columns and
+        strings differently) so a union is well-typed."""
+        arr = pa.array(sorted(want_parts), pa.int32())
+        from ..stages.entities import CHUNK_ENTS_SCHEMA
+
+        target = CHUNK_ENTS_SCHEMA
+
+        def conv(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["part"].cast(pa.int32()),
+                                  value_set=arr))
+            cols = [t[f.name].cast(f.type).combine_chunks() for f in target]
+            return pa.Table.from_arrays(cols, schema=target)
+
+        return rd.read_parquet(chunk_ents_dir).map_batches(
+            conv, batch_format="pyarrow")
+
     done_b = completed_parts(out_dir, "mentions") if resume else set()
     ce = ce_mat
     ce_mentions = ce
@@ -459,6 +501,13 @@ def build_kg(
             ),
             batch_format="pyarrow",
         )
+    # RESUME HOLE GUARD: a partition whose chunk_ents checkpoint completed
+    # but whose mentions were never written (kill window between the
+    # background chunk_ents write and phase B) is absent from BOTH ce_mat
+    # (phase A skipped it) and done_b — source it from the durable Parquet
+    missing_b = (done - done_b) if resume else set()
+    if missing_b:
+        ce_mentions = ce_mentions.union(_chunk_ents_from_disk(missing_b))
     # on resume (or stage_cache="disk") phase C must see old + new parts,
     # so it reads the durable Parquet; otherwise it reuses the in-memory
     # materialized table and the Parquet write is checkpoint-only
@@ -497,6 +546,9 @@ def build_kg(
             ),
             batch_format="pyarrow",
         )
+    missing_e = (done - done_e) if resume else set()
+    if missing_e:  # same resume-hole guard as mentions
+        ce_edges = ce_edges.union(_chunk_ents_from_disk(missing_e))
     if as_tasks:
         edges_raw_new = ce_edges.map_batches(
             RelationExtractorStage(alias_ref, cfg), batch_format="pyarrow",
@@ -617,6 +669,11 @@ def build_kg(
     edge_counts = _write_part_manifests(out_dir, "edges")
     for t in checkpoint_threads:  # durable lineage complete before return
         t.join()
+    if checkpoint_errors:
+        table, err = checkpoint_errors[0]
+        raise RuntimeError(
+            f"checkpoint write failed for table '{table}' "
+            f"({len(checkpoint_errors)} failure(s) total)") from err
     _mark("C2_edge_merge")
 
     write_run_manifest(out_dir, {

@@ -87,3 +87,93 @@ def test_kill_and_resume(tmp_path):
     # lost partitions were rebuilt and re-marked complete
     assert completed_parts(killed_dir, "chunk_ents") == set(all_parts)
     assert completed_parts(killed_dir, "edges_raw") == set(all_parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skewed_kill_chunk_ents_done_mentions_missing(tmp_path):
+    """ADVICE r1 (high): a partition whose chunk_ents checkpoint completed
+    but whose mentions/edges_raw were never written (kill window between
+    the background chunk_ents write and phase B) must be reprocessed from
+    the durable chunk_ents Parquet on resume — not silently dropped."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.kg import build_kg
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        alias_table,
+        pages_table,
+    )
+    from temporal_knowledge_graphs_ray.state.manifests import completed_parts
+
+    pages = pages_table(list(range(80)))
+    pristine_dir = str(tmp_path / "pristine")
+    killed_dir = str(tmp_path / "killed")
+    r_pristine = build_kg(rd.from_arrow(pages), pristine_dir,
+                          alias_table=alias_table())
+    build_kg(rd.from_arrow(pages), killed_dir, alias_table=alias_table())
+
+    all_parts = sorted(completed_parts(killed_dir, "chunk_ents"))
+    # SKEWED kill: chunk_ents manifest/data KEPT, mentions + edges_raw
+    # deleted, for half the partitions
+    lost = set(all_parts[: len(all_parts) // 2])
+    assert lost
+    for table in ("mentions", "edges_raw"):
+        for part in lost:
+            shutil.rmtree(os.path.join(killed_dir, table, f"part={part}"),
+                          ignore_errors=True)
+            mpath = os.path.join(killed_dir, "_manifests",
+                                 f"{table}-part-{part}.json")
+            if os.path.exists(mpath):
+                os.remove(mpath)
+
+    r_resumed = build_kg(rd.from_arrow(pages), killed_dir,
+                         alias_table=alias_table(), resume=True)
+    assert _edge_keys(r_resumed["edges"]) == _edge_keys(r_pristine["edges"])
+    assert r_resumed["node_rows"] == r_pristine["node_rows"]
+    assert completed_parts(killed_dir, "mentions") == set(all_parts)
+    assert completed_parts(killed_dir, "edges_raw") == set(all_parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_cleans_partial_unmarked_files(tmp_path):
+    """ADVICE r1 (medium): part dirs WITHOUT a manifest may hold partial
+    files from a killed write; resume must delete them before recomputing,
+    or the append-mode rewrite silently duplicates rows."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.kg import build_kg
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        alias_table,
+        pages_table,
+    )
+    from temporal_knowledge_graphs_ray.state.manifests import completed_parts
+
+    pages = pages_table(list(range(80)))
+    pristine_dir = str(tmp_path / "pristine")
+    killed_dir = str(tmp_path / "killed")
+    r_pristine = build_kg(rd.from_arrow(pages), pristine_dir,
+                          alias_table=alias_table())
+    build_kg(rd.from_arrow(pages), killed_dir, alias_table=alias_table())
+
+    all_parts = sorted(completed_parts(killed_dir, "mentions"))
+    victim = all_parts[0]
+    part_dir = os.path.join(killed_dir, "mentions", f"part={victim}")
+    # simulate the kill: manifest removed (write "didn't finish"), but the
+    # data files SURVIVE as orphans — plus an extra partial file copy
+    os.remove(os.path.join(killed_dir, "_manifests",
+                           f"mentions-part-{victim}.json"))
+    files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    shutil.copy(os.path.join(part_dir, files[0]),
+                os.path.join(part_dir, "partial_leftover.parquet"))
+
+    r_resumed = build_kg(rd.from_arrow(pages), killed_dir,
+                         alias_table=alias_table(), resume=True)
+    assert _edge_keys(r_resumed["edges"]) == _edge_keys(r_pristine["edges"])
+
+    # mentions table has no duplicates: same row count as pristine
+    def _count(d):
+        return pads.dataset(os.path.join(d, "mentions"),
+                            partitioning="hive").count_rows()
+
+    assert _count(killed_dir) == _count(pristine_dir)
+    _ = pq
