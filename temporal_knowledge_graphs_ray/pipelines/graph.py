@@ -27,7 +27,7 @@ from ..functions.rounding import round_half_away
 
 def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
         max_iters: int = 20, tol: float = 1e-6,
-        asof=None) -> pd.DataFrame:
+        asof=None, local_edge_cutoff: int = 500_000) -> pd.DataFrame:
     """Personalized PageRank over (subj_id, obj_id[, valid_from]) edges.
 
     Returns (entity_id, score) sorted desc, rounded to 8. Edges are
@@ -71,7 +71,7 @@ def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
     # own shape — it extracts an induced subgraph and iterates in-process,
     # ppr_traversal.py:179-259); the distributed contribution passes below
     # are the path for graphs that exceed driver memory
-    if edges_ds.count() <= 500_000:
+    if edges_ds.count() <= local_edge_cutoff:
         import numpy as _np
 
         etab = edges_ds.to_pandas()
@@ -105,50 +105,68 @@ def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
         return out.sort_values(["score", "entity_id"],
                                ascending=[False, True], ignore_index=True)
 
-    degree_ref = ray.put(degree)  # broadcast once, not per closure
+    # ---- distributed path: vectorized contribution passes ----
+    # node ids are mapped to dense ints ONCE (broadcast key array + degree
+    # vector via a single ray.put); per iteration only the compact float
+    # score VECTOR is re-broadcast, and the shuffle key is the int node
+    # index — no per-row Python, no string-keyed groupby, no per-iteration
+    # dict shipping.
+    names_sorted = sorted(degree)
+    node_count = len(names_sorted)
+    key_arr = pa.array(names_sorted, pa.string())
+    deg_np = np.array([degree[n] for n in names_sorted], dtype=np.float64)
+    static_ref = ray.put((key_arr, deg_np))
+
+    score_np = np.zeros(node_count)
+    tele_np = np.zeros(node_count)
+    node_ix_of = {n: i for i, n in enumerate(names_sorted)}
+    for s, w in teleport.items():
+        score_np[node_ix_of[s]] = w
+        tele_np[node_ix_of[s]] = w
 
     for _ in range(max_iters):
-        scores_ref = ray.put(scores)
+        scores_ref = ray.put(score_np)
 
         def contribute(t: pa.Table, _d=damping, _sref=scores_ref) -> pa.Table:
             import ray as _ray
 
+            keys, deg = _ray.get(static_ref)
             sc = _ray.get(_sref)
-            deg = _ray.get(degree_ref)
-            nodes, contribs = [], []
-            subs = t["subj_id"].to_pylist()
-            objs = t["obj_id"].to_pylist()
-            for a, b in zip(subs, objs):
-                sa = sc.get(a)
-                if sa:
-                    nodes.append(b)
-                    contribs.append(_d * sa / deg[a])
-                sb = sc.get(b)
-                if sb:
-                    nodes.append(a)
-                    contribs.append(_d * sb / deg[b])
-            return pa.Table.from_pydict({"node": nodes, "contrib": contribs})
+            six = pc.index_in(t["subj_id"], value_set=keys).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            oix = pc.index_in(t["obj_id"], value_set=keys).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sa, sb = sc[six], sc[oix]
+            m1, m2 = sa > 0, sb > 0
+            node_ix = np.concatenate([oix[m1], six[m2]])
+            contrib = np.concatenate([_d * sa[m1] / deg[six[m1]],
+                                      _d * sb[m2] / deg[oix[m2]]])
+            # map-side combine before the shuffle
+            uniq, inv = np.unique(node_ix, return_inverse=True)
+            summed = np.zeros(len(uniq))
+            np.add.at(summed, inv, contrib)
+            return pa.Table.from_pydict({"node_ix": uniq,
+                                         "contrib": summed})
 
         agg = (
             edges_ds.map_batches(contribute, batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("contrib", alias_name="s"))
+            .groupby("node_ix").aggregate(Sum("contrib", alias_name="s"))
             .to_pandas()
         )
-        new_scores = dict(zip(agg["node"], agg["s"]))
-        for s, w in teleport.items():
-            new_scores[s] = new_scores.get(s, 0.0) + (1 - damping) * w
-        total = sum(new_scores.values())
+        new_np = np.zeros(node_count)
+        new_np[agg["node_ix"].to_numpy()] = agg["s"].to_numpy()
+        new_np += (1 - damping) * tele_np
+        total = new_np.sum()
         if total > 0:
-            new_scores = {k: v / total for k, v in new_scores.items()}
-        delta = sum(abs(new_scores.get(k, 0.0) - scores.get(k, 0.0))
-                    for k in set(scores) | set(new_scores))
-        scores = new_scores
+            new_np /= total
+        delta = float(np.abs(new_np - score_np).sum())
+        score_np = new_np
         if delta < tol:
             break
 
     out = pd.DataFrame({
-        "entity_id": list(scores),
-        "score": round_half_away(np.array(list(scores.values())), 8),
+        "entity_id": names_sorted,
+        "score": round_half_away(score_np, 8),
     })
     out = out[out["score"] > 0]
     return out.sort_values(["score", "entity_id"],
@@ -159,14 +177,11 @@ def comention_pairs(mentions_ds, min_count: int = 2) -> pd.DataFrame:
     """Entity co-mention counts per chunk (G6) with pair-key groupby."""
     from ray.data.aggregate import Count
 
-    from ..functions.hashing import fast_hash64
-
     def add_bucket(t: pa.Table) -> pa.Table:
-        bucket = pa.array(
-            [fast_hash64(c) % 64 for c in t["chunk_id"].to_pylist()],
-            pa.int32(),
-        )
-        return t.append_column("bucket", bucket)
+        # vectorized hash — bucket is a within-run shuffle key only
+        h = pd.util.hash_array(
+            np.asarray(t["chunk_id"].to_pylist(), dtype=object)) % 64
+        return t.append_column("bucket", pa.array(h.astype("int32")))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         df = g[["chunk_id", "entity_key"]].drop_duplicates()

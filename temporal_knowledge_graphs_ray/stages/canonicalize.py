@@ -252,19 +252,22 @@ def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG,
     blocking groups inside vectorized pandas — same semantics (a blocking
     group never spans buckets), far less per-group scheduling overhead.
     """
-    from ..functions.hashing import fast_hash64
-
     partial = make_partial_agg_stage(cfg)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        types = t["type"].to_pylist()
-        blocks = t["block"].to_pylist()
-        bucket = pa.array(
-            [fast_hash64(f"{ty}|{bl}") % num_buckets
-             for ty, bl in zip(types, blocks)],
-            pa.int32(),
-        )
-        return t.append_column("bucket", bucket)
+        # vectorized string hash (siphash via pandas): bucket ids are a
+        # within-run shuffle key only — a blocking group lands wholly in
+        # one bucket either way, so outputs don't depend on the function
+        import pandas as pd
+
+        import numpy as np
+        import pyarrow.compute as pcc
+
+        jk = pcc.binary_join_element_wise(
+            t["type"].cast(pa.string()), t["block"].cast(pa.string()), "|")
+        h = pd.util.hash_array(
+            np.asarray(jk.to_pylist(), dtype=object)) % num_buckets
+        return t.append_column("bucket", pa.array(h.astype("int32")))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return canonicalize_rows(df, cfg)

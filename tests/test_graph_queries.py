@@ -128,3 +128,33 @@ class TestContextExpansion:
         _, mentions, chunks = graph_data
         out = expand_context(chunks, mentions, ["nope"])
         assert out.empty
+
+
+class TestPPRDistributedPath:
+    def test_distributed_matches_local(self, ray_session, graph_data):
+        """Forcing the distributed contribution-pass path (cutoff=0) must
+        reproduce the local numpy path bit-for-bit at round-8."""
+        edges, _, _ = graph_data
+        local = ppr(edges, ["a"])
+        dist = ppr(edges, ["a"], local_edge_cutoff=0)
+        pd.testing.assert_frame_equal(local, dist)
+
+    def test_distributed_matches_local_on_kg(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.pipelines.kg import build_kg
+        from temporal_knowledge_graphs_ray.sources.synth import (
+            alias_table,
+            pages_table,
+        )
+
+        res = build_kg(rd.from_arrow(pages_table(list(range(60)))),
+                       str(tmp_path / "kg"), alias_table=alias_table())
+        edges = rd.read_parquet(res["edges"])
+        nodes = rd.read_parquet(res["nodes"]).to_pandas()
+        hubs = nodes.sort_values(["mention_count", "entity_id"],
+                                 ascending=[False, True]).head(2)
+        seeds = hubs["entity_id"].tolist()
+        local = ppr(rd.read_parquet(res["edges"]), seeds)
+        dist = ppr(edges, seeds, local_edge_cutoff=0)
+        pd.testing.assert_frame_equal(local, dist)
