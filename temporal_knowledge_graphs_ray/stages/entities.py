@@ -96,6 +96,39 @@ class EntityExtractorStage:
         )
 
 
+class LlmEntityExtractorStage(EntityExtractorStage):
+    """EntityExtractorStage wired the way a REAL LLM extractor would be:
+    ``client`` is any callable ``text -> raw response string`` (an HTTP
+    chat-completion call in production, built once per actor in
+    ``__init__`` like the reference's httpx client, entity_extractor.py:56);
+    the response goes through the reference's fault-tolerant JSON repair
+    (functions/llm_json.py = entity_extractor.py:213-269) and field
+    normalization. Proves the pluggable ``_extract`` seam actually fits an
+    LLM — exercised with canned responses in tests/test_llm_extractor.py.
+    """
+
+    def __init__(self, client, cfg: EngineConfig = DEFAULT_CONFIG):
+        super().__init__(cfg)
+        self.client = client
+
+    def _extract(self, text: str) -> list[dict]:
+        from ..functions.llm_json import parse_llm_entities
+
+        out = []
+        for e in parse_llm_entities(self.client(text)):
+            if not isinstance(e, dict) or not e.get("name"):
+                continue  # reference drops malformed entries
+            name = str(e["name"])
+            pos = text.find(name)
+            out.append({
+                "name": name,
+                "type": str(e.get("type", "OTHER")).upper(),
+                "position": pos if pos >= 0 else 0,
+                "mention_count": max(1, text.count(name)),
+            })
+        return out
+
+
 class MentionLinkStage:
     """chunk_ents -> flat mentions, linked against a broadcast alias dict.
 

@@ -1,0 +1,104 @@
+"""The pluggable LLM extractor path (A1 with a real-model client shape):
+canned LLM-style responses — fenced, malformed, truncated — must flow
+through the actor-pool stage and the reference's JSON repair
+(entity_extractor.py:213-269) into the chunk_ents schema."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from temporal_knowledge_graphs_ray.functions.llm_json import (
+    parse_llm_entities,
+    strip_code_fences,
+)
+
+
+class TestJsonRepair:
+    def test_clean_json(self):
+        assert parse_llm_entities('[{"name": "Acme", "type": "ORG"}]') == [
+            {"name": "Acme", "type": "ORG"}]
+
+    def test_json_fence(self):
+        raw = 'Here you go:\n```json\n[{"name": "Acme"}]\n```\nDone.'
+        assert parse_llm_entities(raw) == [{"name": "Acme"}]
+
+    def test_bare_fence(self):
+        raw = '```\n[{"name": "Acme"}]\n```'
+        assert parse_llm_entities(raw) == [{"name": "Acme"}]
+
+    def test_dict_wrapped_in_list(self):
+        assert parse_llm_entities('{"name": "Acme"}') == [{"name": "Acme"}]
+
+    def test_single_quotes_and_trailing_comma(self):
+        raw = "Sure! [{'name': 'Acme', 'type': 'ORG',}]"
+        assert parse_llm_entities(raw) == [{"name": "Acme", "type": "ORG"}]
+
+    def test_truncated_array_completed_at_last_brace(self):
+        raw = '[{"name": "Acme"}, {"name": "Globex"}, {"na'
+        assert parse_llm_entities(raw) == [{"name": "Acme"},
+                                           {"name": "Globex"}]
+
+    def test_garbage_returns_empty(self):
+        assert parse_llm_entities("I could not find any entities.") == []
+        assert parse_llm_entities("") == []
+
+    def test_fence_strip_identity_without_fence(self):
+        assert strip_code_fences("[1, 2]") == "[1, 2]"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_llm_extractor_stage_with_canned_responses():
+    """The actor-pool stage accepts a client callable and produces the
+    standard chunk_ents schema from messy canned responses."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.entities import (
+        CHUNK_ENTS_SCHEMA,
+        LlmEntityExtractorStage,
+    )
+
+    CANNED = {
+        "Acme acquired Globex.":
+            '```json\n[{"name": "Acme", "type": "Organization"},'
+            ' {"name": "Globex", "type": "Organization"}]\n```',
+        "Alice joined Acme. Alice leads research.":
+            "[{'name': 'Alice', 'type': 'PERSON'},"
+            " {'name': 'Acme', 'type': 'ORGANIZATION'},]",
+        "Nothing here.": "Sorry, no entities found.",
+        "Truncated about Initech":
+            '[{"name": "Initech", "type": "ORGANIZATION"}, {"nam',
+    }
+
+    def canned_client(text: str) -> str:
+        return CANNED[text]
+
+    import datetime
+
+    chunks = pa.Table.from_pylist([
+        {"url": f"u{i}", "part": 0, "chunk_id": f"u{i}#0", "chunk_index": 0,
+         "text": t, "token_count": len(t.split()),
+         "valid_from": datetime.datetime(2020, 1, 1)}
+        for i, t in enumerate(CANNED)
+    ])
+    out = (
+        rd.from_arrow(chunks)
+        .map_batches(LlmEntityExtractorStage,
+                     fn_constructor_kwargs={"client": canned_client},
+                     batch_format="pyarrow", batch_size=2,
+                     concurrency=(1, 2))
+        .to_pandas()
+    )
+    assert len(out) == 4
+    by_url = {r["url"]: [e["name"] for e in r["entities"]]
+              for _, r in out.iterrows()}
+    assert by_url["u0"] == ["Acme", "Globex"]
+    assert by_url["u1"] == ["Alice", "Acme"]
+    assert by_url["u2"] == []
+    assert by_url["u3"] == ["Initech"]
+    ents0 = out[out["url"] == "u0"].iloc[0]["entities"]
+    assert ents0[0]["type"] == "ORGANIZATION"  # normalized upper
+    assert ents0[1]["position"] == "Acme acquired Globex.".find("Globex")
+    # schema identical to the rule-based stage's output
+    cols = set(out.columns)
+    assert cols == set(CHUNK_ENTS_SCHEMA.names)
