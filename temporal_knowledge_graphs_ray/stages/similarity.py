@@ -131,11 +131,133 @@ class LshAnnIndexStage:
             "buckets", pa.array(buckets.tolist(), pa.list_(pa.int64())))
 
 
+class AnnIndex:
+    """PERSISTED multi-table LSH index: the bucketed table is computed
+    once (one pass over the corpus) and reused across queries — queries
+    scan the materialized index, never re-bucket the corpus. ``save`` /
+    ``load`` round-trip the index through partitioned Parquet so a later
+    job (or a resumed run) skips the build entirely.
+
+    The candidate test is fully vectorized: each row carries exactly
+    ``n_tables`` bucket ids, so the flat is_in mask reshapes to
+    (rows, n_tables) and ANY-reduces along axis 1 — no per-row Python.
+    """
+
+    def __init__(self, ds, dim: int, n_planes: int = 6, n_tables: int = 16,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 seed: int = 7):
+        self.stage = LshAnnIndexStage(dim, n_planes, n_tables, seed)
+        self.n_tables = n_tables
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.dim = dim
+        self.bucketed = (
+            ds.map_batches(self.stage, batch_format="pyarrow",
+                           batch_size=4096)
+            .materialize() if ds is not None else None
+        )
+
+    def save(self, path: str) -> None:
+        import shutil as _sh
+
+        _sh.rmtree(path, ignore_errors=True)
+        self.bucketed.write_parquet(path)
+
+    @classmethod
+    def load(cls, path: str, dim: int, n_planes: int = 6,
+             n_tables: int = 16, id_col: str = "vec_id",
+             emb_col: str = "embedding", seed: int = 7) -> "AnnIndex":
+        import ray.data as rd
+
+        idx = cls(None, dim, n_planes, n_tables, id_col, emb_col, seed)
+        idx.bucketed = rd.read_parquet(path)
+        return idx
+
+    def _candidates(self, q_buckets_2d: np.ndarray):
+        """Dataset of rows colliding with ANY query in >= 1 table,
+        plus a per-row bitmask of WHICH queries matched."""
+        import pyarrow.compute as pc
+
+        n_q = len(q_buckets_2d)
+        want = pa.array(sorted({int(b) for row in q_buckets_2d
+                                for b in row}), pa.int64())
+        bucket_to_queries: dict[int, int] = {}
+        for qi, row in enumerate(q_buckets_2d):
+            for b in row:
+                bucket_to_queries[int(b)] = (
+                    bucket_to_queries.get(int(b), 0) | (1 << qi))
+
+        n_tables = self.n_tables
+
+        def cand_filter(t: pa.Table) -> pa.Table:
+            flat = pc.list_flatten(t["buckets"])
+            hits = pc.is_in(flat, value_set=want).to_numpy(
+                zero_copy_only=False).reshape(len(t), n_tables)
+            keep = hits.any(axis=1)
+            if not keep.any():
+                return (t.filter(pa.array(keep))
+                        .drop_columns(["buckets"])
+                        .append_column("qmask",
+                                       pa.array([], pa.int64())))
+            kept = t.filter(pa.array(keep))
+            if n_q == 1:
+                masks = np.ones(len(kept), dtype=np.int64)
+            else:
+                flat_kept = pc.list_flatten(kept["buckets"]).to_numpy(
+                    zero_copy_only=False).reshape(len(kept), n_tables)
+                masks = np.zeros(len(kept), dtype=np.int64)
+                for b, qm in bucket_to_queries.items():
+                    masks |= np.where((flat_kept == b).any(axis=1), qm, 0)
+            return (kept.drop_columns(["buckets"])
+                    .append_column("qmask", pa.array(masks, pa.int64())))
+
+        return self.bucketed.map_batches(cand_filter,
+                                         batch_format="pyarrow")
+
+    def topk(self, query_vec: np.ndarray, k: int = 10) -> pd.DataFrame:
+        q = np.asarray(query_vec, dtype=np.float64)
+        cand = self._candidates(self.stage.buckets_of(q[None, :]))
+        cand = cand.drop_columns(["qmask"])
+        return knn_brute_force(cand, q, k, self.id_col,
+                               self.emb_col).to_pandas()
+
+    def topk_many(self, query_vecs: np.ndarray,
+                  k: int = 10) -> pd.DataFrame:
+        """Batched queries in ONE index scan (the serving-at-scale shape):
+        returns (query_ix, id, cosine) for the top-k of each query."""
+        qs = np.asarray(query_vecs, dtype=np.float64)
+        cand = (self._candidates(self.stage.buckets_of(qs))
+                .select_columns([self.id_col, self.emb_col, "qmask"])
+                .take_all())
+        if not cand:
+            return pd.DataFrame({"query_ix": [], self.id_col: [],
+                                 "cosine": []})
+        ids = np.array([r[self.id_col] for r in cand])
+        m = _norm_rows(np.array([r[self.emb_col] for r in cand],
+                                dtype=np.float64))
+        masks = np.array([r["qmask"] for r in cand], dtype=np.int64)
+        out = []
+        qn = _norm_rows(qs)
+        for qi in range(len(qs)):
+            sel = (masks & (1 << qi)) != 0
+            if not sel.any():
+                continue
+            cos = round_half_away(m[sel] @ qn[qi], 6)
+            sub = pd.DataFrame({self.id_col: ids[sel], "cosine": cos})
+            sub = sub.sort_values(["cosine", self.id_col],
+                                  ascending=[False, True]).head(k)
+            sub.insert(0, "query_ix", qi)
+            out.append(sub)
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"query_ix": [], self.id_col: [], "cosine": []})
+
+
 def ann_lsh_topk(ds, query_vec: np.ndarray, k: int = 10, dim: int | None = None,
                  n_planes: int = 6, n_tables: int = 16,
                  id_col: str = "vec_id", emb_col: str = "embedding"):
-    """Approximate top-k: union of the query's buckets across L tables,
-    exact rescore of the candidates.
+    """Approximate top-k via a transient AnnIndex (single-query
+    convenience; build the index once with ``AnnIndex`` for repeated
+    queries).
 
     Returns pandas (id, cosine). Recall measured against brute force in
     tests; the pattern is the 100 TB path (bucket groupby instead of a full
@@ -143,29 +265,7 @@ def ann_lsh_topk(ds, query_vec: np.ndarray, k: int = 10, dim: int | None = None,
     random — an LSH worst case (neighbors barely closer than random
     points); clustered real embeddings bucket far better at the same L/k.
     """
-    import pyarrow.compute as pc
-
     q = np.asarray(query_vec, dtype=np.float64)
     if dim is None:
         dim = len(q)
-    index = LshAnnIndexStage(dim, n_planes, n_tables)
-    bucketed = ds.map_batches(index, batch_format="pyarrow", batch_size=4096)
-    q_buckets = pa.array(index.buckets_of(q[None, :])[0].tolist(),
-                         pa.int64())
-
-    def cand_filter(t: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(t["buckets"])
-        hit = pc.is_in(flat, value_set=q_buckets)
-        # row matches if ANY of its table buckets matches the query's
-        lengths = pc.list_value_length(t["buckets"]).to_numpy()
-        hits = hit.to_numpy(zero_copy_only=False)
-        keep = np.zeros(len(t), dtype=bool)
-        pos = 0
-        for i, ln in enumerate(lengths):
-            keep[i] = hits[pos:pos + ln].any()
-            pos += ln
-        return t.filter(pa.array(keep)).drop_columns(["buckets"])
-
-    cand = bucketed.map_batches(cand_filter, batch_format="pyarrow")
-    top = knn_brute_force(cand, q, k, id_col, emb_col).to_pandas()
-    return top
+    return AnnIndex(ds, dim, n_planes, n_tables, id_col, emb_col).topk(q, k)

@@ -45,3 +45,47 @@ def test_ann_is_subset_quality_ordered():
     # scores are sorted desc and the query's own vector ranks first
     assert list(out["cosine"]) == sorted(out["cosine"], reverse=True)
     assert out.iloc[0]["cosine"] == 1.0
+
+
+class TestAnnIndex:
+    def test_persisted_index_reuse_and_saveload(self, ray_session, tmp_path):
+        import numpy as np
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.similarity import (
+            AnnIndex,
+            ann_lsh_topk,
+        )
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = ds.take(3)
+        dim = len(rows[0]["embedding"])
+        idx = AnnIndex(ds, dim)
+        for r in rows:
+            q = np.array(r["embedding"], dtype=np.float64)
+            fresh = ann_lsh_topk(ds, q, k=10)
+            reused = idx.topk(q, k=10)
+            assert fresh["vec_id"].tolist() == reused["vec_id"].tolist()
+        idx.save(str(tmp_path / "ann_index"))
+        loaded = AnnIndex.load(str(tmp_path / "ann_index"), dim)
+        q = np.array(rows[0]["embedding"], dtype=np.float64)
+        assert (loaded.topk(q, 10)["vec_id"].tolist()
+                == idx.topk(q, 10)["vec_id"].tolist())
+
+    def test_topk_many_matches_single(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.similarity import AnnIndex
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = ds.take(4)
+        dim = len(rows[0]["embedding"])
+        idx = AnnIndex(ds, dim)
+        qs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        many = idx.topk_many(qs, k=5)
+        for qi, r in enumerate(rows):
+            single = idx.topk(np.array(r["embedding"], dtype=np.float64),
+                              k=5)
+            got = many[many["query_ix"] == qi]["vec_id"].tolist()
+            assert got == single["vec_id"].tolist(), qi
