@@ -164,6 +164,7 @@ def merge_duplicate_relations(
     rows: list[dict],
     key_fields: tuple[str, str] = ("source", "target"),
     max_source_chunks: int | None = None,
+    rel_field: str = "relationship",
 ) -> list[dict]:
     """Exact dedup on (source, target, lower(relationship)).
 
@@ -179,7 +180,7 @@ def merge_duplicate_relations(
     merged: dict[tuple, dict] = {}
     kf_s, kf_t = key_fields
     for row in rows:
-        key = (row[kf_s], row[kf_t], row["relationship"].lower())
+        key = (row[kf_s], row[kf_t], row[rel_field].lower())
         cur = merged.get(key)
         if cur is None:
             cur = dict(row)

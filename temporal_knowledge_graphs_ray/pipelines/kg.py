@@ -617,17 +617,11 @@ def build_kg(
         # O(groups) scheduling overhead
         rows = group.to_dict("records")
         for r in rows:
-            r["source"] = r.pop("subj")
-            r["target"] = r.pop("obj")
-            r["relationship"] = r.pop("pred")
             r["source_chunks"] = list(r["source_chunks"])
         merged = merge_duplicate_relations(
-            rows, key_fields=("subj_id", "obj_id"),
+            rows, key_fields=("subj_id", "obj_id"), rel_field="pred",
             max_source_chunks=cfg.max_source_chunks)
         for m in merged:
-            m["subj"] = m.pop("source")
-            m["obj"] = m.pop("target")
-            m["pred"] = m.pop("relationship")
             m.pop("ekey_bucket", None)
         return pd.DataFrame(merged)
 
