@@ -1,0 +1,77 @@
+"""S1/S2/S3: file dispatch loader, markdown->text, gated PDF plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from temporal_knowledge_graphs_ray.functions.markdown_text import (
+    markdown_to_text,
+)
+
+
+class TestMarkdownToText:
+    def test_headers_paragraphs_emphasis(self):
+        md = ("# Title\n\nSome **bold** and *em* text with `code`.\n\n"
+              "## Sub ##\n\nNext para.")
+        assert markdown_to_text(md) == (
+            "Title\nSome bold and em text with code.\nSub\nNext para.")
+
+    def test_links_lists_quotes_fences(self):
+        md = ("A [link](https://x.example) here.\n\n"
+              "- item one\n- item two\n\n"
+              "1. first\n2) second\n\n"
+              "> quoted line\n\n"
+              "```python\nx = 1\n```\n\n---\n")
+        assert markdown_to_text(md) == (
+            "A link here.\nitem one\nitem two\nfirst\nsecond\n"
+            "quoted line\nx = 1")
+
+
+from temporal_knowledge_graphs_ray.sources.files import (  # noqa: E402
+    FakePdfReader as FakeReader,
+)
+
+
+class TestPdfGate:
+    def test_pdf_without_lib_raises_not_implemented(self, tmp_path):
+        from temporal_knowledge_graphs_ray.sources.files import load_pdf_text
+
+        p = tmp_path / "x.pdf"
+        p.write_bytes(b"%PDF-fake")
+        with pytest.raises(NotImplementedError):
+            load_pdf_text(str(p))
+
+    def test_page_join_and_skip_semantics_with_fake(self, tmp_path):
+        from temporal_knowledge_graphs_ray.sources.files import load_pdf_text
+
+        p = tmp_path / "x.pdf"
+        p.write_bytes(b"%PDF-fake")
+        # empty pages dropped, failing pages skipped, join = blank line
+        assert load_pdf_text(str(p), FakeReader) == "page one\n\npage two"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_documents_dispatch(tmp_path):
+    from temporal_knowledge_graphs_ray.sources.files import read_documents
+
+    (tmp_path / "a.txt").write_text("plain text body")
+    (tmp_path / "b.md").write_text("# Doc B\n\nHello *world*.")
+    (tmp_path / "c.html").write_text(
+        "<html><body><p> Hi </p><p>there</p></body></html>")
+    (tmp_path / "d.pdf").write_bytes(b"%PDF-fake")
+
+    paths = [str(tmp_path / n) for n in ("a.txt", "b.md", "c.html", "d.pdf")]
+    out = read_documents(paths, reader_factory=FakeReader).to_pandas()
+    by_name = {r["filename"]: r for _, r in out.iterrows()}
+    assert by_name["a.txt"]["text"] == "plain text body"
+    assert by_name["a.txt"]["content_type"] == "text"
+    assert by_name["b.md"]["text"] == "Doc B\nHello world."
+    assert by_name["c.html"]["text"] == "Hi\nthere"
+    assert by_name["d.pdf"]["text"] == "page one\n\npage two"
+    assert by_name["b.md"]["title"] == "b"
+    assert set(out.columns) == {"source", "title", "content_type",
+                                "filename", "file_size", "file_extension",
+                                "text"}
+
+    with pytest.raises(Exception):
+        read_documents([str(tmp_path / "x.docx")]).take_all()
