@@ -238,7 +238,7 @@ class CanonicalRewriteStage:
         )
 
 
-def rewrite_edges_distributed(edges_raw_ds, canonical_tbl: pa.Table,
+def rewrite_edges_distributed(edges_raw_ds, canonical_tbl,
                               cfg: EngineConfig,
                               num_partitions: int | None = None):
     """Edge-endpoint rewrite via Ray Data's DISTRIBUTED hash join — the
@@ -258,14 +258,22 @@ def rewrite_edges_distributed(edges_raw_ds, canonical_tbl: pa.Table,
         # limits shuffle parallelism
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(64, ncpu // 2))
-    jk = pcc.binary_join_element_wise(
-        canonical_tbl["type"].cast(pa.string()),
-        canonical_tbl["entity_key"].cast(pa.string()), "\x00")
-    resolve_ds = rd.from_arrow(pa.Table.from_arrays(
-        [jk.combine_chunks() if isinstance(jk, pa.ChunkedArray) else jk,
-         canonical_tbl["entity_id"].cast(pa.string()).combine_chunks(),
-         canonical_tbl["name"].cast(pa.string()).combine_chunks()],
-        names=["jk", "cm_id", "cm_name"]))
+
+    def _resolve_project(t: pa.Table) -> pa.Table:
+        jk = pcc.binary_join_element_wise(
+            t["type"].cast(pa.string()),
+            t["entity_key"].cast(pa.string()), "\x00")
+        return pa.Table.from_arrays(
+            [jk.combine_chunks() if isinstance(jk, pa.ChunkedArray) else jk,
+             t["entity_id"].cast(pa.string()).combine_chunks(),
+             t["name"].cast(pa.string()).combine_chunks()],
+            names=["jk", "cm_id", "cm_name"])
+
+    if isinstance(canonical_tbl, pa.Table):
+        resolve_ds = rd.from_arrow(_resolve_project(canonical_tbl))
+    else:  # a Dataset: the canonical map never touches the driver
+        resolve_ds = canonical_tbl.map_batches(_resolve_project,
+                                               batch_format="pyarrow")
 
     def _add_jk(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -583,31 +591,42 @@ def build_kg(
             columns=["type", "entity_key", "linked_name", "mention_count",
                      "valid_from"],
         )
-    canonical_ds = canonicalize(mentions_all, cfg).materialize()  # small
+    canonical_ds = canonicalize(mentions_all, cfg).materialize()  # distinct
     _mark("C1_canonicalize")
-    canonical_pdf = canonical_ds.to_pandas()
-    if canonical_pdf.empty:
-        canonical_tbl = CANONICAL_SCHEMA.empty_table()
-    else:
-        canonical_tbl = pa.Table.from_pandas(
-            canonical_pdf, schema=CANONICAL_SCHEMA, preserve_index=False,
-        )
+    n_canonical = canonical_ds.count()
+    use_broadcast = n_canonical <= cfg.canonical_broadcast_limit
 
-    # nodes = canonical rows where the member IS the canonical key
-    nodes_tbl = (
-        canonical_tbl.filter(
-            pc.equal(canonical_tbl["entity_key"],
-                     canonical_tbl["canonical_key"])
-        )
-        .select(["entity_id", "name", "type", "first_seen", "last_seen",
-                 "mention_count", "aliases"])
-        .cast(NODES_SCHEMA)
-    )
+    def _nodes_project(t: pa.Table) -> pa.Table:
+        # nodes = canonical rows where the member IS the canonical key
+        t = t.filter(pc.equal(t["entity_key"], t["canonical_key"]))
+        return t.select(["entity_id", "name", "type", "first_seen",
+                         "last_seen", "mention_count", "aliases"]).cast(
+                             NODES_SCHEMA)
+
     shutil.rmtree(nodes_dir, ignore_errors=True)
-    rd.from_arrow(nodes_tbl).write_parquet(nodes_dir)
-
-    use_broadcast = canonical_tbl.num_rows <= cfg.canonical_broadcast_limit
-    cmap_ref = put_canonical_map(canonical_tbl) if use_broadcast else None
+    if use_broadcast:
+        canonical_pdf = canonical_ds.to_pandas()
+        if canonical_pdf.empty:
+            canonical_tbl = CANONICAL_SCHEMA.empty_table()
+        else:
+            canonical_tbl = pa.Table.from_pandas(
+                canonical_pdf, schema=CANONICAL_SCHEMA, preserve_index=False,
+            )
+        nodes_tbl = _nodes_project(canonical_tbl)
+        rd.from_arrow(nodes_tbl).write_parquet(nodes_dir)
+        node_rows = nodes_tbl.num_rows
+        cmap_ref = put_canonical_map(canonical_tbl)
+    else:
+        # entity table too large to hold on the driver: nodes are written
+        # and the edge rewrite joined WITHOUT ever collecting the
+        # canonical map (no to_pandas, no broadcast)
+        nodes_out = canonical_ds.map_batches(_nodes_project,
+                                             batch_format="pyarrow")
+        nodes_out.write_parquet(nodes_dir)
+        node_rows = int(
+            pads.dataset(nodes_dir, format="parquet").count_rows())
+        canonical_tbl = None
+        cmap_ref = None
 
     import pandas as pd
 
@@ -632,8 +651,8 @@ def build_kg(
             CanonicalRewriteStage(cmap_ref, cfg), batch_format="pyarrow",
             batch_size=8192)
     else:
-        rewritten = rewrite_edges_distributed(edges_raw_ds, canonical_tbl,
-                                              cfg)
+        rewritten = rewrite_edges_distributed(
+            edges_raw_ds, canonical_ds, cfg)
     edges_final = (
         rewritten
         .groupby("ekey_bucket")
@@ -674,7 +693,7 @@ def build_kg(
         "tables": ["chunk_ents", "mentions", "edges_raw", "nodes", "edges"],
         "num_partitions": cfg.num_partitions,
         "edge_rows": sum(edge_counts.values()),
-        "node_rows": nodes_tbl.num_rows,
+        "node_rows": node_rows,
         "phase_sec": phase_sec,
         "cluster_cpus": ncpu,
         "extractor_compute": cfg.extractor_compute,
@@ -686,7 +705,7 @@ def build_kg(
         "edges_raw": edges_raw_dir,
         "nodes": nodes_dir,
         "edges": edges_dir,
-        "node_rows": nodes_tbl.num_rows,
+        "node_rows": node_rows,
         "edge_rows": sum(edge_counts.values()),
         "phase_sec": phase_sec,
     }
