@@ -101,3 +101,164 @@ def decode_media(ds, fake: bool = True, concurrency=(1, 4), batch_size: int = 64
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+RESIZED_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("payload", pa.binary()),
+])
+
+FRAMES_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("frame_index", pa.int32()),
+    ("frame", pa.binary()),
+])
+
+MEDIA_EMBED_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),
+    ("embedding", pa.list_(pa.float32())),
+])
+
+
+class ResizeStage:
+    """Actor-pool image resize. The real kernel (PIL/cv2 ``resize``) is
+    absent from this container; the fake computes the target box with the
+    real aspect-preserving arithmetic and truncates the payload
+    proportionally so output sizes are exercised. Construction mirrors
+    DecodeStage: library/codec load belongs in ``__init__``."""
+
+    def __init__(self, max_side: int = 224, fake: bool = False):
+        self.max_side = max_side
+        self.fake = fake
+
+    def _resize(self, payload: bytes, w: int, h: int) -> tuple[int, int, bytes]:
+        scale = min(1.0, self.max_side / max(w, h, 1))
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        if not self.fake:
+            raise NotImplementedError(
+                "image resize requires PIL/cv2 (absent); use fake=True")
+        keep = max(1, int(len(payload) * (nw * nh) / max(1, w * h)))
+        return nw, nh, payload[:keep]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        ws = batch["width"].to_pylist() if "width" in batch.column_names \
+            else [len(p) % 640 + 1 for p in payloads]
+        hs = batch["height"].to_pylist() if "height" in batch.column_names \
+            else [len(p) % 480 + 1 for p in payloads]
+        out = [self._resize(p, w, h) for p, w, h in zip(payloads, ws, hs)]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(types, pa.string()),
+             pa.array([o[0] for o in out], pa.int32()),
+             pa.array([o[1] for o in out], pa.int32()),
+             pa.array([o[2] for o in out], pa.binary())],
+            schema=RESIZED_SCHEMA,
+        )
+
+
+class FrameSampleStage:
+    """Video -> sampled frame rows (1 -> N Arrow fan-out, the same shape
+    as the chunker). The fake "codec" slices the payload into
+    ``num_frames`` equal byte windows; a real ffmpeg-backed decoder plugs
+    into ``_frames`` without touching the pipeline shape."""
+
+    def __init__(self, num_frames: int = 4, fake: bool = False):
+        self.num_frames = num_frames
+        self.fake = fake
+
+    def _frames(self, payload: bytes) -> list[bytes]:
+        if not self.fake:
+            raise NotImplementedError(
+                "frame sampling requires ffmpeg (absent); use fake=True")
+        n = max(1, min(self.num_frames, len(payload)))
+        step = max(1, len(payload) // n)
+        return [payload[i * step:(i + 1) * step] for i in range(n)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fids, frames = [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            for i, fr in enumerate(self._frames(payload)):
+                ids.append(mid)
+                fids.append(i)
+                frames.append(fr)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(fids, pa.int32()),
+             pa.array(frames, pa.binary())],
+            schema=FRAMES_SCHEMA,
+        )
+
+
+class MediaFeatureStage:
+    """Payload -> deterministic feature embedding. NOT a stub: hashed
+    byte-trigram counts, L2-normalized (the binary analogue of the text
+    hash embedder) — a real vectorized kernel standing in for a vision
+    encoder, which would load in ``__init__`` and batch in ``__call__``."""
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def _embed(self, payload: bytes):
+        import numpy as np
+        import zlib
+
+        vec = np.zeros(self.dim, dtype=np.float32)
+        if payload:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            if len(arr) >= 3:
+                tri = (arr[:-2].astype(np.int64) * 65536
+                       + arr[1:-1].astype(np.int64) * 256
+                       + arr[2:].astype(np.int64))
+                salt = zlib.crc32(payload[:16]) & 0xFF
+                np.add.at(vec, (tri + salt) % self.dim, 1.0)
+            n = float(np.linalg.norm(vec))
+            if n > 0:
+                vec /= n
+        return vec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        types = (batch["media_type"].to_pylist()
+                 if "media_type" in batch.column_names
+                 else ["image"] * len(ids))
+        payloads = (batch["payload"].to_pylist()
+                    if "payload" in batch.column_names
+                    else batch["frame"].to_pylist())
+        vecs = [self._embed(p).tolist() for p in payloads]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(types, pa.string()),
+             pa.array(vecs, pa.list_(pa.float32()))],
+            schema=MEDIA_EMBED_SCHEMA,
+        )
+
+
+def resize_media(ds, max_side: int = 224, fake: bool = True,
+                 concurrency=(1, 4), batch_size: int = 64):
+    return ds.map_batches(
+        ResizeStage, fn_constructor_kwargs={"max_side": max_side,
+                                            "fake": fake},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def sample_frames(ds, num_frames: int = 4, fake: bool = True,
+                  concurrency=(1, 4), batch_size: int = 32):
+    return ds.map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"num_frames": num_frames,
+                                                 "fake": fake},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def embed_media(ds, dim: int = 64, concurrency=(1, 4),
+                batch_size: int = 128):
+    return ds.map_batches(
+        MediaFeatureStage, fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
