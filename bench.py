@@ -244,18 +244,26 @@ def run_scaling() -> dict:
     # the 4->16 pair exposes the most hardware scaling headroom while still
     # being an N-vs-4N comparison.
     lo, hi = 4, 16
-    r_lo = run(lo)
-    # settle between children: the previous child's Ray session leaves
-    # object-store spill cleanup + page-cache churn behind for ~seconds;
-    # measured impact on the next child is up to ~35% wall time. The hi
-    # leg runs twice (best-of) to shed any residual artifact — it is the
-    # short leg, so the extra run is cheap.
-    time.sleep(15)
-    h1 = run(hi)
-    time.sleep(15)
-    h2 = run(hi)
-    r_hi = h1 if h1["value"] <= h2["value"] else h2
-    hi_runs = [round(h1["value"], 3), round(h2["value"], 3)]
+
+    def settle() -> None:
+        # a finished child leaves GBs of spilled objects under /tmp/ray;
+        # the disk/page-cache churn they cause inflates the NEXT child's
+        # wall time by up to ~85% (measured sec_hi_runs [161s, 86s]).
+        # Purge stale session dirs and let IO settle before measuring.
+        shutil.rmtree("/tmp/ray", ignore_errors=True)
+        time.sleep(10)
+
+    # symmetric best-of-2 per leg (both runs reported): within-leg spread
+    # on this shared box exceeds the 4-vs-16 effect being measured, so a
+    # single sample per leg is noise, not signal
+    runs = {}
+    for ncpu in (lo, hi, lo, hi):
+        settle()
+        runs.setdefault(ncpu, []).append(run(ncpu))
+    r_lo = min(runs[lo], key=lambda r: r["value"])
+    r_hi = min(runs[hi], key=lambda r: r["value"])
+    lo_runs = [round(r["value"], 3) for r in runs[lo]]
+    hi_runs = [round(r["value"], 3) for r in runs[hi]]
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     ceiling = _kernel_ceiling(lo, hi)
@@ -267,6 +275,7 @@ def run_scaling() -> dict:
         "cpus_hi": hi,
         "sec_lo": t_lo,
         "sec_hi": t_hi,
+        "sec_lo_runs": lo_runs,
         "sec_hi_runs": hi_runs,
         "triples_per_sec_lo": r_lo["triples_per_sec"],
         "triples_per_sec_hi": r_hi["triples_per_sec"],
