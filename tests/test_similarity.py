@@ -89,3 +89,44 @@ class TestAnnIndex:
                               k=5)
             got = many[many["query_ix"] == qi]["vec_id"].tolist()
             assert got == single["vec_id"].tolist(), qi
+
+
+class TestNeardupLsh:
+    def test_planted_neardups_found_exactly(self, ray_session):
+        """LSH-bucketed near-dup (scale path) finds exactly the pairs the
+        exact all-pairs scan finds, on a corpus with PLANTED near-dups."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.functions.hashing import (
+            stable_hash64,
+        )
+        from temporal_knowledge_graphs_ray.stages.similarity import (
+            neardup_pairs_cosine,
+            neardup_pairs_lsh,
+        )
+
+        dim, n_base = 32, 300
+        rng = np.random.RandomState(stable_hash64("neardup-fixture")
+                                    % (2 ** 32))
+        base = rng.standard_normal((n_base, dim))
+        rows = list(base)
+        # plant 25 near-duplicates: copy + small noise (cosine ~0.97+)
+        for i in range(25):
+            src = base[i * 7 % n_base]
+            rows.append(src + 0.08 * rng.standard_normal(dim))
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(rows)), pa.int64()),
+            "embedding": pa.array(
+                [r.astype(np.float32).tolist() for r in rows],
+                pa.list_(pa.float32())),
+        })
+        ds = rd.from_arrow(tbl)
+        exact = neardup_pairs_cosine(ds, threshold=0.9,
+                                     limit_ids=len(rows))
+        approx = neardup_pairs_lsh(ds, threshold=0.9, dim=dim)
+        assert len(exact) >= 25
+        assert approx[["a", "b"]].values.tolist() == \
+            exact[["a", "b"]].values.tolist()
+        assert np.allclose(approx["cosine"], exact["cosine"], atol=1e-6)
