@@ -17,6 +17,8 @@ oracle bit-for-bit (modulo rounding at 1e-12, handled by ROUND in both).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -379,6 +381,109 @@ def neardup_pairs_lsh(ds, threshold: float = 0.9, n_planes: int = 8,
     if out.empty:
         return empty
     return out.sort_values(["a", "b"], ignore_index=True)
+
+
+class IvfIndex:
+    """IVF-Flat ANN: deterministic k-means coarse quantizer + inverted
+    lists — the data-DEPENDENT counterpart to the LSH index (clustered
+    real embeddings partition far better by learned centroids than by
+    random hyperplanes).
+
+    - train: Lloyd iterations in numpy over a driver-side sample
+      (deterministic seed, no wall clock) — the classic IVF recipe;
+    - assign: one ``map_batches`` pass appends ``list_id`` (argmax cosine
+      against the broadcast centroid matrix), materialized/persistable;
+    - query: probe the ``nprobe`` nearest lists, exact rescore inside.
+    """
+
+    def __init__(self, ds, dim: int, n_lists: int = 16,
+                 train_sample: int = 2048, iters: int = 10, seed: int = 11,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        self.dim = dim
+        self.n_lists = n_lists
+        self.id_col = id_col
+        self.emb_col = emb_col
+        if ds is None:
+            self.centroids = None
+            self.assigned = None
+            return
+        sample = ds.limit(train_sample).take_all()
+        m = _norm_rows(np.array([r[emb_col] for r in sample],
+                                dtype=np.float64))
+        rng = np.random.RandomState(stable_hash64(f"ivf-{seed}") % (2**32))
+        k_eff = min(n_lists, len(m))
+        cent = m[rng.choice(len(m), size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            assign = (m @ cent.T).argmax(axis=1)
+            for c in range(k_eff):
+                members = m[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        cent[c] = v / n
+        self.centroids = cent
+        self.assigned = ds.map_batches(
+            self._assign_stage(), batch_format="pyarrow",
+            batch_size=4096).materialize()
+
+    def _assign_stage(self):
+        cent = self.centroids
+        emb_col, id_col = self.emb_col, self.id_col
+
+        def fn(t: pa.Table) -> pa.Table:
+            m = _norm_rows(_to_matrix(t[emb_col]))
+            lists = (m @ cent.T).argmax(axis=1).astype(np.int32)
+            return t.append_column("list_id", pa.array(lists))
+
+        return fn
+
+    def save(self, path: str) -> None:
+        import shutil as _sh
+
+        _sh.rmtree(path, ignore_errors=True)
+        self.assigned.write_parquet(os.path.join(path, "lists"),
+                                    partition_cols=["list_id"])
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"centroid": pa.array(
+                [c.tolist() for c in self.centroids],
+                pa.list_(pa.float64()))}),
+            os.path.join(path, "centroids.parquet"))
+
+    @classmethod
+    def load(cls, path: str, id_col: str = "vec_id",
+             emb_col: str = "embedding") -> "IvfIndex":
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        idx = cls(None, 0, id_col=id_col, emb_col=emb_col)
+        idx.centroids = np.array(
+            pq.read_table(os.path.join(path, "centroids.parquet"))
+            ["centroid"].to_pylist(), dtype=np.float64)
+        idx.dim = idx.centroids.shape[1]
+        idx.n_lists = len(idx.centroids)
+        idx.assigned = rd.read_parquet(os.path.join(path, "lists"))
+        return idx
+
+    def topk(self, query_vec: np.ndarray, k: int = 10,
+             nprobe: int = 4) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        order = np.argsort(-(self.centroids @ qn))
+        probe = pa.array(sorted(int(x) for x in order[:nprobe]),
+                         pa.int32())
+
+        def in_lists(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["list_id"].cast(pa.int32()),
+                                     value_set=probe))
+
+        cand = self.assigned.map_batches(in_lists, batch_format="pyarrow")
+        return knn_brute_force(cand, q, k, self.id_col,
+                               self.emb_col).to_pandas()
 
 
 def ann_lsh_topk(ds, query_vec: np.ndarray, k: int = 10, dim: int | None = None,

@@ -130,3 +130,65 @@ class TestNeardupLsh:
         assert approx[["a", "b"]].values.tolist() == \
             exact[["a", "b"]].values.tolist()
         assert np.allclose(approx["cosine"], exact["cosine"], atol=1e-6)
+
+
+class TestIvfIndex:
+    def _clustered(self, n_clusters=8, per=40, dim=24):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.functions.hashing import (
+            stable_hash64,
+        )
+
+        rng = np.random.RandomState(stable_hash64("ivf-fixture") % (2**32))
+        centers = rng.standard_normal((n_clusters, dim)) * 5
+        rows = []
+        for c in range(n_clusters):
+            for _ in range(per):
+                rows.append(centers[c] + 0.3 * rng.standard_normal(dim))
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(rows)), pa.int64()),
+            "embedding": pa.array(
+                [r.astype("float32").tolist() for r in rows],
+                pa.list_(pa.float32())),
+        })
+        return rd.from_arrow(tbl), dim
+
+    def test_recall_on_clustered_data(self, ray_session):
+        import numpy as np
+
+        from temporal_knowledge_graphs_ray.stages.similarity import (
+            IvfIndex,
+            knn_brute_force,
+        )
+
+        ds, dim = self._clustered()
+        idx = IvfIndex(ds, dim, n_lists=8)
+        rows = ds.take(6)
+        recalls = []
+        for r in rows:
+            q = np.array(r["embedding"], dtype=np.float64)
+            exact = set(knn_brute_force(ds, q, 10).to_pandas()["vec_id"])
+            approx = set(idx.topk(q, 10, nprobe=2)["vec_id"])
+            recalls.append(len(exact & approx) / len(exact))
+        # clustered data: probing 2 of 8 learned lists recovers the top-k
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    def test_deterministic_and_saveload(self, ray_session, tmp_path):
+        import numpy as np
+
+        from temporal_knowledge_graphs_ray.stages.similarity import IvfIndex
+
+        ds, dim = self._clustered()
+        a = IvfIndex(ds, dim, n_lists=8)
+        b = IvfIndex(ds, dim, n_lists=8)
+        assert np.array_equal(a.centroids, b.centroids)
+        q = np.array(ds.take(1)[0]["embedding"], dtype=np.float64)
+        assert a.topk(q, 5)["vec_id"].tolist() == \
+            b.topk(q, 5)["vec_id"].tolist()
+        a.save(str(tmp_path / "ivf"))
+        loaded = IvfIndex.load(str(tmp_path / "ivf"))
+        assert loaded.topk(q, 5)["vec_id"].tolist() == \
+            a.topk(q, 5)["vec_id"].tolist()
