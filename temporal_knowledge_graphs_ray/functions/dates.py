@@ -23,12 +23,34 @@ _QUARTER_END = {  # quarter -> (month, day)
 }
 
 
+import re as _re
+
+# fast paths for the two formats that dominate extraction output; must
+# accept EXACTLY what strptime accepts for them (strptime allows 1-2
+# digit month/day, rejects out-of-range values via datetime())
+_ISO_RE = _re.compile(r"^(\d{4})-(\d{1,2})-(\d{1,2})$")
+_YEAR_RE = _re.compile(r"^\d{4}$")
+
+
 def parse_date(date_str: str | None) -> datetime | None:
     if not date_str or str(date_str).lower() in _NULLISH:
         return None
+    s = str(date_str)
+    m = _ISO_RE.match(s)
+    if m:  # %Y-%m-%d without the ~17 us strptime machinery
+        try:
+            return datetime(int(m.group(1)), int(m.group(2)),
+                            int(m.group(3)))
+        except ValueError:
+            return None  # strptime would also fail every later format
+    if _YEAR_RE.match(s):  # %Y
+        try:
+            return datetime(int(s), 1, 1)
+        except ValueError:  # year 0000 — strptime also yields None
+            return None
     for fmt in _FORMATS:
         try:
-            return datetime.strptime(str(date_str), fmt)
+            return datetime.strptime(s, fmt)
         except ValueError:
             continue
     return None
