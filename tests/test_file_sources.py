@@ -75,3 +75,17 @@ def test_read_documents_dispatch(tmp_path):
 
     with pytest.raises(Exception):
         read_documents([str(tmp_path / "x.docx")]).take_all()
+
+
+class TestMarkdownFuzz:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_markdown_to_text_never_raises(self, md):
+        out = markdown_to_text(md)
+        assert isinstance(out, str)
+        # contract: no blank lines, every line stripped
+        for line in out.splitlines():
+            assert line == line.strip() and line != ""

@@ -102,3 +102,23 @@ def test_llm_extractor_stage_with_canned_responses():
     # schema identical to the rule-based stage's output
     cols = set(out.columns)
     assert cols == set(CHUNK_ENTS_SCHEMA.names)
+
+
+class TestRepairFuzz:
+    """The repair path's contract is fault-tolerance: ANY input yields a
+    list, never an exception (the reference returns [] on all failures)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def test_parse_never_raises(self, content):
+        out = parse_llm_entities(content)
+        assert isinstance(out, list)
+
+    @given(st.text(alphabet="[]{}'\",:`json \n\\abc01", max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def test_parse_never_raises_jsonish(self, content):
+        out = parse_llm_entities(content)
+        assert isinstance(out, list)
