@@ -78,6 +78,49 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Evidence-coverage evaluation (reference scripts/evaluate_tkg.py
+    analog): join the question set's evidence urls against the built KG's
+    chunks/mentions and report coverage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .pipelines.evaluate import evidence_join
+    from .sources.synth import page_url
+
+    _init_ray(args.num_cpus)
+    if args.questions:
+        questions = pq.read_table(args.questions)
+    else:
+        docs = pq.read_table(f"{args.from_documents}/documents.parquet",
+                             columns=["doc_id"])
+        qids = [int(d) for d in docs["doc_id"].to_pylist()]
+        questions = pa.Table.from_pydict({
+            "question_id": pa.array(qids, pa.int64()),
+            "url": pa.array([page_url(q) for q in qids], pa.string()),
+        })
+    out = evidence_join(
+        questions,
+        rd.read_parquet(f"{args.kg}/chunk_ents", columns=["url"]),
+        rd.read_parquet(f"{args.kg}/mentions", columns=["url"]),
+    )
+    covered = int(out["covered"].sum())
+    print(json.dumps({
+        "n_questions": len(out),
+        "n_covered": covered,
+        "coverage": round(covered / max(1, len(out)), 4),
+        "mean_evidence_chunks": round(
+            float(out["n_evidence_chunks"].mean()), 3),
+        "mean_evidence_mentions": round(
+            float(out["n_evidence_mentions"].mean()), 3),
+    }))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="temporal_knowledge_graphs_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -100,7 +143,18 @@ def main(argv=None) -> int:
     p = sub.add_parser("verify")
     p.add_argument("--out", required=True)
 
+    p = sub.add_parser("eval")
+    p.add_argument("--kg", required=True, help="built KG output dir")
+    p.add_argument("--questions",
+                   help="questions Parquet (question_id, url)")
+    p.add_argument("--from-documents",
+                   help="testdata dir: synthesize questions from "
+                        "documents.parquet")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
+    if args.cmd == "eval":
+        return cmd_eval(args)
     if args.cmd == "build":
         return cmd_build(args, resume=False)
     if args.cmd == "resume":
