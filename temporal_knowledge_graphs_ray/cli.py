@@ -121,6 +121,27 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation funnel over a documents Parquet."""
+    import ray
+    import ray.data as rd
+
+    from .pipelines.curate import curate_corpus
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.documents, columns=["doc_id", "text"])
+    report = curate_corpus(
+        ds, args.out,
+        languages=set(args.languages.split(",")) if args.languages else None,
+        min_words=args.min_words,
+        max_punct_ratio=args.max_punct_ratio,
+        jaccard_threshold=args.jaccard_threshold,
+    )
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="temporal_knowledge_graphs_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -152,9 +173,22 @@ def main(argv=None) -> int:
                         "documents.parquet")
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("curate")
+    p.add_argument("--documents", required=True,
+                   help="documents Parquet path/dir (doc_id, text)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--languages", default=None,
+                   help="comma-separated allowlist, e.g. en,de")
+    p.add_argument("--min-words", type=int, default=5)
+    p.add_argument("--max-punct-ratio", type=float, default=0.3)
+    p.add_argument("--jaccard-threshold", type=float, default=0.8)
+    p.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
     if args.cmd == "eval":
         return cmd_eval(args)
+    if args.cmd == "curate":
+        return cmd_curate(args)
     if args.cmd == "build":
         return cmd_build(args, resume=False)
     if args.cmd == "resume":

@@ -1,0 +1,147 @@
+"""Corpus curation: the composed training-data pipeline.
+
+What a 100 TB pretraining-data run does with this engine's operators, as
+one Dataset flow (each stage is independently tested; this composes them
+in the standard curation order so a user gets the whole story in one
+call):
+
+    read documents
+      -> ONE map_batches pass computing language id + quality signals +
+         content fingerprint (text is read once; all per-doc signals come
+         out of the same kernel call)
+      -> filter: language allowlist, length bounds, punctuation ratio
+      -> exact dedup: hash-partitioned groupby(fingerprint) -> min doc_id,
+         survivors selected with Ray's native LEFT SEMI hash join
+      -> near-dup removal: MinHash-LSH candidates + distributed exact
+         Jaccard verify; for each verified pair the larger doc_id drops
+         (union-find cluster representative = min id)
+      -> write curated Parquet (+ a JSON funnel report)
+
+Scale notes: the only driver-side state is the near-dup DROP set (ids of
+near-duplicate losers — a tiny fraction of the corpus by construction;
+swap for a Bloom filter / anti-join at extreme dup rates). Everything
+else is map_batches, one groupby, and one semi-join.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+from ..functions.textstats import (
+    detect_language,
+    fingerprint,
+    quality_signals,
+)
+from ..functions.unionfind import cluster_pairs
+
+
+def _signal_stage(text_col: str, id_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sigs = [quality_signals(t) for t in texts]
+        return pa.Table.from_arrays(
+            [
+                batch[id_col],
+                batch[text_col],
+                pa.array([detect_language(t) for t in texts], pa.string()),
+                pa.array([s["n_words"] for s in sigs], pa.int64()),
+                pa.array([s["punct_ratio"] for s in sigs], pa.float64()),
+                pa.array([fingerprint(t) for t in texts], pa.string()),
+            ],
+            names=[id_col, text_col, "lang_pred", "n_words",
+                   "punct_ratio", "fingerprint"],
+        )
+
+    return fn
+
+
+def curate_corpus(
+    ds,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: set[str] | None = None,
+    min_words: int = 5,
+    max_punct_ratio: float = 0.3,
+    jaccard_threshold: float = 0.8,
+    num_bands: int = 32,
+    join_partitions: int | None = None,
+) -> dict:
+    """documents Dataset -> curated Parquet under ``out_dir``; returns the
+    funnel report (counts per stage)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..stages.dedup import minhash_verified_pairs
+
+    report: dict = {}
+    report["input_docs"] = ds.count()
+
+    sig = ds.map_batches(_signal_stage(text_col, id_col),
+                         batch_format="pyarrow", batch_size=1024)
+
+    langs = sorted(languages) if languages else None
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["n_words"], pa.scalar(min_words)),
+            pc.less_equal(t["punct_ratio"], pa.scalar(max_punct_ratio)),
+        )
+        if langs is not None:
+            keep = pc.and_(keep, pc.is_in(t["lang_pred"],
+                                          value_set=pa.array(langs)))
+        return t.filter(keep)
+
+    filtered = sig.map_batches(keep_filter,
+                               batch_format="pyarrow").materialize()
+    report["after_quality_filter"] = filtered.count()
+
+    # exact dedup: winner per fingerprint, survivors via native semi-join
+    if join_partitions is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        join_partitions = max(2, min(64, ncpu // 2))
+    winners = (
+        filtered.select_columns(["fingerprint", id_col])
+        .groupby("fingerprint")
+        .aggregate(Min(id_col, alias_name=id_col))
+    )
+    exact_unique = filtered.join(
+        winners, "left_semi", join_partitions, on=(id_col,),
+    ).materialize()
+    report["after_exact_dedup"] = exact_unique.count()
+
+    # near-dup: drop every cluster member except the min id
+    pairs = minhash_verified_pairs(
+        exact_unique, text_col=text_col, id_col=id_col,
+        num_bands=num_bands, jaccard_threshold=jaccard_threshold)
+    drop: set = set()
+    for cluster in cluster_pairs(list(zip(pairs["a"], pairs["b"]))):
+        drop.update(sorted(cluster)[1:])
+    report["neardup_pairs"] = len(pairs)
+    report["neardup_dropped"] = len(drop)
+    if drop:
+        drop_arr = pa.array(sorted(drop), pa.int64())
+        curated = exact_unique.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t[id_col].cast(pa.int64()),
+                                   value_set=drop_arr))),
+            batch_format="pyarrow",
+        )
+    else:
+        curated = exact_unique
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    (curated.select_columns([id_col, text_col, "lang_pred", "n_words"])
+     .write_parquet(out_dir))
+    report["curated_docs"] = rd.read_parquet(out_dir).count()
+    with open(os.path.join(out_dir, "_curation_report.json"), "w") as f:
+        json.dump(report, f)
+    return report

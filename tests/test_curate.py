@@ -1,0 +1,55 @@
+"""Composed curation pipeline: quality filter -> exact dedup (native
+semi-join) -> near-dup removal -> curated Parquet + funnel report."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_funnel(tmp_path):
+    import duckdb
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.curate import curate_corpus
+
+    base = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "'/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id"
+    ).arrow()
+    ids = base["doc_id"].to_pylist()
+    texts = base["text"].to_pylist()
+    nxt = max(ids) + 1
+    rows = list(zip(ids, texts))
+    # plant: 3 exact duplicates, 2 whitespace-variant duplicates (same
+    # fingerprint), and junk rows the quality filter must drop
+    rows += [(nxt + 0, texts[0]), (nxt + 1, texts[1]), (nxt + 2, texts[2])]
+    rows += [(nxt + 3, "  " + texts[3].replace("\n", " \n") + "  ")]
+    rows += [(nxt + 4, "!!! ??? ;;; ###"), (nxt + 5, "one two")]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.large_string()),
+    })
+    ds = rd.from_arrow(tbl)
+
+    out = str(tmp_path / "curated")
+    report = curate_corpus(ds, out, min_words=5, max_punct_ratio=0.3)
+
+    assert report["input_docs"] == len(rows)
+    # junk dropped by the quality gate
+    assert report["after_quality_filter"] <= len(rows) - 2
+    # 4 planted fingerprint-duplicates removed, originals kept
+    assert (report["after_quality_filter"] - report["after_exact_dedup"]
+            >= 4)
+    assert report["curated_docs"] == (report["after_exact_dedup"]
+                                      - report["neardup_dropped"])
+
+    kept = rd.read_parquet(out).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    # exact-dup winners are the MIN ids: originals survive, plants don't
+    for orig, plant in ((ids[0], nxt + 0), (ids[1], nxt + 1),
+                        (ids[2], nxt + 2)):
+        assert orig in kept_ids and plant not in kept_ids
+    assert nxt + 4 not in kept_ids and nxt + 5 not in kept_ids
+    assert set(kept.columns) == {"doc_id", "text", "lang_pred", "n_words"}
