@@ -74,6 +74,13 @@ class EngineConfig:
     # longer broadcastable
     canonical_broadcast_limit: int = 5_000_000
 
+    # global-phase shuffle gate: below this many POST-COMBINE rows the
+    # canonicalize / edge-merge reducers run as one task instead of an
+    # all-to-all shuffle — Ray's sort-shuffle barrier costs ~1.4 s even
+    # for a 5k-row table, pure overhead at small scale; above it the
+    # bucketed shuffle paths engage unchanged
+    small_shuffle_rows: int = 500_000
+
     # --- canonicalization blocking ---
     blocking_prefix_len: int = 4  # (type, skey[:4]) blocking key
     salt_buckets: int = 8  # salting factor for hub-key partial aggregation

@@ -653,10 +653,27 @@ def build_kg(
     else:
         rewritten = rewrite_edges_distributed(
             edges_raw_ds, canonical_ds, cfg)
+    # same small-shuffle gate as canonicalize: the rewrite stage already
+    # partial-merged per batch, so its output is ~distinct triples; below
+    # the gate the global merge runs as one call instead of paying the
+    # all-to-all barrier for a few thousand rows
+    rewritten = rewritten.materialize()
+    if rewritten.count() <= cfg.small_shuffle_rows:
+        df_all = rewritten.to_pandas()
+        if df_all.empty:
+            merged_src = rewritten.limit(0)
+        else:
+            # driver-side bucket split, parallel merge tasks (one per
+            # bucket block) — no all-to-all for a small triple table
+            frames = [g for _, g in df_all.groupby("ekey_bucket",
+                                                   sort=True)]
+            merged_src = rd.from_pandas(frames).map_batches(
+                final_merge, batch_format="pandas", batch_size=None)
+    else:
+        merged_src = (rewritten.groupby("ekey_bucket")
+                      .map_groups(final_merge, batch_format="pandas"))
     edges_final = (
-        rewritten
-        .groupby("ekey_bucket")
-        .map_groups(final_merge, batch_format="pandas")
+        merged_src
         .map_batches(
             lambda t: pa.Table.from_arrays(
                 [
