@@ -75,11 +75,13 @@ class EngineConfig:
     canonical_broadcast_limit: int = 5_000_000
 
     # global-phase shuffle gate: below this many POST-COMBINE rows the
-    # canonicalize / edge-merge reducers run as one task instead of an
-    # all-to-all shuffle — Ray's sort-shuffle barrier costs ~1.4 s even
-    # for a 5k-row table, pure overhead at small scale; above it the
-    # bucketed shuffle paths engage unchanged
-    small_shuffle_rows: int = 500_000
+    # canonicalize / edge-merge reducers run as driver-split parallel
+    # bucket tasks instead of an all-to-all shuffle — Ray's sort-shuffle
+    # barrier costs ~1 s even for a 5k-row table, pure overhead at small
+    # scale. The gate is deliberately TIGHT: the driver split serializes
+    # a gather + groupby, which at a few hundred thousand rows (measured
+    # at 1.28M pages) costs more than the shuffle it avoids.
+    small_shuffle_rows: int = 50_000
 
     # --- canonicalization blocking ---
     blocking_prefix_len: int = 4  # (type, skey[:4]) blocking key

@@ -659,12 +659,12 @@ def build_kg(
     # all-to-all barrier for a few thousand rows
     rewritten = rewritten.materialize()
     if rewritten.count() <= cfg.small_shuffle_rows:
+        # driver-side bucket split, parallel merge tasks (one per bucket
+        # block) — no all-to-all for a small triple table
         df_all = rewritten.to_pandas()
         if df_all.empty:
             merged_src = rewritten.limit(0)
         else:
-            # driver-side bucket split, parallel merge tasks (one per
-            # bucket block) — no all-to-all for a small triple table
             frames = [g for _, g in df_all.groupby("ekey_bucket",
                                                    sort=True)]
             merged_src = rd.from_pandas(frames).map_batches(
