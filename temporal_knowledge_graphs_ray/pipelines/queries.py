@@ -298,6 +298,47 @@ def q_tumbling_window(sf_dir: str, window_s: int = 3600):
     return out.sort_values("window_id", ignore_index=True)
 
 
+def q_hopping_window(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
+    """Hopping (sliding) window counts: each event lands in
+    window_s/hop_s overlapping windows — a 1->N Arrow fan-out per batch
+    followed by the same groupby-aggregate as the tumbling case (§2.8;
+    the remaining streaming-window shape beyond tumbling + session)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    w_us = window_s * 1_000_000
+    h_us = hop_s * 1_000_000
+    per_event = w_us // h_us  # windows covering each event
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        # last window starting at or before ts: floor(ts / hop); the
+        # event belongs to windows [floor(ts/hop) - per_event + 1 ..
+        # floor(ts/hop)] clipped at 0
+        last = ts // h_us
+        offs = np.arange(per_event, dtype=np.int64)
+        wids = (last[:, None] - offs[None, :]).reshape(-1)
+        keep = wids >= 0
+        return pa.Table.from_arrays(
+            [pa.array(wids[keep]),
+             pa.array(np.repeat(vals, per_event)[keep])],
+            names=["window_id", "value"],
+        )
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow", batch_size=65536)
+        .groupby("window_id")
+        .aggregate(Count(alias_name="n"),
+                   Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = round_half_away(out["sum_value"], 2)
+    return out.sort_values("window_id", ignore_index=True)
+
+
 def q_sessionize(sf_dir: str, gap_s: int = 1800):
     """Session windows per user (gap-based), groupby+map_groups over the
     ordered per-key log (§2.8 pattern)."""

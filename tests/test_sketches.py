@@ -93,3 +93,26 @@ class TestCountMin:
             "GROUP BY lang").fetchall())
         for v, c in got:
             assert c >= exact[v]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hopping_window_matches_sql_oracle():
+    """q_hopping_window vs a DuckDB unnest-range oracle (window width
+    3600s, hop 900s -> every event in 4 overlapping windows)."""
+    from temporal_knowledge_graphs_ray.pipelines.queries import (
+        q_hopping_window,
+    )
+
+    got = q_hopping_window(SF)
+    oracle = duckdb.sql(f"""
+        WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS us, value
+                   FROM '{SF}/events.parquet'),
+             x AS (SELECT us // 900000000 - o AS window_id, value
+                   FROM e, unnest([0, 1, 2, 3]) AS t(o)
+                   WHERE us // 900000000 - o >= 0)
+        SELECT window_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM x GROUP BY window_id ORDER BY window_id
+    """).df()
+    assert got["window_id"].tolist() == oracle["window_id"].tolist()
+    assert got["n"].tolist() == oracle["n"].tolist()
+    assert got["sum_value"].tolist() == oracle["sum_value"].tolist()
