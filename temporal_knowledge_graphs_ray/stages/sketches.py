@@ -86,6 +86,75 @@ class HllDistinct(AggregateFnV2):
         return int(round(est))
 
 
+class BottomKSample(AggregateFnV2):
+    """Deterministic uniform sample of DISTINCT values via bottom-k
+    hashing (a.k.a. KMV): keep the k values with the smallest stable
+    hashes. Merge = union + re-trim — associative, so the sample is
+    IDENTICAL at any parallelism, under retries, and across runs (unlike
+    reservoir sampling, which needs RNG state). The k-th smallest hash
+    also yields a distinct-count estimate (KMV estimator: (k-1) / h_k
+    normalized to the hash range).
+
+    Usage: ``ds.aggregate(BottomKSample(on="doc_id", k=100))`` ->
+    {"sample": [...k values...], "distinct_estimate": int}.
+    """
+
+    def __init__(self, on: str, k: int = 64, seed: int = 0,
+                 alias_name: str | None = None):
+        self._k = k
+        self._seed = seed
+        super().__init__(alias_name or f"bottomk({on})",
+                         zero_factory=list,  # [(hash, value)] sorted
+                         on=on, ignore_nulls=True)
+
+    def aggregate_block(self, block):
+        col = self.get_target_column()
+        if isinstance(block, pa.Table):
+            vals = block[col].to_pylist()
+        else:
+            vals = block[col].tolist()
+        pairs = {(fast_hash64(str(v), self._seed), v) for v in vals}
+        return sorted(pairs)[:self._k]
+
+    def combine(self, a, b):
+        return sorted(set(a) | set(b))[:self._k]
+
+    def finalize(self, state):
+        sample = [v for _, v in state]
+        est = len(sample)
+        if len(state) == self._k and state:
+            # KMV: k-th smallest of n uniform hashes ~ k/(n+1) of range
+            h_k = state[-1][0] / float(2 ** 63)
+            if h_k > 0:
+                est = int(round((self._k - 1) / h_k))
+        return {"sample": sample, "distinct_estimate": est}
+
+
+def train_val_split(ds, val_frac: float, key_col: str, seed: int = 0):
+    """Deterministic hash split: (train_ds, val_ds). Rows route by
+    ``fast_hash64(key) % 10_000`` so the assignment is stable across
+    runs, retries and cluster sizes, and all rows sharing a key land on
+    the same side (no leakage between splits for grouped data)."""
+    import pyarrow.compute as pc
+
+    cut = int(round(val_frac * 10_000))
+
+    def side(want_val: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            buckets = pa.array(
+                [fast_hash64(str(v), seed) % 10_000
+                 for v in t[key_col].to_pylist()], pa.int64())
+            mask = pc.less(buckets, pa.scalar(cut))
+            if not want_val:
+                mask = pc.invert(mask)
+            return t.filter(mask)
+
+        return fn
+
+    return (ds.map_batches(side(False), batch_format="pyarrow"),
+            ds.map_batches(side(True), batch_format="pyarrow"))
+
+
 class CountMinTopK(AggregateFnV2):
     """Heavy hitters via a Count-Min sketch + candidate heap.
 

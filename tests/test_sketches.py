@@ -116,3 +116,47 @@ def test_hopping_window_matches_sql_oracle():
     assert got["window_id"].tolist() == oracle["window_id"].tolist()
     assert got["n"].tolist() == oracle["n"].tolist()
     assert got["sum_value"].tolist() == oracle["sum_value"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBottomKAndSplit:
+    def test_bottomk_parallelism_invariant_and_estimate(self):
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.sketches import (
+            BottomKSample,
+        )
+
+        def run(blocks):
+            ds = rd.read_parquet(f"{SF}/events.parquet",
+                                 columns=["user_id"],
+                                 override_num_blocks=blocks)
+            return ds.aggregate(BottomKSample(on="user_id", k=32,
+                                              alias_name="s"))["s"]
+
+        a, b = run(2), run(16)
+        assert a["sample"] == b["sample"]
+        exact = duckdb.sql(
+            f"SELECT COUNT(DISTINCT user_id) FROM '{SF}/events.parquet'"
+        ).fetchone()[0]
+        # KMV with k=32: loose tolerance, deterministic either way
+        assert abs(a["distinct_estimate"] - exact) / exact < 0.5
+
+    def test_split_is_partition_and_deterministic(self):
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.sketches import (
+            train_val_split,
+        )
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        tr1, va1 = train_val_split(ds, 0.2, "doc_id")
+        tr2, va2 = train_val_split(ds, 0.2, "doc_id")
+        t1 = set(tr1.to_pandas()["doc_id"])
+        v1 = set(va1.to_pandas()["doc_id"])
+        assert t1 == set(tr2.to_pandas()["doc_id"])
+        assert v1 == set(va2.to_pandas()["doc_id"])
+        assert not (t1 & v1)
+        assert len(t1) + len(v1) == ds.count()
+        assert 0.1 < len(v1) / ds.count() < 0.3
