@@ -117,9 +117,13 @@ class BottomKSample(AggregateFnV2):
         return sorted(pairs)[:self._k]
 
     def combine(self, a, b):
-        return sorted(set(a) | set(b))[:self._k]
+        # accumulators may round-trip through block serialization, which
+        # turns tuples into lists — normalize before the set union
+        merged = {tuple(p) for p in a} | {tuple(p) for p in b}
+        return sorted(merged)[:self._k]
 
     def finalize(self, state):
+        state = [tuple(p) for p in state]
         sample = [v for _, v in state]
         est = len(sample)
         if len(state) == self._k and state:
