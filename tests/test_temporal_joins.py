@@ -1,0 +1,83 @@
+"""As-of and range joins vs DuckDB's native ASOF/BETWEEN joins."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sides():
+    """left = all events; right = sparse per-user 'state changes'."""
+    left = duckdb.sql(
+        f"SELECT user_id, ts, value FROM '{SF}/events.parquet'").df()
+    right = duckdb.sql(
+        f"SELECT user_id, ts, value * 2 AS tier FROM "
+        f"'{SF}/events.parquet' WHERE event_id % 7 = 0").df()
+    return left, right
+
+
+def _norm(df, cols):
+    out = df[cols].copy()
+    return out.sort_values(cols, ignore_index=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_matches_duckdb():
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.joins import asof_join
+
+    left, right = _sides()
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="ts", by="user_id").to_pandas()
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    oracle = con.sql("""
+        SELECT l.user_id, l.ts, l.value, r.ts AS ts_right, r.tier
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND r.ts <= l.ts
+    """).df()
+
+    cols = ["user_id", "ts", "value", "ts_right", "tier"]
+    g = _norm(got, cols)
+    o = _norm(oracle, cols)
+    assert len(g) == len(o)
+    pd.testing.assert_frame_equal(g, o, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_matches_duckdb():
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.joins import range_join
+
+    left, right = _sides()
+    # right side becomes intervals: [ts, ts + 3 days]
+    right = right.copy()
+    right["start"] = right["ts"]
+    right["end"] = right["ts"] + pd.Timedelta(days=3)
+    right = right[["user_id", "start", "end", "tier"]]
+
+    got = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="ts", by="user_id", start="start",
+                     end="end").to_pandas()
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    oracle = con.sql("""
+        SELECT l.user_id, l.ts, l.value, r.start, r."end", r.tier
+        FROM l JOIN r ON l.user_id = r.user_id
+         AND l.ts BETWEEN r.start AND r."end"
+    """).df()
+
+    cols = ["user_id", "ts", "value", "start", "end", "tier"]
+    g = _norm(got, cols)
+    o = _norm(oracle, cols)
+    assert len(g) == len(o) and len(g) > 0
+    pd.testing.assert_frame_equal(g, o, check_dtype=False)
