@@ -44,16 +44,18 @@ def _pages_dataset(args):
     return rd.read_parquet(args.pages)
 
 
-def cmd_build(args, resume: bool = False) -> int:
-    from .pipelines.kg import build_kg
+def cmd_build(args, resume: bool = False, increment: bool = False) -> int:
+    from .pipelines.kg import build_kg, ingest_increment
     from .sources.synth import alias_table
 
     _init_ray(args.num_cpus)
-    res = build_kg(
-        _pages_dataset(args), args.out,
-        alias_table=alias_table() if args.builtin_aliases else None,
-        resume=resume,
-    )
+    aliases = alias_table() if args.builtin_aliases else None
+    if increment:
+        res = ingest_increment(_pages_dataset(args), args.out,
+                               alias_table=aliases)
+    else:
+        res = build_kg(_pages_dataset(args), args.out,
+                       alias_table=aliases, resume=resume)
     print(json.dumps({k: v for k, v in res.items()
                       if isinstance(v, (str, int, dict))}, default=str))
     import ray
@@ -146,7 +148,7 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="temporal_knowledge_graphs_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
-    for name in ("build", "resume"):
+    for name in ("build", "resume", "ingest"):
         p = sub.add_parser(name)
         p.add_argument("--pages", help="pages Parquet path/dir")
         p.add_argument("--from-documents",
@@ -193,6 +195,8 @@ def main(argv=None) -> int:
         return cmd_build(args, resume=False)
     if args.cmd == "resume":
         return cmd_build(args, resume=True)
+    if args.cmd == "ingest":
+        return cmd_build(args, increment=True)
     if args.cmd == "stats":
         return cmd_stats(args)
     if args.cmd == "verify":

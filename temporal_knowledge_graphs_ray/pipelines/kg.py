@@ -346,6 +346,7 @@ def build_kg(
     alias_table: pa.Table | None = None,
     resume: bool = False,
     dedup_recrawls: bool = False,
+    increment: bool = False,
 ) -> dict:
     """Run the full construction pipeline. Returns output paths + metrics.
 
@@ -381,10 +382,11 @@ def build_kg(
     nodes_dir = os.path.join(out_dir, "nodes")
     edges_dir = os.path.join(out_dir, "edges")
 
-    if not resume:
+    if not resume and not increment:
         # a fresh run must not append into a previous run's partitions
-        # (APPEND-mode writes would silently duplicate data); resume=True is
-        # the only path that builds on existing output
+        # (APPEND-mode writes would silently duplicate data); resume=True
+        # and increment=True are the only paths that build on existing
+        # output
         for d in (chunk_ents_dir, mentions_dir, edges_raw_dir, nodes_dir,
                   edges_dir, os.path.join(out_dir, "_manifests")):
             shutil.rmtree(d, ignore_errors=True)
@@ -519,7 +521,7 @@ def build_kg(
     # on resume (or stage_cache="disk") phase C must see old + new parts,
     # so it reads the durable Parquet; otherwise it reuses the in-memory
     # materialized table and the Parquet write is checkpoint-only
-    use_disk = resume or cfg.stage_cache == "disk"
+    use_disk = resume or increment or cfg.stage_cache == "disk"
     if as_tasks:
         mentions_new = ce_mentions.map_batches(
             MentionLinkStage(alias_ref, cfg), batch_format="pyarrow",
@@ -726,3 +728,45 @@ def build_kg(
         "edge_rows": sum(edge_counts.values()),
         "phase_sec": phase_sec,
     }
+
+
+def ingest_increment(
+    pages_ds,
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    alias_table: pa.Table | None = None,
+) -> dict:
+    """Add new pages to an EXISTING graph — the reference's primary
+    lifecycle (ingest more documents later, operations.py / scripts/
+    ingest_documents.py) without its re-ingest duplication bug:
+
+    1. anti-join the incoming pages against the already-ingested url set
+       (Ray native ``left_anti`` hash join on the chunk_ents checkpoint —
+       re-submitted urls are skipped, making increments idempotent),
+    2. run the extraction phases on the NEW pages only, appending to the
+       per-partition checkpoint tables (manifests recounted afterwards),
+    3. rebuild the global phases (canonicalize + edge merge) from the
+       full checkpointed tables — deterministic, so the result is
+       bit-identical to a fresh build over the union corpus
+       (tests/test_increment.py).
+
+    The expensive work (extraction) is proportional to the INCREMENT;
+    only the entity/triple-grain global phases touch history.
+    """
+    import ray
+    import ray.data as rd
+
+    chunk_ents_dir = os.path.join(out_dir, "chunk_ents")
+    if not os.path.isdir(chunk_ents_dir):
+        return build_kg(pages_ds, out_dir, cfg, alias_table=alias_table)
+
+    existing_urls = (
+        rd.read_parquet(chunk_ents_dir, columns=["url"])
+        .groupby("url").count().select_columns(["url"])
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(64, ncpu // 2))
+    new_pages = pages_ds.join(existing_urls, "left_anti", nparts,
+                              on=("url",))
+    return build_kg(new_pages, out_dir, cfg, alias_table=alias_table,
+                    increment=True)

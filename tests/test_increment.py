@@ -1,0 +1,59 @@
+"""Incremental ingestion: build(A) + ingest_increment(B) must equal a
+fresh build over A ∪ B, and re-submitting already-ingested pages must be
+a no-op (idempotent increments — the reference's re-ingest duplicates,
+operations.py:42-45; this engine must not)."""
+
+from __future__ import annotations
+
+import pyarrow.dataset as pads
+import pytest
+
+
+def _graph_key(res):
+    edges = (pads.dataset(res["edges"], partitioning="hive").to_table()
+             .select(["subj_id", "pred", "obj_id", "valid_from",
+                      "confidence"]).to_pandas())
+    edges = edges.sort_values(["subj_id", "pred", "obj_id"],
+                              ignore_index=True)
+    nodes = (pads.dataset(res["nodes"]).to_table()
+             .select(["entity_id", "name", "type", "mention_count"])
+             .to_pandas().sort_values("entity_id", ignore_index=True))
+    return edges, nodes
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_increment_equals_fresh_union_build(tmp_path):
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.kg import (
+        build_kg,
+        ingest_increment,
+    )
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        alias_table,
+        pages_table,
+    )
+
+    full = build_kg(rd.from_arrow(pages_table(list(range(120)))),
+                    str(tmp_path / "full"), alias_table=alias_table())
+
+    inc_dir = str(tmp_path / "inc")
+    build_kg(rd.from_arrow(pages_table(list(range(80)))), inc_dir,
+             alias_table=alias_table())
+    # increment overlaps the base (pages 40..79 already ingested) — the
+    # anti-join must skip them
+    r2 = ingest_increment(rd.from_arrow(pages_table(list(range(40, 120)))),
+                          inc_dir, alias_table=alias_table())
+
+    fe, fn = _graph_key(full)
+    ie, inn = _graph_key(r2)
+    pdt.assert_frame_equal(fe, ie)
+    pdt.assert_frame_equal(fn, inn)
+
+    # idempotence: re-ingesting the same pages changes nothing
+    r3 = ingest_increment(rd.from_arrow(pages_table(list(range(120)))),
+                          inc_dir, alias_table=alias_table())
+    ie3, inn3 = _graph_key(r3)
+    pdt.assert_frame_equal(ie, ie3)
+    pdt.assert_frame_equal(inn, inn3)
