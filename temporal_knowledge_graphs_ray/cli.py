@@ -51,8 +51,12 @@ def cmd_build(args, resume: bool = False, increment: bool = False) -> int:
     _init_ray(args.num_cpus)
     aliases = alias_table() if args.builtin_aliases else None
     if increment:
-        res = ingest_increment(_pages_dataset(args), args.out,
-                               alias_table=aliases)
+        from .pipelines.kg import ingest_increment_supersede
+
+        fn = (ingest_increment_supersede
+              if getattr(args, "supersede_recrawls", False)
+              else ingest_increment)
+        res = fn(_pages_dataset(args), args.out, alias_table=aliases)
     else:
         res = build_kg(_pages_dataset(args), args.out,
                        alias_table=aliases, resume=resume)
@@ -159,6 +163,9 @@ def main(argv=None) -> int:
         p.add_argument("--num-cpus", type=int, default=None)
         p.add_argument("--builtin-aliases", action="store_true",
                        default=True)
+        p.add_argument("--supersede-recrawls", action="store_true",
+                       help="ingest only: a resubmitted url with a newer "
+                            "warc_ts replaces its previous version")
 
     p = sub.add_parser("stats")
     p.add_argument("--out", required=True)

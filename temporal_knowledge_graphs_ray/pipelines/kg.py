@@ -770,3 +770,109 @@ def ingest_increment(
                               on=("url",))
     return build_kg(new_pages, out_dir, cfg, alias_table=alias_table,
                     increment=True)
+
+
+def _purge_urls_from_table(out_dir: str, table: str, urls: set[str],
+                           parts: set[int]) -> None:
+    """Rewrite the affected part dirs of a url-carrying table with the
+    superseded urls' rows removed (partition-granular compaction — the
+    resumable layout makes 'rewrite one part' the unit of work)."""
+    import pyarrow.parquet as pq
+
+    for part in sorted(parts):
+        pdir = os.path.join(out_dir, table, f"part={part}")
+        if not os.path.isdir(pdir):
+            continue
+        t = pads.dataset(pdir, format="parquet").to_table()
+        keep = pc.invert(pc.is_in(t["url"],
+                                  value_set=pa.array(sorted(urls))))
+        t = t.filter(keep)
+        shutil.rmtree(pdir)
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(t, os.path.join(pdir, "purged-0.parquet"))
+
+
+def ingest_increment_supersede(
+    pages_ds,
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    alias_table: pa.Table | None = None,
+) -> dict:
+    """Increment with RE-CRAWL SUPERSESSION (V1 across increments): a
+    resubmitted url with a NEWER warc_ts replaces its previous version —
+    the reference's ``is_current=false`` supersession applied at ingest
+    time (versioning.py:26-74) instead of the plain increment's
+    skip-existing policy.
+
+    Partition-granular repair: superseded urls' rows are purged from
+    chunk_ents and mentions (both carry url); edges_raw rows can span
+    urls after the partial merge, so the affected PARTITIONS' edges_raw
+    are recomputed from the purged chunk_ents — bounded by the touched
+    partitions, never the corpus. Then the standard increment ingests the
+    new crawls and rebuilds the global phases.
+    """
+    import ray
+    import ray.data as rd
+
+    chunk_ents_dir = os.path.join(out_dir, "chunk_ents")
+    if not os.path.isdir(chunk_ents_dir):
+        return build_kg(pages_ds, out_dir, cfg, alias_table=alias_table)
+
+    # latest crawl per incoming url
+    pages_latest = dedup_recrawls_keep_latest(pages_ds).materialize()
+    incoming = pages_latest.select_columns(["url", "warc_ts"]).to_pandas()
+    existing = (
+        rd.read_parquet(chunk_ents_dir, columns=["url", "valid_from"])
+        .groupby("url").max("valid_from").to_pandas()
+        .rename(columns={"max(valid_from)": "valid_from"})
+    )
+    have = dict(zip(existing["url"], existing["valid_from"]))
+    supersede_urls = {
+        u for u, ts in zip(incoming["url"], incoming["warc_ts"])
+        if u in have and ts > have[u]
+    }
+
+    if supersede_urls:
+        parts = {int(stable_hash64(u) % cfg.num_partitions)
+                 for u in supersede_urls}
+        # 1. purge the old versions' rows (url-carrying tables)
+        for table in ("chunk_ents", "mentions"):
+            _purge_urls_from_table(out_dir, table, supersede_urls, parts)
+            _write_part_manifests(out_dir, table)
+        # 2. recompute edges_raw for the touched partitions from the
+        #    purged chunk_ents (edge rows have no url after the partial
+        #    merge — partition recompute is the exact unit)
+        from ..stages.entities import CHUNK_ENTS_SCHEMA
+
+        for part in sorted(parts):
+            er_dir = os.path.join(out_dir, "edges_raw", f"part={part}")
+            shutil.rmtree(er_dir, ignore_errors=True)
+            mpath = os.path.join(out_dir, "_manifests",
+                                 f"edges_raw-part-{part}.json")
+            if os.path.exists(mpath):
+                os.remove(mpath)
+        part_arr = pa.array(sorted(parts), pa.int32())
+
+        def only_parts(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["part"].cast(pa.int32()),
+                                  value_set=part_arr))
+            cols = [t[f.name].cast(f.type).combine_chunks()
+                    for f in CHUNK_ENTS_SCHEMA]
+            return pa.Table.from_arrays(cols, schema=CHUNK_ENTS_SCHEMA)
+
+        alias_ref = (put_alias_dict(alias_table)
+                     if alias_table is not None else None)
+        ce_parts = rd.read_parquet(chunk_ents_dir).map_batches(
+            only_parts, batch_format="pyarrow")
+        (ce_parts.map_batches(
+            RelationExtractorStage(alias_ref, cfg),
+            batch_format="pyarrow", batch_size=cfg.relation_batch_size)
+         .write_parquet(os.path.join(out_dir, "edges_raw"),
+                        partition_cols=["part"]))
+        _write_part_manifests(out_dir, "edges_raw")
+
+    # 3. standard increment over genuinely-new + superseding crawls
+    #    (the superseded urls are gone from chunk_ents, so the anti-join
+    #    lets their new versions through)
+    return ingest_increment(pages_latest, out_dir, cfg,
+                            alias_table=alias_table)

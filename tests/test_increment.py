@@ -57,3 +57,60 @@ def test_increment_equals_fresh_union_build(tmp_path):
     ie3, inn3 = _graph_key(r3)
     pdt.assert_frame_equal(ie, ie3)
     pdt.assert_frame_equal(inn, inn3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_increment_supersede_recrawl(tmp_path):
+    from datetime import datetime
+
+    import pandas.testing as pdt
+    import pyarrow as pa
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.kg import (
+        build_kg,
+        ingest_increment_supersede,
+    )
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        PAGES_SCHEMA,
+        alias_table,
+        pages_table,
+    )
+
+    url = "https://x.example/recrawled"
+    old = {"url": url, "warc_ts": datetime(2020, 1, 1),
+           "html": b"<p>Alice Johnson founded Oldcorp Inc. in 2010.</p>",
+           "text": "", "lang": "en"}
+    new = {"url": url, "warc_ts": datetime(2022, 6, 1),
+           "html": b"<p>Alice Johnson founded Newcorp Inc. in 2012.</p>",
+           "text": "", "lang": "en"}
+
+    base = pa.concat_tables([
+        pages_table(list(range(60))),
+        pa.Table.from_pylist([old], schema=PAGES_SCHEMA),
+    ])
+    inc = pa.concat_tables([
+        pages_table(list(range(60, 70))),
+        pa.Table.from_pylist([new], schema=PAGES_SCHEMA),
+    ])
+    union_latest = pa.concat_tables([
+        pages_table(list(range(70))),
+        pa.Table.from_pylist([new], schema=PAGES_SCHEMA),
+    ])
+
+    inc_dir = str(tmp_path / "inc")
+    build_kg(rd.from_arrow(base), inc_dir, alias_table=alias_table())
+    r2 = ingest_increment_supersede(rd.from_arrow(inc), inc_dir,
+                                    alias_table=alias_table())
+    fresh = build_kg(rd.from_arrow(union_latest),
+                     str(tmp_path / "fresh"), alias_table=alias_table())
+
+    ie, inn = _graph_key(r2)
+    fe, fn = _graph_key(fresh)
+    pdt.assert_frame_equal(ie, fe)
+    pdt.assert_frame_equal(inn, fn)
+
+    # the superseded fact is gone, the new one present
+    names = set(inn["name"])
+    assert not any("Oldcorp" in n for n in names)
+    assert any("Newcorp" in n for n in names)
