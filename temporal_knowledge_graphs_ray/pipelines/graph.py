@@ -544,3 +544,44 @@ def hybrid_search(chunks_ds, mentions_ds, query_text: str,
     return (out.sort_values(["rrf_score", "chunk_id"],
                             ascending=[False, True], ignore_index=True)
             .head(k))
+
+
+def diff_graphs(old_edges_ds, new_edges_ds, num_partitions: int = 16):
+    """Graph-version diff (T6 at graph grain): classify every triple as
+    added / removed / unchanged between two edge tables — the audit step
+    after an incremental ingest or supersede run.
+
+    Ray-native: both sides project to a triple key and meet in two
+    ``left_anti`` hash joins plus a ``left_semi`` for the intersection —
+    no driver-side sets, scales with the edge tables.
+    Returns {"added": Dataset, "removed": Dataset, "unchanged": Dataset},
+    each carrying (subj_id, pred, obj_id).
+    """
+    import pyarrow.compute as pcc
+
+    def keyed(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            k = pcc.binary_join_element_wise(
+                t["subj_id"].cast(pa.string()),
+                pcc.utf8_lower(t["pred"].cast(pa.string())),
+                t["obj_id"].cast(pa.string()), "\x00")
+            return pa.Table.from_arrays(
+                [k.combine_chunks() if isinstance(k, pa.ChunkedArray)
+                 else k,
+                 t["subj_id"].cast(pa.string()).combine_chunks(),
+                 t["pred"].cast(pa.string()).combine_chunks(),
+                 t["obj_id"].cast(pa.string()).combine_chunks()],
+                names=["tkey", "subj_id", "pred", "obj_id"])
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    old_k = keyed(old_edges_ds)
+    new_k = keyed(new_edges_ds)
+    return {
+        "added": new_k.join(old_k, "left_anti", num_partitions,
+                            on=("tkey",)).drop_columns(["tkey"]),
+        "removed": old_k.join(new_k, "left_anti", num_partitions,
+                              on=("tkey",)).drop_columns(["tkey"]),
+        "unchanged": new_k.join(old_k, "left_semi", num_partitions,
+                                on=("tkey",)).drop_columns(["tkey"]),
+    }

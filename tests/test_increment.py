@@ -114,3 +114,46 @@ def test_increment_supersede_recrawl(tmp_path):
     names = set(inn["name"])
     assert not any("Oldcorp" in n for n in names)
     assert any("Newcorp" in n for n in names)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_diff_graphs_classifies_increment(tmp_path):
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.graph import diff_graphs
+    from temporal_knowledge_graphs_ray.pipelines.kg import build_kg
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        alias_table,
+        pages_table,
+    )
+
+    old = build_kg(rd.from_arrow(pages_table(list(range(60)))),
+                   str(tmp_path / "old"), alias_table=alias_table())
+    new = build_kg(rd.from_arrow(pages_table(list(range(80)))),
+                   str(tmp_path / "new"), alias_table=alias_table())
+    d = diff_graphs(rd.read_parquet(old["edges"]),
+                    rd.read_parquet(new["edges"]))
+    added = d["added"].count()
+    removed = d["removed"].count()
+    unchanged = d["unchanged"].count()
+    assert added > 0
+    assert unchanged > 0
+    assert unchanged + added == new["edge_rows"]
+    # growing the corpus only ADDS triples (hub facts persist); removed
+    # triples would indicate nondeterminism
+    assert removed == 0
+
+    # exact set check against pandas
+    def keys(res):
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(res["edges"], partitioning="hive").to_table()
+        return {(s, p.lower(), o) for s, p, o in zip(
+            t["subj_id"].to_pylist(), t["pred"].to_pylist(),
+            t["obj_id"].to_pylist())}
+
+    ko, kn = keys(old), keys(new)
+    got_added = {(s, p.lower(), o) for s, p, o in zip(
+        *[d["added"].to_pandas()[c] for c in ("subj_id", "pred",
+                                              "obj_id")])}
+    assert got_added == kn - ko
