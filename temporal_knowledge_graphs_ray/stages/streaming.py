@@ -109,3 +109,122 @@ def sessionize_streaming(events_ds, key_col: str = "user_id",
     out = pd.DataFrame(rows, columns=[key_col, "session_start",
                                       "session_end", "n_events"])
     return out.sort_values([key_col, "session_start"], ignore_index=True)
+
+
+def _make_watermark_actor():
+    import heapq
+
+    import ray
+
+    @ray.remote
+    class WatermarkSessionizerActor:
+        """Sessionizer tolerating BOUNDED event-time disorder.
+
+        The standard streaming construction: a min-heap reorder buffer
+        holds arrivals until the watermark (max event time seen minus
+        ``allowed_lateness``) passes them, then they replay through the
+        in-order session logic; arrivals already older than the
+        watermark are DROPPED and counted (the late-data policy).
+        With allowed_lateness >= the feed's true disorder bound, output
+        is identical to a fully-sorted feed — tested.
+        """
+
+        def __init__(self, gap_us: int, lateness_us: int):
+            self.gap_us = gap_us
+            self.lateness_us = lateness_us
+            self.buffer: list[tuple[int, int]] = []  # (ts, key) heap
+            self.max_ts = -(1 << 62)
+            self.n_late = 0
+            self.open: dict[int, tuple[int, int, int]] = {}
+            self.closed: list[tuple[int, int, int, int]] = []
+
+        def _apply(self, k: int, t: int) -> None:
+            cur = self.open.get(k)
+            if cur is None:
+                self.open[k] = (t, t, 1)
+                return
+            start, last, n = cur
+            if t - last > self.gap_us:
+                self.closed.append((k, start, last, n))
+                self.open[k] = (t, t, 1)
+            else:
+                self.open[k] = (start, max(last, t), n + 1)
+
+        def feed(self, keys, ts_us) -> int:
+            for k, t in zip(keys, ts_us):
+                t = int(t)
+                wm = self.max_ts - self.lateness_us
+                if t < wm:
+                    self.n_late += 1  # beyond the lateness bound: drop
+                    continue
+                heapq.heappush(self.buffer, (t, int(k)))
+                if t > self.max_ts:
+                    self.max_ts = t
+            # release everything the watermark has passed, in ts order
+            wm = self.max_ts - self.lateness_us
+            released = 0
+            while self.buffer and self.buffer[0][0] <= wm:
+                t, k = heapq.heappop(self.buffer)
+                self._apply(k, t)
+                released += 1
+            return released
+
+        def flush(self):
+            while self.buffer:
+                t, k = heapq.heappop(self.buffer)
+                self._apply(k, t)
+            for k, (start, last, n) in sorted(self.open.items()):
+                self.closed.append((k, start, last, n))
+            self.open.clear()
+            out = sorted(self.closed)
+            self.closed = []
+            return out, self.n_late
+
+    return WatermarkSessionizerActor
+
+
+def sessionize_streaming_watermark(events_ds, key_col: str = "user_id",
+                                   ts_col: str = "ts", gap_s: int = 1800,
+                                   allowed_lateness_s: int = 300,
+                                   num_buckets: int = 8):
+    """Sessionize an UNSORTED (bounded-disorder) arrival stream.
+
+    Unlike ``sessionize_streaming`` this does NOT globally sort: events
+    flow in arrival order; per-bucket actors reorder within the
+    ``allowed_lateness_s`` watermark window and drop anything later.
+    Returns (sessions DataFrame, n_late_dropped).
+    """
+    import ray
+
+    Actor = _make_watermark_actor()
+    gap_us = gap_s * 1_000_000
+    late_us = allowed_lateness_s * 1_000_000
+    actors = [Actor.remote(gap_us, late_us) for _ in range(num_buckets)]
+
+    pending = []
+    for batch in events_ds.select_columns([key_col, ts_col]).iter_batches(
+            batch_size=8192, batch_format="pyarrow"):
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype("int64")
+        ts_us = batch[ts_col].cast("int64").to_numpy(zero_copy_only=False)
+        buckets = keys % num_buckets
+        for b in range(num_buckets):
+            mask = buckets == b
+            if mask.any():
+                pending.append(actors[b].feed.remote(
+                    keys[mask].tolist(), ts_us[mask].tolist()))
+    ray.get(pending)
+
+    rows, n_late = [], 0
+    for closed, late in ray.get([a.flush.remote() for a in actors]):
+        n_late += late
+        for k, start, last, n in closed:
+            rows.append({
+                key_col: k,
+                "session_start": np.datetime64(start, "us"),
+                "session_end": np.datetime64(last, "us"),
+                "n_events": n,
+            })
+    out = pd.DataFrame(rows, columns=[key_col, "session_start",
+                                      "session_end", "n_events"])
+    return (out.sort_values([key_col, "session_start"],
+                            ignore_index=True), n_late)

@@ -65,3 +65,78 @@ def test_matches_batch_sessionize(ray_session):
     assert agg["user_id"].tolist() == batch["user_id"].tolist()
     assert agg["n_sessions"].tolist() == batch["n_sessions"].tolist()
     assert agg["n_events"].tolist() == batch["n_events"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWatermarkSessionizer:
+    def _disordered_events(self, max_shuffle_s=120):
+        """events sorted by ts, then deterministically perturbed within
+        a +-max_shuffle_s window (bounded disorder)."""
+        import duckdb
+        import pyarrow as pa
+
+        from temporal_knowledge_graphs_ray.functions.hashing import (
+            fast_hash64,
+        )
+
+        t = duckdb.sql(
+            "SELECT user_id, ts FROM "
+            "'/root/testdata/sf0.001/events.parquet' ORDER BY ts"
+        ).arrow()
+        rows = list(zip(t["user_id"].to_pylist(), t["ts"].to_pylist()))
+        # bounded shuffle: sort by (ts + deterministic jitter < bound)
+        jittered = sorted(
+            rows,
+            key=lambda r: (r[1].timestamp()
+                           + (fast_hash64(f"{r[0]}|{r[1]}")
+                              % (2 * max_shuffle_s)) - max_shuffle_s))
+        return pa.table({
+            "user_id": pa.array([r[0] for r in jittered]),
+            "ts": pa.array([r[1] for r in jittered],
+                           pa.timestamp("us")),
+        })
+
+    def test_bounded_disorder_equals_sorted_feed(self):
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.streaming import (
+            sessionize_streaming,
+            sessionize_streaming_watermark,
+        )
+
+        tbl = self._disordered_events(max_shuffle_s=120)
+        # lateness 300s >= the 240s disorder bound: no drops, output
+        # equals the fully-sorted in-order run
+        got, n_late = sessionize_streaming_watermark(
+            rd.from_arrow(tbl), allowed_lateness_s=300)
+        assert n_late == 0
+        ref = sessionize_streaming(rd.from_arrow(tbl))
+        assert got.values.tolist() == ref.values.tolist()
+
+    def test_late_events_dropped_and_counted(self):
+        import datetime
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.streaming import (
+            sessionize_streaming_watermark,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (1, base),
+            (1, base + datetime.timedelta(minutes=5)),
+            (2, base + datetime.timedelta(hours=3)),
+            # WAY late: 3 hours behind the watermark by arrival time
+            (1, base + datetime.timedelta(minutes=6)),
+        ]
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        })
+        got, n_late = sessionize_streaming_watermark(
+            rd.from_arrow(tbl), allowed_lateness_s=60, num_buckets=1)
+        assert n_late == 1
+        u1 = got[got["user_id"] == 1]
+        assert u1["n_events"].tolist() == [2]  # late event excluded
