@@ -26,6 +26,15 @@ import pyarrow as pa
 def _role_union(left_ds, right_ds, key: str, num_buckets: int):
     """Two datasets -> one bucketed dataset with a __role marker and the
     superset schema (missing columns null-filled)."""
+    def _pa_type(t) -> pa.DataType:
+        # pandas-backed datasets report python/numpy types in
+        # schema().types (object for strings); normalize to Arrow
+        if isinstance(t, pa.DataType):
+            return t
+        if t in (object, str):
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
     fields: list[tuple[str, pa.DataType]] = []
@@ -35,7 +44,7 @@ def _role_union(left_ds, right_ds, key: str, num_buckets: int):
         for n, t in zip(names, types):
             if n not in seen:
                 seen.add(n)
-                fields.append((n, t))
+                fields.append((n, _pa_type(t)))
 
     def conv(role: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -81,8 +90,11 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
         right = (g[g["__role"] == 1][r_cols]
                  .sort_values([on, by], kind="mergesort",
                               ignore_index=True))
-        if left.empty:
-            return pd.DataFrame()
+        # NOTE: no early return on empty sides — a bare pd.DataFrame()
+        # has zero columns, which breaks Ray's block-schema unification
+        # when a bucket holds only right-side rows. Empty slices of `g`
+        # keep the full typed column set, so the merge below yields a
+        # typed empty frame with the exact output schema.
         # merge_asof drops the right side's `on` column — carry the
         # matched timestamp explicitly (point-in-time audits need it)
         right = right.assign(**{on + suffix: right[on]})
@@ -110,8 +122,9 @@ def range_join(left_ds, right_ds, *, on: str, by: str,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["__role"] == 0][l_cols]
         right = g[g["__role"] == 1][r_cols]
-        if left.empty or right.empty:
-            return pd.DataFrame()
+        # empty sides flow through the merge: slices of `g` are fully
+        # typed, so the output keeps the complete column set (a bare
+        # pd.DataFrame() would break block-schema unification)
         m = left.merge(right, on=by, suffixes=("", suffix))
         on_col = on if on in m.columns else on + suffix
         keep = (m[start] <= m[on_col]) & (m[on_col] <= m[end])

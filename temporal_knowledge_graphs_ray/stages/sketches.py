@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 from ray.data.aggregate import AggregateFnV2
 
-from ..functions.hashing import fast_hash64
+from ..functions.hashing import fast_hash64, stable_hash64
 
 
 def _col_hashes(block, column: str) -> np.ndarray:
@@ -60,16 +60,20 @@ class HllDistinct(AggregateFnV2):
         h = _col_hashes(block, self.get_target_column())
         regs = np.zeros(self._m, dtype=np.int8)
         if len(h):
-            idx = (h >> np.uint64(64 - self._p)).astype(np.int64)
-            rest = h << np.uint64(self._p)
-            # rank = leading zeros of the remaining 64-p bits, + 1
-            lz = np.full(len(h), 64 - self._p, dtype=np.int64)
+            # fast_hash64 yields 63-bit values (top bit always 0), so the
+            # register index must come from the top of the 63 USABLE bits —
+            # `h >> (64-p)` would leave bit p-1 always 0 and touch only half
+            # the registers, saturating the estimate at ~m*ln2.
+            idx = (h >> np.uint64(63 - self._p)).astype(np.int64)
+            rest = h << np.uint64(self._p + 1)  # remaining 63-p bits at top
+            # rank = leading zeros of the remaining 63-p bits, + 1
+            lz = np.full(len(h), 63 - self._p, dtype=np.int64)
             nonzero = rest != 0
             if nonzero.any():
                 # float64 log2 is exact for leading-zero counts of u64
                 bits = np.floor(np.log2(rest[nonzero].astype(np.float64)))
                 lz[nonzero] = 63 - bits.astype(np.int64)
-            rank = np.minimum(lz + 1, 64 - self._p + 1).astype(np.int8)
+            rank = np.minimum(lz + 1, 63 - self._p + 1).astype(np.int8)
             np.maximum.at(regs, idx, rank)
         return regs
 
@@ -180,18 +184,21 @@ class CountMinTopK(AggregateFnV2):
         self._w = width
         self._d = depth
         self._cap = max_candidates
+        # one odd multiplier per depth row, derived from the row index so
+        # ANY depth works (a fixed 6-constant table silently truncated
+        # depth > 6 and then crashed in aggregate_block)
+        self._mults = np.array(
+            [stable_hash64(f"cm-row-{d}") | 1 for d in range(depth)],
+            dtype=np.uint64)
         super().__init__(alias_name or f"cm_topk({on})",
                          zero_factory=lambda d=depth, w=width: (
                              np.zeros((d, w), dtype=np.int64), {}),
                          on=on, ignore_nulls=True)
 
     def _rows(self, h: np.ndarray) -> np.ndarray:
-        # one independent row index per depth: mix with odd constants
-        mults = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
-                          0x165667B19E3779F9, 0x27D4EB2F165667C5,
-                          0x85EBCA6B27D4EB4F, 0x9E3779B9C2B2AE3D],
-                         dtype=np.uint64)[:self._d]
-        return ((h[None, :] * mults[:, None]) >> np.uint64(40)).astype(
+        # one independent row index per depth: mix with per-row odd
+        # multipliers (see __init__)
+        return ((h[None, :] * self._mults[:, None]) >> np.uint64(40)).astype(
             np.int64) % self._w
 
     def _estimate(self, counters: np.ndarray, value: str) -> int:

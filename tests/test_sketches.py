@@ -26,6 +26,28 @@ class TestHll:
         ).fetchone()[0]
         assert abs(got - exact) / exact < 0.05, (got, exact)
 
+    def test_high_cardinality_no_saturation(self):
+        """Regression: 63-bit hashes indexed with `h >> (64-p)` touch only
+        half the registers, saturating the estimate at ~m*ln2 (~2839 for
+        p=12) regardless of true cardinality. Exercise the sketch kernels
+        directly at cardinality >> 2.5*m."""
+        import pyarrow as pa
+
+        from temporal_knowledge_graphs_ray.stages.sketches import (
+            HllDistinct,
+        )
+
+        import numpy as np
+
+        agg = HllDistinct(on="v", alias_name="d", p=12)
+        regs = np.zeros(1 << 12, dtype=np.int8)
+        for lo in range(0, 100_000, 10_000):
+            block = pa.table({"v": [f"item-{i}" for i in
+                                    range(lo, lo + 10_000)]})
+            regs = agg.combine(regs, agg.aggregate_block(block))
+        est = agg.finalize(regs)
+        assert abs(est - 100_000) / 100_000 < 0.06, est
+
     def test_grouped_and_parallelism_invariant(self):
         import ray.data as rd
 
@@ -76,6 +98,23 @@ class TestCountMin:
         # few distinct keys vs width 2048: estimates collide rarely ->
         # exact counts and ordering
         assert [(v, c) for v, c in got] == [(v, c) for v, c in exact]
+
+    def test_depth_above_six_works(self):
+        """Regression: row multipliers were a fixed 6-entry table, so
+        depth=7+ (invited by the depth=ceil(ln(1/delta)) formula) built a
+        truncated row matrix and crashed. Rows now derive per depth."""
+        import pyarrow as pa
+
+        from temporal_knowledge_graphs_ray.stages.sketches import (
+            CountMinTopK,
+        )
+
+        agg = CountMinTopK(on="v", k=3, width=512, depth=8)
+        block = pa.table({"v": ["a"] * 50 + ["b"] * 30 + ["c"] * 5})
+        counters, cands = agg.aggregate_block(block)
+        assert counters.shape == (8, 512)
+        top = agg.finalize((counters, cands))
+        assert top[0] == ["a", 50] and top[1] == ["b", 30]
 
     def test_estimates_never_undercount(self):
         import ray.data as rd

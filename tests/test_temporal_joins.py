@@ -81,3 +81,43 @@ def test_range_join_matches_duckdb():
     o = _norm(oracle, cols)
     assert len(g) == len(o) and len(g) > 0
     pd.testing.assert_frame_equal(g, o, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_joins_survive_one_sided_buckets():
+    """Regression: buckets holding only right-side rows (sparse/skewed
+    key sets) used to emit a zero-column pd.DataFrame(), breaking block
+    schema unification. left has 1 key, right has 50 -> ~49 right-only
+    buckets."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.joins import (
+        asof_join,
+        range_join,
+    )
+
+    left = pd.DataFrame({
+        "user_id": ["only-key"] * 3,
+        "ts": pd.to_datetime(["2020-01-02", "2020-01-05", "2020-01-09"]),
+        "value": [1.0, 2.0, 3.0],
+    })
+    right = pd.DataFrame({
+        "user_id": ["only-key"] + [f"other-{i}" for i in range(49)],
+        "ts": pd.to_datetime(["2020-01-01"] * 50),
+        "tier": [float(i) for i in range(50)],
+    })
+
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="ts", by="user_id").to_pandas()
+    assert set(got.columns) == {"user_id", "ts", "value",
+                                "ts_right", "tier"}
+    assert len(got) == 3 and (got["tier"] == 0.0).all()
+
+    r2 = right.rename(columns={"ts": "start"})
+    r2["end"] = r2["start"] + pd.Timedelta(days=30)
+    got2 = range_join(rd.from_pandas(left), rd.from_pandas(r2),
+                      on="ts", by="user_id", start="start",
+                      end="end").to_pandas()
+    assert set(got2.columns) == {"user_id", "ts", "value", "start",
+                                 "end", "tier"}
+    assert len(got2) == 3 and (got2["tier"] == 0.0).all()
