@@ -42,7 +42,6 @@ import pyarrow.dataset as pads
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.hashing import stable_hash64
-from ..functions.relations import merge_duplicate_relations
 from ..state.broadcast import put_alias_dict, put_canonical_map
 from ..state.manifests import completed_parts, write_manifest, write_run_manifest
 from ..stages.canonicalize import CANONICAL_SCHEMA, canonicalize
@@ -126,53 +125,147 @@ def _fallback_id(etype: str, key: str) -> str:
     return "x" + hex(stable_hash64(etype + "|" + key))[2:17]
 
 
-def _merged_edges_table(snames, sids, onames, oids, preds, valid_froms,
-                        descriptions, confidences, source_chunks,
-                        cfg: EngineConfig) -> pa.Table:
-    """Resolved edge columns -> partially-merged Arrow table with the
-    shuffle keys (ekey_bucket for the global merge, part for the output
-    layout). The merge itself stays the dict-keyed exact kernel — it runs
-    on the (much smaller) post-combine rows."""
-    rows = [
-        {
-            "source": sn, "subj_id": si, "target": on, "obj_id": oi,
-            "relationship": p, "valid_from": vf, "description": d,
-            "confidence": c, "source_chunks": sc,
+_MERGED_NAMES = ["subj", "subj_id", "pred", "obj", "obj_id",
+                 "valid_from", "description", "confidence",
+                 "source_chunks", "part"]
+
+_NAT_I64 = np.iinfo(np.int64).min  # numpy datetime64 NaT payload
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _vec_bucket64(strings: pa.Array, modulus: int) -> np.ndarray:
+    """Vectorized stable string -> bucket hash (siphash via pandas with
+    its fixed default key — deterministic across processes). Buckets are
+    within-lineage shuffle/layout keys only; nothing durable addresses a
+    row by recomputing this hash from content, so it does not need to
+    match ``stable_hash64`` (which stays the URL-partition hash that the
+    resume manifests depend on)."""
+    import pandas as pd
+
+    return (pd.util.hash_array(np.asarray(strings.to_pylist(), dtype=object))
+            % modulus).astype(np.int64)
+
+
+def merge_edges_vectorized(tbl: pa.Table, cfg: EngineConfig,
+                           with_bucket: bool = True) -> pa.Table:
+    """Vectorized exact equivalent of ``merge_duplicate_relations`` over an
+    edge table (G3 semantics, reference relation_extractor.py:430-467 with
+    the order-insensitive tiebreaks documented in functions/relations.py):
+    group on (subj_id, lower(pred), obj_id); confidence = max, valid_from =
+    min, description = longest (lexicographically-smallest tiebreak),
+    source_chunks = sorted distinct union capped at smallest-N. The dict
+    kernel remains the test oracle (tests/test_edge_merge_vectorized.py);
+    this Arrow/numpy path is what the hot stages run — no per-row Python.
+
+    Output rows appear in first-occurrence order of their group key, the
+    same order the dict kernel's insertion-ordered dict produces.
+    """
+    names = _MERGED_NAMES + (["ekey_bucket"] if with_bucket else [])
+    n = tbl.num_rows
+    if n == 0:
+        empty = {
+            "subj": pa.array([], pa.string()),
+            "subj_id": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "obj": pa.array([], pa.string()),
+            "obj_id": pa.array([], pa.string()),
+            "valid_from": pa.array([], pa.timestamp("us")),
+            "description": pa.array([], pa.large_string()),
+            "confidence": pa.array([], pa.float32()),
+            "source_chunks": pa.array([], pa.list_(pa.string())),
+            "part": pa.array([], pa.int32()),
+            "ekey_bucket": pa.array([], pa.int32()),
         }
-        for sn, si, on, oi, p, vf, d, c, sc in zip(
-            snames, sids, onames, oids, preds, valid_froms,
-            descriptions, confidences, source_chunks,
-        )
+        return pa.Table.from_arrays([empty[c] for c in names], names=names)
+
+    subj_id = tbl["subj_id"].cast(pa.string()).combine_chunks()
+    obj_id = tbl["obj_id"].cast(pa.string()).combine_chunks()
+    pred = tbl["pred"].cast(pa.string()).combine_chunks()
+    gkey = pc.binary_join_element_wise(
+        subj_id, pc.utf8_lower(pred), obj_id, "\x00")
+    enc = gkey.dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    num_groups = len(enc.dictionary)
+
+    # first-occurrence representative per group (dictionary order IS
+    # first-appearance order, so group g's first row index is increasing
+    # in g and the output keeps the dict kernel's insertion order)
+    first = np.full(num_groups, n, dtype=np.int64)
+    np.minimum.at(first, codes, np.arange(n, dtype=np.int64))
+    first_ix = pa.array(first)
+
+    # confidence = max
+    conf = tbl["confidence"].cast(pa.float32()).to_numpy(
+        zero_copy_only=False)
+    conf_out = np.full(num_groups, -np.inf, dtype=np.float32)
+    np.maximum.at(conf_out, codes, conf)
+
+    # valid_from = min, nulls ignored (all-null group stays null)
+    vf_np = tbl["valid_from"].cast(pa.timestamp("us")).to_numpy(
+        zero_copy_only=False)
+    vfi = vf_np.view("i8").copy()
+    vfi[np.isnat(vf_np)] = _I64_MAX
+    vf_out = np.full(num_groups, _I64_MAX, dtype=np.int64)
+    np.minimum.at(vf_out, codes, vfi)
+    vf_out[vf_out == _I64_MAX] = _NAT_I64  # back to NaT
+
+    # description = longest, ties -> lexicographically smallest: sort by
+    # (group, len desc, desc asc) and take each group's first
+    desc = tbl["description"].cast(pa.large_string()).combine_chunks()
+    dsort = pc.sort_indices(
+        pa.table({"c": codes, "l": pc.utf8_length(desc), "d": desc}),
+        sort_keys=[("c", "ascending"), ("l", "descending"),
+                   ("d", "ascending")],
+    ).to_numpy()
+    firstpos = np.searchsorted(codes[dsort], np.arange(num_groups))
+    desc_out = pc.take(desc, pa.array(dsort[firstpos]))
+
+    # source_chunks = sorted distinct union, capped at smallest-N
+    sc = tbl["source_chunks"].cast(pa.list_(pa.string())).combine_chunks()
+    flat = pc.list_flatten(sc)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    pcodes = codes[pc.list_parent_indices(sc).to_numpy()]
+    ssort = pc.sort_indices(
+        pa.table({"c": pcodes, "s": flat}),
+        sort_keys=[("c", "ascending"), ("s", "ascending")]).to_numpy()
+    cs = pcodes[ssort]
+    ss = pc.take(flat, pa.array(ssort))
+    if len(cs):
+        keep = np.ones(len(cs), dtype=bool)
+        keep[1:] = (cs[1:] != cs[:-1]) | pc.not_equal(
+            ss.slice(1), ss.slice(0, len(cs) - 1)
+        ).to_numpy(zero_copy_only=False)
+        cs, ss = cs[keep], ss.filter(pa.array(keep))
+    counts = np.bincount(cs, minlength=num_groups)
+    if cfg.max_source_chunks is not None and len(cs):
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(len(cs)) - np.repeat(starts, counts)
+        cap_keep = pos < cfg.max_source_chunks
+        cs, ss = cs[cap_keep], ss.filter(pa.array(cap_keep))
+        counts = np.bincount(cs, minlength=num_groups)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    sc_out = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), ss.cast(pa.string()))
+
+    subj_id_out = pc.take(subj_id, first_ix)
+    arrays = [
+        pc.take(tbl["subj"].cast(pa.string()).combine_chunks(), first_ix),
+        subj_id_out,
+        pc.take(pred, first_ix),
+        pc.take(tbl["obj"].cast(pa.string()).combine_chunks(), first_ix),
+        pc.take(obj_id, first_ix),
+        pa.array(vf_out.view("M8[us]")),
+        desc_out,
+        pa.array(conf_out, pa.float32()),
+        sc_out,
+        pa.array(_vec_bucket64(subj_id_out, cfg.num_partitions)
+                 .astype(np.int32)),
     ]
-    merged = merge_duplicate_relations(
-        rows, key_fields=("subj_id", "obj_id"),
-        max_source_chunks=cfg.max_source_chunks)
-    ekey_bucket = [
-        int(stable_hash64(
-            f"{m['subj_id']}|{m['relationship'].lower()}|{m['obj_id']}"
-        ) % 64)
-        for m in merged
-    ]
-    return pa.Table.from_arrays(
-        [
-            pa.array([m["source"] for m in merged], pa.string()),
-            pa.array([m["subj_id"] for m in merged], pa.string()),
-            pa.array([m["relationship"] for m in merged], pa.string()),
-            pa.array([m["target"] for m in merged], pa.string()),
-            pa.array([m["obj_id"] for m in merged], pa.string()),
-            pa.array([m["valid_from"] for m in merged], pa.timestamp("us")),
-            pa.array([m["description"] for m in merged], pa.large_string()),
-            pa.array([m["confidence"] for m in merged], pa.float32()),
-            pa.array([m["source_chunks"] for m in merged],
-                     pa.list_(pa.string())),
-            pa.array([int(stable_hash64(m["subj_id"]) % cfg.num_partitions)
-                      for m in merged], pa.int32()),
-            pa.array(ekey_bucket, pa.int32()),
-        ],
-        names=["subj", "subj_id", "pred", "obj", "obj_id",
-               "valid_from", "description", "confidence",
-               "source_chunks", "part", "ekey_bucket"],
-    )
+    if with_bucket:
+        arrays.append(pa.array(
+            _vec_bucket64(enc.dictionary, 64).astype(np.int32)))
+    return pa.Table.from_arrays(arrays, names=names)
 
 
 class CanonicalRewriteStage:
@@ -228,14 +321,15 @@ class CanonicalRewriteStage:
                                      batch["subj_surface"])
         oids, onames = self._resolve(batch["obj_type"], batch["obj_key"],
                                      batch["obj_surface"])
-        return _merged_edges_table(
-            snames.to_pylist(), sids.to_pylist(),
-            onames.to_pylist(), oids.to_pylist(),
-            batch["pred"].to_pylist(), batch["valid_from"].to_pylist(),
-            batch["description"].to_pylist(),
-            batch["confidence"].to_pylist(),
-            batch["source_chunks"].to_pylist(), self.cfg,
-        )
+        resolved = pa.table({
+            "subj": snames, "subj_id": sids, "pred": batch["pred"],
+            "obj": onames, "obj_id": oids,
+            "valid_from": batch["valid_from"],
+            "description": batch["description"],
+            "confidence": batch["confidence"],
+            "source_chunks": batch["source_chunks"],
+        })
+        return merge_edges_vectorized(resolved, self.cfg)
 
 
 def rewrite_edges_distributed(edges_raw_ds, canonical_tbl,
@@ -326,14 +420,26 @@ def rewrite_edges_distributed(edges_raw_ds, canonical_tbl,
     resolved = resolved.map_batches(_finish("obj"), batch_format="pyarrow")
 
     def finalize(t: pa.Table) -> pa.Table:
-        sc = [x.split("\x00") if x else []
-              for x in t["sc_str"].to_pylist()]
-        return _merged_edges_table(
-            t["subj_name"].to_pylist(), t["subj_id"].to_pylist(),
-            t["obj_name"].to_pylist(), t["obj_id"].to_pylist(),
-            t["pred"].to_pylist(), t["valid_from"].to_pylist(),
-            t["description"].to_pylist(), t["confidence"].to_pylist(),
-            sc, cfg)
+        # re-inflate the NUL-joined provenance carried through the joins;
+        # empty strings mean "no chunks" (split would yield [""])
+        sc_str = t["sc_str"].cast(pa.string()).combine_chunks()
+        sc = pc.split_pattern(sc_str, "\x00")
+        empty = pc.equal(sc_str, "")
+        if len(sc_str) and pc.any(empty).as_py():
+            # split("") yields [""]; raw edges always carry >= 1 chunk so
+            # this is a guard, not a hot path
+            lst = sc.to_pylist()
+            for i in np.flatnonzero(empty.to_numpy(zero_copy_only=False)):
+                lst[i] = []
+            sc = pa.array(lst, pa.list_(pa.string()))
+        resolved = pa.table({
+            "subj": t["subj_name"], "subj_id": t["subj_id"],
+            "pred": t["pred"], "obj": t["obj_name"],
+            "obj_id": t["obj_id"], "valid_from": t["valid_from"],
+            "description": t["description"],
+            "confidence": t["confidence"], "source_chunks": sc,
+        })
+        return merge_edges_vectorized(resolved, cfg)
 
     return resolved.map_batches(finalize, batch_format="pyarrow",
                                 batch_size=8192)
@@ -630,21 +736,13 @@ def build_kg(
         canonical_tbl = None
         cmap_ref = None
 
-    import pandas as pd
-
-    def final_merge(group: pd.DataFrame) -> pd.DataFrame:
+    def final_merge(group: pa.Table) -> pa.Table:
         # one call per hash bucket (64 total), merging every (subj, pred,
-        # obj) key inside it via the dict-keyed kernel — O(rows), not
-        # O(groups) scheduling overhead
-        rows = group.to_dict("records")
-        for r in rows:
-            r["source_chunks"] = list(r["source_chunks"])
-        merged = merge_duplicate_relations(
-            rows, key_fields=("subj_id", "obj_id"), rel_field="pred",
-            max_source_chunks=cfg.max_source_chunks)
-        for m in merged:
-            m.pop("ekey_bucket", None)
-        return pd.DataFrame(merged)
+        # obj) key inside it via the vectorized Arrow kernel — O(rows),
+        # no per-row Python (the dict kernel in functions/relations.py
+        # remains the semantics oracle)
+        return merge_edges_vectorized(
+            group.drop_columns(["ekey_bucket"]), cfg, with_bucket=False)
 
     edges_raw_ds = (edges_raw_for_c if edges_raw_for_c is not None
                     else rd.read_parquet(edges_raw_dir))
@@ -667,13 +765,17 @@ def build_kg(
         if df_all.empty:
             merged_src = rewritten.limit(0)
         else:
+            # to_pandas turns list<string> cells into numpy object arrays,
+            # which Arrow cannot convert back — re-list them for the
+            # pandas->arrow round-trip (small-table path only)
+            df_all["source_chunks"] = df_all["source_chunks"].map(list)
             frames = [g for _, g in df_all.groupby("ekey_bucket",
                                                    sort=True)]
             merged_src = rd.from_pandas(frames).map_batches(
-                final_merge, batch_format="pandas", batch_size=None)
+                final_merge, batch_format="pyarrow", batch_size=None)
     else:
         merged_src = (rewritten.groupby("ekey_bucket")
-                      .map_groups(final_merge, batch_format="pandas"))
+                      .map_groups(final_merge, batch_format="pyarrow"))
     edges_final = (
         merged_src
         .map_batches(
