@@ -550,14 +550,6 @@ def build_kg(
             batch_size=cfg.ner_batch_size,
             concurrency=ner_conc,
         )
-    # stage-cache chunk_ents in the object store (spills under pressure):
-    # phases B1/B2 consume it twice without re-running extraction, and the
-    # durable Parquet checkpoint (resume contract) is written from the
-    # cached copy. At 100 TB prefer cfg.stage_cache="disk": skip the
-    # materialize and re-read the written Parquet instead (cold-path cost,
-    # no object-store footprint).
-    ce_mat = chunk_ents.materialize()
-
     # checkpoint writes are durable-lineage only in memory mode — nothing
     # downstream reads them in this run — so they proceed on background
     # threads, off the critical path; each thread writes its manifests
@@ -583,22 +575,41 @@ def build_kg(
         t.start()
         checkpoint_threads.append(t)
 
-    _checkpoint(ce_mat, chunk_ents_dir, "chunk_ents")
+    disk_mode = cfg.stage_cache == "disk"
+    if disk_mode:
+        # 100 TB mode: phase A STREAMS straight to the durable Parquet —
+        # the page-grain table is never materialized in the object store
+        # (blocks flow read -> extract -> chunk -> NER -> write with
+        # backpressure and are released as they are written); phases B/C
+        # re-read the written Parquet instead
+        chunk_ents.write_parquet(chunk_ents_dir, partition_cols=["part"])
+        _write_part_manifests(out_dir, "chunk_ents")
+        ce_mat = None
+    else:
+        # stage-cache chunk_ents in the object store (spills under
+        # pressure): phases B1/B2 consume it twice without re-running
+        # extraction, and the durable Parquet checkpoint (resume contract)
+        # is written from the cached copy off the critical path
+        ce_mat = chunk_ents.materialize()
+        _checkpoint(ce_mat, chunk_ents_dir, "chunk_ents")
     _mark("A_extract_chunk_ner")
 
     # ---- phase B: mentions + raw edges from the checkpointed chunk_ents ----
-    def _chunk_ents_from_disk(want_parts: set[int]):
-        """Durable chunk_ents rows for ``want_parts``, schema-aligned to the
-        in-memory materialization (hive reads type partition columns and
-        strings differently) so a union is well-typed."""
-        arr = pa.array(sorted(want_parts), pa.int32())
+    def _chunk_ents_from_disk(want_parts: set[int] | None):
+        """Durable chunk_ents rows for ``want_parts`` (None = all parts),
+        schema-aligned to the in-memory materialization (hive reads type
+        partition columns and strings differently) so a union is
+        well-typed."""
+        arr = (pa.array(sorted(want_parts), pa.int32())
+               if want_parts is not None else None)
         from ..stages.entities import CHUNK_ENTS_SCHEMA
 
         target = CHUNK_ENTS_SCHEMA
 
         def conv(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.is_in(t["part"].cast(pa.int32()),
-                                  value_set=arr))
+            if arr is not None:
+                t = t.filter(pc.is_in(t["part"].cast(pa.int32()),
+                                      value_set=arr))
             cols = [t[f.name].cast(f.type).combine_chunks() for f in target]
             return pa.Table.from_arrays(cols, schema=target)
 
@@ -606,7 +617,9 @@ def build_kg(
             conv, batch_format="pyarrow")
 
     done_b = completed_parts(out_dir, "mentions") if resume else set()
-    ce = ce_mat
+    # disk mode: the durable Parquet just written IS the phase-B source —
+    # it holds every part (old + new), streamed back block by block
+    ce = ce_mat if ce_mat is not None else _chunk_ents_from_disk(None)
     ce_mentions = ce
     if done_b:
         keep_set = pa.array(sorted(done_b), pa.int32())
@@ -621,7 +634,7 @@ def build_kg(
     # but whose mentions were never written (kill window between the
     # background chunk_ents write and phase B) is absent from BOTH ce_mat
     # (phase A skipped it) and done_b — source it from the durable Parquet
-    missing_b = (done - done_b) if resume else set()
+    missing_b = (done - done_b) if (resume and not disk_mode) else set()
     if missing_b:
         ce_mentions = ce_mentions.union(_chunk_ents_from_disk(missing_b))
     # on resume (or stage_cache="disk") phase C must see old + new parts,
@@ -662,7 +675,7 @@ def build_kg(
             ),
             batch_format="pyarrow",
         )
-    missing_e = (done - done_e) if resume else set()
+    missing_e = (done - done_e) if (resume and not disk_mode) else set()
     if missing_e:  # same resume-hole guard as mentions
         ce_edges = ce_edges.union(_chunk_ents_from_disk(missing_e))
     if as_tasks:

@@ -22,9 +22,33 @@ def test_disk_mode_matches_memory_mode(tmp_path):
     pages = pages_table(list(range(60)))
     mem = build_kg(rd.from_arrow(pages), str(tmp_path / "mem"),
                    alias_table=alias_table())
-    disk_cfg = dataclasses.replace(DEFAULT_CONFIG, stage_cache="disk")
-    dsk = build_kg(rd.from_arrow(pages), str(tmp_path / "dsk"),
-                   cfg=disk_cfg, alias_table=alias_table())
+
+    # Instrument materialize(): in disk mode NOTHING page/chunk-grain may
+    # be pinned in the object store — the 100 TB claim is that phase A
+    # streams straight to Parquet. Phase C may still materialize its small
+    # derived tables (canonical entities, merged triples), but any
+    # materialized dataset carrying chunk text is a violation.
+    from ray.data import Dataset
+
+    materialized_schemas: list[list[str]] = []
+    orig_mat = Dataset.materialize
+
+    def spy_mat(self):
+        out = orig_mat(self)
+        materialized_schemas.append(list(out.schema().names))
+        return out
+
+    Dataset.materialize = spy_mat
+    try:
+        disk_cfg = dataclasses.replace(DEFAULT_CONFIG, stage_cache="disk")
+        dsk = build_kg(rd.from_arrow(pages), str(tmp_path / "dsk"),
+                       cfg=disk_cfg, alias_table=alias_table())
+    finally:
+        Dataset.materialize = orig_mat
+
+    for names in materialized_schemas:
+        assert "text" not in names and "html" not in names, (
+            f"disk mode materialized a page/chunk-grain dataset: {names}")
 
     def edge_keys(path):
         t = pads.dataset(path, partitioning="hive").to_table(
