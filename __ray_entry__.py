@@ -173,15 +173,25 @@ def _kg_bfs(sf_dir: str):
 
 
 def _kg_fulltext(sf_dir: str):
-    """Q6: regex full-text search over chunks."""
+    """Q6: inverted-index full-text search (stages/fulltext.py) — the
+    Neo4j full-text analogue (reference schema.py:125-144): postings are
+    built ONCE and persisted next to the KG outputs; the query reads only
+    its terms' hash buckets of the posting table. The query path cannot
+    scan chunk text at all — the posting table has no text column."""
     import ray.data as rd
 
-    from temporal_knowledge_graphs_ray.pipelines.graph import fulltext_search
+    from temporal_knowledge_graphs_ray.oracle.materialize import (
+        FULLTEXT_TERMS,
+    )
+    from temporal_knowledge_graphs_ray.stages.fulltext import FulltextIndex
 
     res = _kg_outputs(sf_dir)
-    chunks = rd.read_parquet(res["chunk_ents"],
-                             columns=["chunk_id", "text"])
-    return fulltext_search(chunks, ["acquired", "revenue", "founded"], k=20)
+    idx_path = os.path.join(os.path.dirname(res["edges"]), "fulltext_idx")
+    if not os.path.isdir(idx_path):
+        chunks = rd.read_parquet(res["chunk_ents"],
+                                 columns=["chunk_id", "text"])
+        FulltextIndex(chunks).save(idx_path)
+    return FulltextIndex.load(idx_path).search(FULLTEXT_TERMS, k=20)
 
 
 def _kg_hybrid(sf_dir: str):
@@ -581,8 +591,11 @@ def oracle_sql() -> dict[str, str]:
 
     match_keys = sorted({surface_key(n) for n in ENTITY_MATCH_NAMES})
     match_in = ", ".join(f"'{k}'" for k in match_keys)
+    # word-level term presence, matching the inverted index's [a-z0-9]+
+    # tokenizer (Lucene-like: "reacquired" does NOT match "acquired")
     term_sum = " + ".join(
-        f"CAST(contains(lower(text), '{t.lower()}') AS INT)"
+        "CAST(regexp_matches(lower(text), "
+        f"'(^|[^a-z0-9]){t.lower()}([^a-z0-9]|$)') AS INT)"
         for t in FULLTEXT_TERMS
     )
     lang_counts = ", ".join(

@@ -85,7 +85,15 @@ class EngineConfig:
 
     # --- canonicalization blocking ---
     blocking_prefix_len: int = 4  # (type, skey[:4]) blocking key
-    salt_buckets: int = 8  # salting factor for hub-key partial aggregation
+    # hot-block guard: a (type, prefix) blocking group with more distinct
+    # keys than this never builds the full N x N similarity matrix (at web
+    # scale a hot 4-char prefix can hold 10^5+ keys -> a 10^10-cell matrix
+    # in one task). Oversized blocks run the bounded hierarchical pass in
+    # canonicalize.py:_cluster_block_keys: sorted chunks of <= this size
+    # dense-clustered, then cluster-representative rounds until
+    # convergence. 4096 keys -> ~260 MB peak for the sims + argsort
+    # temporaries, well inside a worker heap.
+    dedup_max_block_keys: int = 4096
 
     # --- embedding stand-in (deterministic char-ngram hash embedding) ---
     embed_dim: int = 256

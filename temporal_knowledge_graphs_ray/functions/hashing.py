@@ -32,6 +32,24 @@ def stable_hash64(text: str, seed: int = 0) -> int:
     return int.from_bytes(h[:8], "big") >> 1
 
 
+def url_parts_vec(urls, num_partitions: int) -> np.ndarray:
+    """Vectorized stable partition assignment for a url array.
+
+    SipHash via ``pandas.util.hash_array`` with its fixed default key —
+    stable across processes and machines (unlike builtin ``hash``), and
+    ~100x faster than a per-row MD5 loop on the phase-A hot path. Every
+    site deriving the ``part`` layout column from urls (writer, resume
+    filter, supersede purge) MUST go through this function so the layout
+    stays consistent within and across runs.
+    """
+    import pandas as pd
+
+    arr = np.asarray(list(urls), dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.int32)
+    return (pd.util.hash_array(arr) % num_partitions).astype(np.int32)
+
+
 def fast_hash64(text: str, seed: int = 0) -> int:
     """Fast stable 63-bit hash (two salted CRC32s) for high-volume sketch
     inputs (shingles, simhash tokens). Stable across processes/machines —

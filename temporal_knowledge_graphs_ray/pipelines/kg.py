@@ -83,9 +83,10 @@ def _parts_filter(done: set[int], num_partitions: int):
     done_arr = pa.array(sorted(done), pa.int32())
 
     def fn(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import url_parts_vec
+
         parts = pa.array(
-            [int(stable_hash64(u) % num_partitions)
-             for u in batch["url"].to_pylist()],
+            url_parts_vec(batch["url"].to_pylist(), num_partitions),
             pa.int32(),
         )
         keep = pc.invert(pc.is_in(parts, value_set=done_arr))
@@ -887,24 +888,97 @@ def ingest_increment(
                     increment=True)
 
 
-def _purge_urls_from_table(out_dir: str, table: str, urls: set[str],
+def _recover_purge_swaps(out_dir: str, table: str) -> None:
+    """Finish (or discard) partition swaps a killed purge left behind.
+
+    Invariant of the swap protocol below: a complete copy of every part's
+    data exists on disk at all times — either at ``part=K`` or parked under
+    ``.purge_new`` / ``.purge_old``. This recovery makes the protocol
+    idempotent: new-copy present + live dir missing -> finish the swap;
+    live dir present -> the parked copies are leftovers, drop them.
+    """
+    tdir = os.path.join(out_dir, table)
+    new_root = os.path.join(tdir, ".purge_new")
+    old_root = os.path.join(tdir, ".purge_old")
+    if os.path.isdir(new_root):
+        for entry in os.listdir(new_root):
+            live = os.path.join(tdir, entry)
+            if not os.path.isdir(live):
+                os.rename(os.path.join(new_root, entry), live)
+    shutil.rmtree(new_root, ignore_errors=True)
+    shutil.rmtree(old_root, ignore_errors=True)
+
+
+def _purge_part_files(pdir: str, tmp_dir: str, url_arr: pa.Array) -> None:
+    """Stream one part's parquet files through the url filter into
+    ``tmp_dir`` — one FILE resident at a time, never the whole part (a
+    part of a 100 TB corpus is many bounded-size files)."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    i = 0
+    for name in sorted(os.listdir(pdir)):
+        if not name.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(pdir, name))
+        t = t.filter(pc.invert(pc.is_in(t["url"], value_set=url_arr)))
+        if t.num_rows:
+            pq.write_table(t, os.path.join(tmp_dir, f"purged-{i}.parquet"))
+            i += 1
+    if i == 0:
+        # keep the part dir non-empty so hive discovery still sees the
+        # partition (typed empty file)
+        first = sorted(n for n in os.listdir(pdir) if n.endswith(".parquet"))
+        schema = pq.read_schema(os.path.join(pdir, first[0]))
+        pq.write_table(schema.empty_table(),
+                       os.path.join(tmp_dir, "purged-0.parquet"))
+
+
+def _purge_urls_from_table(out_dir: str, table: str, urls_ref,
                            parts: set[int]) -> None:
     """Rewrite the affected part dirs of a url-carrying table with the
     superseded urls' rows removed (partition-granular compaction — the
-    resumable layout makes 'rewrite one part' the unit of work)."""
-    import pyarrow.parquet as pq
+    resumable layout makes 'rewrite one part' the unit of work).
 
-    for part in sorted(parts):
-        pdir = os.path.join(out_dir, table, f"part={part}")
+    Distributed: one Ray task per touched part, each streaming its files
+    (the driver never holds a part's rows). Crash-safe: the purged copy is
+    written to ``.purge_new/part=K`` first, the part's manifest is deleted
+    (officially incomplete), then two atomic renames swap the dirs — a
+    kill in any window leaves a complete on-disk copy that
+    ``_recover_purge_swaps`` finishes or discards.
+    """
+    import ray
+
+    _recover_purge_swaps(out_dir, table)
+    tdir = os.path.join(out_dir, table)
+
+    @ray.remote
+    def purge_part(part: int) -> int:
+        pdir = os.path.join(tdir, f"part={part}")
         if not os.path.isdir(pdir):
+            return part
+        url_arr = pa.array(sorted(ray.get(urls_ref)))
+        _purge_part_files(pdir, os.path.join(tdir, ".purge_new",
+                                             f"part={part}"), url_arr)
+        return part
+
+    done = ray.get([purge_part.remote(p) for p in sorted(parts)])
+    # swap on the driver (cheap metadata ops; the data moves were remote)
+    for part in done:
+        pdir = os.path.join(tdir, f"part={part}")
+        tmp_new = os.path.join(tdir, ".purge_new", f"part={part}")
+        if not os.path.isdir(tmp_new):
             continue
-        t = pads.dataset(pdir, format="parquet").to_table()
-        keep = pc.invert(pc.is_in(t["url"],
-                                  value_set=pa.array(sorted(urls))))
-        t = t.filter(keep)
-        shutil.rmtree(pdir)
-        os.makedirs(pdir, exist_ok=True)
-        pq.write_table(t, os.path.join(pdir, "purged-0.parquet"))
+        mpath = os.path.join(out_dir, "_manifests",
+                             f"{table}-part-{part}.json")
+        if os.path.exists(mpath):
+            os.remove(mpath)
+        old = os.path.join(tdir, ".purge_old", f"part={part}")
+        os.makedirs(os.path.dirname(old), exist_ok=True)
+        os.rename(pdir, old)
+        os.rename(tmp_new, pdir)
+    shutil.rmtree(os.path.join(tdir, ".purge_new"), ignore_errors=True)
+    shutil.rmtree(os.path.join(tdir, ".purge_old"), ignore_errors=True)
 
 
 def ingest_increment_supersede(
@@ -933,26 +1007,45 @@ def ingest_increment_supersede(
     if not os.path.isdir(chunk_ents_dir):
         return build_kg(pages_ds, out_dir, cfg, alias_table=alias_table)
 
+    # finish any partition swap a killed previous supersede left behind
+    for table in ("chunk_ents", "mentions"):
+        _recover_purge_swaps(out_dir, table)
+
     # latest crawl per incoming url
     pages_latest = dedup_recrawls_keep_latest(pages_ds).materialize()
-    incoming = pages_latest.select_columns(["url", "warc_ts"]).to_pandas()
-    existing = (
+    # supersede set via a DISTRIBUTED join: the full historical url -> ts
+    # map stays sharded across the cluster (at 100 TB it is far larger
+    # than driver memory); the driver ends up holding only the superseded
+    # url list, which is bounded by the INCREMENT size
+    incoming = pages_latest.select_columns(["url", "warc_ts"])
+    existing_max = (
         rd.read_parquet(chunk_ents_dir, columns=["url", "valid_from"])
-        .groupby("url").max("valid_from").to_pandas()
-        .rename(columns={"max(valid_from)": "valid_from"})
+        .groupby("url").max("valid_from")
     )
-    have = dict(zip(existing["url"], existing["valid_from"]))
-    supersede_urls = {
-        u for u, ts in zip(incoming["url"], incoming["warc_ts"])
-        if u in have and ts > have[u]
-    }
+    ncpu_j = int(ray.cluster_resources().get("CPU", 8))
+    nparts_j = max(2, min(64, ncpu_j // 2))
+    joined = incoming.join(existing_max, "inner", nparts_j, on=("url",))
+
+    def newer_only(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["warc_ts"].cast(pa.timestamp("us")),
+                          t["max(valid_from)"].cast(pa.timestamp("us")))
+        return t.filter(keep).select(["url"])
+
+    sup_df = joined.map_batches(newer_only,
+                                batch_format="pyarrow").to_pandas()
+    supersede_urls = set(sup_df["url"])
 
     if supersede_urls:
-        parts = {int(stable_hash64(u) % cfg.num_partitions)
-                 for u in supersede_urls}
-        # 1. purge the old versions' rows (url-carrying tables)
+        from ..functions.hashing import url_parts_vec
+
+        parts = set(
+            url_parts_vec(sorted(supersede_urls),
+                          cfg.num_partitions).tolist())
+        urls_ref = ray.put(sorted(supersede_urls))
+        # 1. purge the old versions' rows (url-carrying tables) — Ray
+        #    tasks per part, crash-safe swap
         for table in ("chunk_ents", "mentions"):
-            _purge_urls_from_table(out_dir, table, supersede_urls, parts)
+            _purge_urls_from_table(out_dir, table, urls_ref, parts)
             _write_part_manifests(out_dir, table)
         # 2. recompute edges_raw for the touched partitions from the
         #    purged chunk_ents (edge rows have no url after the partial

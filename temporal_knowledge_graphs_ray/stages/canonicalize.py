@@ -111,43 +111,107 @@ def _accept_pair(cos: float, jw: float, cfg: EngineConfig) -> bool:
     return 0.6 * cos + 0.4 * jw >= 0.8
 
 
-def _cluster_block_keys(keys: list[str], cfg: EngineConfig) -> "UnionFind":
-    """Candidate gen + threshold cascade + union-find over one blocking
-    group's distinct entity keys (reference :233-327 semantics)."""
+def _dense_cluster_into(uf: "UnionFind", keys: list[str],
+                        cfg: EngineConfig) -> None:
+    """Candidate gen + threshold cascade over one bounded key set, unioning
+    accepted pairs into ``uf`` (reference :233-327 semantics). Builds the
+    full cosine matrix — callers must keep ``len(keys)`` within
+    ``cfg.dedup_max_block_keys``."""
+    if len(keys) < 2:
+        return
     emb_dim, emb_ngram = cfg.embed_dim, cfg.embed_ngram
     emb_threshold = cfg.dedup_embedding_threshold  # 0.85
     str_threshold = cfg.dedup_string_threshold  # 0.7
     max_cand = cfg.dedup_max_candidates_per_entity  # 10
 
+    # embedding blocking (reference :233-297): cosine matrix over the
+    # keys, slacked threshold, top-N candidates per entity, same type
+    # only (a block is one type)
+    vecs = embed_texts(keys, emb_dim, emb_ngram)
+    sims = vecs @ vecs.T
+    np.fill_diagonal(sims, -1.0)
+    slack = emb_threshold * 0.8
+    order = np.argsort(-sims, axis=1)[:, :max_cand]
+    seen_pairs: set[tuple[int, int]] = set()
+    for i in range(len(keys)):
+        for j in order[i]:
+            j = int(j)
+            pair = (min(i, j), max(i, j))
+            if pair in seen_pairs:
+                continue
+            seen_pairs.add(pair)
+            cos = float(sims[i, j])
+            if cos < slack:
+                continue
+            # string filter (:299-327): keep if jw >= 0.8*thr or cos>=0.95
+            jw = jaro_winkler(keys[pair[0]], keys[pair[1]])
+            if jw < str_threshold * 0.8 and cos < 0.95:
+                continue
+            if _accept_pair(cos, jw, cfg):
+                uf.union(keys[pair[0]], keys[pair[1]])
+
+
+def _cluster_block_keys(keys: list[str], cfg: EngineConfig) -> "UnionFind":
+    """Union-find over one blocking group's distinct (sorted) entity keys.
+
+    Blocks within ``cfg.dedup_max_block_keys`` run the exact dense pass.
+    Oversized hot blocks (a popular 4-char prefix at web scale) run a
+    BOUNDED hierarchical pass instead of an N x N matrix:
+
+    1. chunk the sorted keys into runs of <= max_block and dense-cluster
+       each chunk (lexicographic adjacency keeps shared-prefix variants —
+       the likeliest merges — in one chunk);
+    2. collapse every cluster to its deterministic representative (min
+       member) and repeat over the representatives until they either fit
+       one dense pass or a round makes no new merges.
+
+    Cross-chunk pairs whose representatives never co-reside in a chunk are
+    the dropped comparisons; the drop is logged. Results are deterministic
+    (sorted input, sorted chunk boundaries, min-representatives) and peak
+    memory is bounded by one max_block^2 matrix per task.
+    """
     uf = UnionFind()
     for k in keys:
         uf.find(k)
-    if len(keys) > 1:
-        # embedding blocking (reference :233-297): cosine matrix over
-        # distinct keys in this block, slacked threshold, top-N candidates
-        # per entity, same type only (a block is one type)
-        vecs = embed_texts(keys, emb_dim, emb_ngram)
-        sims = vecs @ vecs.T
-        np.fill_diagonal(sims, -1.0)
-        slack = emb_threshold * 0.8
-        order = np.argsort(-sims, axis=1)[:, :max_cand]
-        seen_pairs: set[tuple[int, int]] = set()
-        for i in range(len(keys)):
-            for j in order[i]:
-                j = int(j)
-                pair = (min(i, j), max(i, j))
-                if pair in seen_pairs:
-                    continue
-                seen_pairs.add(pair)
-                cos = float(sims[i, j])
-                if cos < slack:
-                    continue
-                # string filter (:299-327): keep if jw >= 0.8*thr or cos>=0.95
-                jw = jaro_winkler(keys[pair[0]], keys[pair[1]])
-                if jw < str_threshold * 0.8 and cos < 0.95:
-                    continue
-                if _accept_pair(cos, jw, cfg):
-                    uf.union(keys[pair[0]], keys[pair[1]])
+    max_block = cfg.dedup_max_block_keys
+    if len(keys) <= max_block:
+        _dense_cluster_into(uf, keys, cfg)
+        return uf
+
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "hot blocking group: %d distinct keys > dedup_max_block_keys=%d; "
+        "running bounded hierarchical clustering (cross-chunk pairs whose "
+        "representatives never co-reside in a chunk are not compared)",
+        len(keys), max_block)
+
+    def _reps() -> list[str]:
+        root_min: dict[str, str] = {}
+        for k in keys:
+            r = str(uf.find(k))
+            if r not in root_min or k < root_min[r]:
+                root_min[r] = k
+        return sorted(root_min.values())
+
+    level = list(keys)  # caller passes sorted keys
+    while True:
+        if len(level) <= max_block:
+            _dense_cluster_into(uf, level, cfg)
+            break
+        before = len(level)
+        for i in range(0, len(level), max_block):
+            _dense_cluster_into(uf, level[i:i + max_block], cfg)
+        level = _reps()
+        if len(level) >= before:
+            # a full round made no merges — further rounds would chunk
+            # identically; remaining cross-chunk comparisons are dropped
+            n_chunks = (before + max_block - 1) // max_block
+            logging.getLogger(__name__).warning(
+                "hierarchical clustering converged with %d representatives "
+                "in %d chunks; cross-chunk candidate pairs dropped",
+                before, n_chunks)
+            break
     return uf
 
 

@@ -289,43 +289,26 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, num_bands: int = 16,
                       shingle_k: int = 3, jaccard_threshold: float = 0.8):
-    """Full MinHash-LSH near-dup pipeline.
+    """Full MinHash-LSH near-dup pipeline: verified pairs -> clusters.
 
-    Returns a pandas DataFrame (id, cluster_id) for near-duplicate docs
-    (cluster_id = min member id). The verified-pair set is tiny relative to
-    the corpus (only near-dups survive), so the final union-find runs on
-    the driver — the documented smallness assumption; at extreme dup rates
-    switch to iterated min-label propagation.
+    Thin wrapper over :func:`minhash_verified_pairs` (the distributed
+    candidate + worker-side verify path — the driver never holds texts or
+    shingles) followed by a union-find over the verified-pair set. Returns
+    a pandas DataFrame (id, cluster_id) for near-duplicate docs
+    (cluster_id = min member id). The verified-pair set is tiny relative
+    to the corpus (only near-dups survive), so the final union-find runs
+    on the driver — the documented smallness assumption; at extreme dup
+    rates switch to iterated min-label propagation.
     """
-    texts_ref = None  # texts fetched per verified pair below
-
-    band_ds = minhash_rows(ds, text_col, id_col, num_perm, num_bands, shingle_k)
-    cand = _candidate_pairs_from_bands(band_ds, id_col).to_pandas()
-    cand = cand.drop_duplicates(ignore_index=True)
-    if cand.empty:
-        return pd.DataFrame({id_col: [], "cluster_id": []})
-
-    # verify true n-gram Jaccard for candidates (broadcast the shingle sets
-    # of candidate docs only — small side)
-    needed = sorted(set(cand["a"]) | set(cand["b"]))
-    import pyarrow.compute as pc
-
-    def keep_needed(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t[id_col], value_set=pa.array(needed)))
-
-    doc_rows = (
-        ds.map_batches(keep_needed, batch_format="pyarrow")
-        .select_columns([id_col, text_col]).take_all()
+    pairs = minhash_verified_pairs(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        num_bands=num_bands, shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
     )
-    shingles = {r[id_col]: set(word_shingles(r[text_col], shingle_k))
-                for r in doc_rows}
-    verified = [
-        (a, b) for a, b in zip(cand["a"], cand["b"])
-        if jaccard(shingles[a], shingles[b]) >= jaccard_threshold
-    ]
-    _ = texts_ref
+    if pairs.empty:
+        return pd.DataFrame({id_col: [], "cluster_id": []})
     rows = []
-    for cluster in cluster_pairs(verified):
+    for cluster in cluster_pairs(list(zip(pairs["a"], pairs["b"]))):
         cid = min(cluster)
         for member in cluster:
             rows.append({id_col: member, "cluster_id": cid})

@@ -107,15 +107,46 @@ class LlmEntityExtractorStage(EntityExtractorStage):
     LLM — exercised with canned responses in tests/test_llm_extractor.py.
     """
 
-    def __init__(self, client, cfg: EngineConfig = DEFAULT_CONFIG):
+    def __init__(self, client, cfg: EngineConfig = DEFAULT_CONFIG,
+                 max_attempts: int = 3, backoff_base: float = 0.5,
+                 sleep=None):
         super().__init__(cfg)
         self.client = client
+        self.max_attempts = max(1, int(max_attempts))
+        self.backoff_base = backoff_base
+        import time
+
+        self._sleep = sleep if sleep is not None else time.sleep
+
+    def _call_with_retry(self, text: str) -> str | None:
+        """Bounded per-call retry with exponential backoff, then give up
+        with ``None`` — mirrors the reference's tenacity x3 wrapper
+        (embeddings/generator.py:63-71) plus its extractor's
+        failure-means-empty policy (entity_extractor.py:151-154). Without
+        this, a transient error would kill the Ray task (re-running the
+        whole batch) and a poison chunk would retry forever."""
+        import logging
+
+        for attempt in range(self.max_attempts):
+            try:
+                return self.client(text)
+            except Exception as e:  # noqa: BLE001 - any client fault
+                if attempt + 1 >= self.max_attempts:
+                    logging.getLogger(__name__).warning(
+                        "LLM extraction failed after %d attempts; chunk "
+                        "yields zero entities: %s", self.max_attempts, e)
+                    return None
+                self._sleep(self.backoff_base * (2 ** attempt))
+        return None
 
     def _extract(self, text: str) -> list[dict]:
         from ..functions.llm_json import parse_llm_entities
 
+        raw = self._call_with_retry(text)
+        if raw is None:
+            return []  # failed chunk -> no entities, pipeline continues
         out = []
-        for e in parse_llm_entities(self.client(text)):
+        for e in parse_llm_entities(raw):
             if not isinstance(e, dict) or not e.get("name"):
                 continue  # reference drops malformed entries
             name = str(e["name"])

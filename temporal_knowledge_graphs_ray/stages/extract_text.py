@@ -36,8 +36,11 @@ CHUNKS_SCHEMA = pa.schema([
 
 
 def url_partition(url: str, num_partitions: int) -> int:
-    """Stable partition id for the resumable output layout."""
-    return int(stable_hash64(url) % num_partitions)
+    """Stable partition id for the resumable output layout (single-value
+    wrapper over the vectorized kernel so all sites share one hash)."""
+    from ..functions.hashing import url_parts_vec
+
+    return int(url_parts_vec([url], num_partitions)[0])
 
 
 def make_extract_text_stage(cfg: EngineConfig = DEFAULT_CONFIG):
@@ -54,7 +57,9 @@ def make_extract_text_stage(cfg: EngineConfig = DEFAULT_CONFIG):
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         texts = [extract_text_from_html(h) for h in htmls]
-        parts = [url_partition(u, num_partitions) for u in urls]
+        from ..functions.hashing import url_parts_vec
+
+        parts = url_parts_vec(urls, num_partitions)
         return pa.Table.from_arrays(
             [
                 pa.array(urls, pa.string()),

@@ -76,6 +76,82 @@ class TestCanonicalizeGroup:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestHotBlockGuard:
+    """Oversized blocking groups run the bounded hierarchical pass
+    (config.dedup_max_block_keys) instead of an N x N matrix."""
+
+    def _keys(self, n):
+        # one hot block: every key shares the 4-char prefix "john", but the
+        # surnames are high-entropy hex so distinct keys are NOT near-dups
+        # by the cascade's own thresholds
+        import hashlib
+
+        return [
+            "john " + hashlib.md5(str(i).encode()).hexdigest()[:10]
+            for i in range(n)
+        ]
+
+    def test_oversized_block_completes_and_merges_planted_dups(self):
+        import dataclasses
+
+        from temporal_knowledge_graphs_ray.stages.canonicalize import (
+            _cluster_block_keys,
+        )
+
+        cfg = dataclasses.replace(DEFAULT_CONFIG, dedup_max_block_keys=64)
+        base = sorted(self._keys(500))
+        lo, hi = base[3], base[-3]
+        # planted near-duplicates: typo variants adjacent lexicographically
+        # (same chunk) at both ends of the sorted range
+        keys = sorted(base + [lo + "x", hi + "x"])
+        uf = _cluster_block_keys(keys, cfg)
+        assert uf.find(lo) == uf.find(lo + "x")
+        assert uf.find(hi) == uf.find(hi + "x")
+        # distinct high-entropy keys stay separate
+        assert uf.find(base[100]) != uf.find(base[200])
+
+    def test_capped_path_matches_dense_when_cap_not_hit(self):
+        import dataclasses
+
+        from temporal_knowledge_graphs_ray.stages.canonicalize import (
+            _cluster_block_keys,
+        )
+
+        base50 = sorted(self._keys(50))
+        keys = sorted(base50 + [base50[7] + "x"])
+        big = _cluster_block_keys(keys, DEFAULT_CONFIG)  # dense
+        small_cfg = dataclasses.replace(DEFAULT_CONFIG,
+                                        dedup_max_block_keys=16)
+        hier = _cluster_block_keys(keys, small_cfg)  # hierarchical
+
+        def clusters(uf):
+            groups = {}
+            for k in keys:
+                groups.setdefault(str(uf.find(k)), set()).add(k)
+            return sorted(frozenset(g) for g in groups.values())
+
+        assert clusters(big) == clusters(hier)
+
+    def test_hierarchical_path_bounds_matrix(self, monkeypatch):
+        """No dense pass ever sees more keys than the cap."""
+        import dataclasses
+
+        from temporal_knowledge_graphs_ray.stages import canonicalize as cz
+
+        cap = 32
+        seen_sizes = []
+        orig = cz._dense_cluster_into
+
+        def spy(uf, keys, cfg):
+            seen_sizes.append(len(keys))
+            return orig(uf, keys, cfg)
+
+        monkeypatch.setattr(cz, "_dense_cluster_into", spy)
+        cfg = dataclasses.replace(DEFAULT_CONFIG, dedup_max_block_keys=cap)
+        cz._cluster_block_keys(sorted(self._keys(300)), cfg)
+        assert seen_sizes and max(seen_sizes) <= cap
+
+
 class TestAcceptPair:
     def test_cascade(self):
         cfg = DEFAULT_CONFIG

@@ -122,3 +122,80 @@ class TestRepairFuzz:
     def test_parse_never_raises_jsonish(self, content):
         out = parse_llm_entities(content)
         assert isinstance(out, list)
+
+
+class TestRetrySemantics:
+    """Bounded retry + empty-result-on-failure (reference
+    entity_extractor.py:151-154, generator.py:63-71): a transient fault
+    retries with backoff; a poison chunk yields zero entities instead of
+    killing the task (Ray would re-run the whole batch forever)."""
+
+    def _stage(self, client, **kw):
+        from temporal_knowledge_graphs_ray.stages.entities import (
+            LlmEntityExtractorStage,
+        )
+
+        sleeps = []
+        stage = LlmEntityExtractorStage(client, sleep=sleeps.append, **kw)
+        return stage, sleeps
+
+    def test_transient_fault_retries_then_succeeds(self):
+        calls = {"n": 0}
+
+        def flaky(text):
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                raise ConnectionError("transient")
+            return '[{"name": "Acme", "type": "ORG"}]'
+
+        stage, sleeps = self._stage(flaky)
+        out = stage._extract("Acme acquired Globex.")
+        assert [e["name"] for e in out] == ["Acme"]
+        assert calls["n"] == 3
+        # exponential backoff between attempts
+        assert sleeps == [0.5, 1.0]
+
+    def test_poison_chunk_yields_zero_entities(self):
+        calls = {"n": 0}
+
+        def dead(text):
+            calls["n"] += 1
+            raise TimeoutError("down")
+
+        stage, _ = self._stage(dead, max_attempts=3)
+        assert stage._extract("anything") == []
+        assert calls["n"] == 3  # bounded, never infinite
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_pipeline_completes_with_failing_client(self):
+        """End-to-end: an always-failing client must not kill the Ray
+        stage — every chunk flows through with empty entities."""
+        import datetime
+
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.entities import (
+            LlmEntityExtractorStage,
+        )
+
+        def dead(text):
+            raise ConnectionError("api down")
+
+        chunks = pa.Table.from_pylist([
+            {"url": f"u{i}", "part": 0, "chunk_id": f"u{i}#0",
+             "chunk_index": 0, "text": f"text {i}", "token_count": 2,
+             "valid_from": datetime.datetime(2020, 1, 1)}
+            for i in range(4)
+        ])
+        out = (
+            rd.from_arrow(chunks)
+            .map_batches(LlmEntityExtractorStage,
+                         fn_constructor_kwargs={
+                             "client": dead, "max_attempts": 2,
+                             "backoff_base": 0.0},
+                         batch_format="pyarrow", batch_size=2,
+                         concurrency=(1, 2))
+            .to_pandas()
+        )
+        assert len(out) == 4
+        assert all(len(e) == 0 for e in out["entities"])
