@@ -65,7 +65,17 @@ class EngineConfig:
 
 
     # --- output layout / resume ---
-    num_partitions: int = 16  # hash(url) % num_partitions → part column
+    # hash(url) % num_partitions -> part column. None = auto: derived at
+    # build time from the input size so each part targets
+    # ``target_part_bytes`` of input (at 100 TB a fixed 16 parts would
+    # make every resume/compaction unit multi-TB). The resolved count is
+    # persisted in _manifests/_layout.json and REUSED by resume /
+    # increment / supersede runs — the layout must never drift from the
+    # parts already on disk.
+    num_partitions: int | None = None
+    target_part_bytes: int = 2 << 30  # ~2 GB of input per partition
+    min_partitions: int = 16
+    max_partitions: int = 65536
 
     # canonical-map broadcast ceiling: above this many entities the edge
     # rewrite switches from a ray.put broadcast (read zero-copy per worker)
@@ -98,6 +108,14 @@ class EngineConfig:
     # --- embedding stand-in (deterministic char-ngram hash embedding) ---
     embed_dim: int = 256
     embed_ngram: int = 3
+
+
+def effective_partitions(cfg: EngineConfig) -> int:
+    """Concrete partition count for kernels used standalone (build_kg
+    resolves ``num_partitions`` itself — see _resolve_partitions — so
+    inside the pipeline this is just the resolved value)."""
+    return (cfg.num_partitions if cfg.num_partitions is not None
+            else cfg.min_partitions)
 
 
 DEFAULT_CONFIG = EngineConfig()

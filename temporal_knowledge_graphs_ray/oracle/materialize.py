@@ -27,11 +27,19 @@ from collections import defaultdict
 import numpy as np
 
 # bump when oracle semantics change so stale /tmp caches are not reused
-ORACLE_VERSION = 3
+ORACLE_VERSION = 4
 
 # Query constants shared between the engine queries (__ray_entry__) and
 # this oracle — single source of truth for both sides.
 PPR_SEED_COUNT = 2
+# ann_lsh_topk: both sides use the same seed-deterministic LSH bucketing,
+# so the candidate set is materialized here and DuckDB rescores exactly
+# within it — making the "approximate" query fully oracle-checkable.
+ANN_N_PLANES = 6
+ANN_N_TABLES = 16
+ANN_SEED = 7
+ANN_QUERY_VEC_ID = 0
+ANN_K = 10
 HYBRID_QUERY = "Acme Inc. acquired a company"
 HYBRID_ENTITIES = ["Acme Inc.", "OpenAI"]
 HYBRID_K = 20
@@ -354,6 +362,26 @@ def materialize_kg_oracle(sf_dir: str) -> str:
          "h": int(np.uint64(simhash64(word_shingles(t, 2))).astype(np.int64))}
         for d, t in zip(doc_ids, texts)
     ], pa.schema([("doc_id", pa.int64()), ("h", pa.int64())]))
+
+    # ---- ann_lsh_topk candidate set (seed-deterministic LSH) ----
+    # Recompute the multi-table bucket assignment sequentially with the
+    # exact parameters the registered query uses; a vector is a candidate
+    # iff it shares a (table-encoded) bucket with the query vector. DuckDB
+    # then rescores exactly within this set (cosine + vec_id tiebreak).
+    from ..stages.similarity import LshAnnIndexStage
+
+    emb_tbl = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+    vec_ids = np.asarray(emb_tbl["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.array(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
+    stage = LshAnnIndexStage(vecs.shape[1], ANN_N_PLANES, ANN_N_TABLES,
+                             ANN_SEED)
+    all_buckets = stage.buckets_of(vecs)  # (n, n_tables) table-encoded
+    q_row = all_buckets[vec_ids == ANN_QUERY_VEC_ID][0]
+    is_cand = np.isin(all_buckets, q_row).any(axis=1)
+    write("ann_candidates",
+          [{"vec_id": int(v)} for v in sorted(vec_ids[is_cand])],
+          pa.schema([("vec_id", pa.int64())]))
 
     # ---- J6 evaluation fixtures: question -> evidence url ----
     write("questions", [

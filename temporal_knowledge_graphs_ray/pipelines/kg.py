@@ -40,10 +40,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
-from ..config import DEFAULT_CONFIG, EngineConfig
+from ..config import DEFAULT_CONFIG, EngineConfig, effective_partitions
 from ..functions.hashing import stable_hash64
 from ..state.broadcast import put_alias_dict, put_canonical_map
-from ..state.manifests import completed_parts, write_manifest, write_run_manifest
+from ..state.manifests import (
+    completed_parts,
+    read_layout,
+    write_layout,
+    write_manifest,
+    write_run_manifest,
+)
 from ..stages.canonicalize import CANONICAL_SCHEMA, canonicalize
 from ..stages.entities import EntityExtractorStage, MentionLinkStage
 from ..stages.extract_text import (
@@ -76,6 +82,47 @@ NODES_SCHEMA = pa.schema([
     ("mention_count", pa.int64()),
     ("aliases", pa.list_(pa.string())),
 ])
+
+
+def _resolve_partitions(pages_ds, out_dir: str, cfg: EngineConfig,
+                        existing: bool) -> EngineConfig:
+    """Return ``cfg`` with a concrete ``num_partitions``.
+
+    Priority: (1) the layout recorded with an existing output — resume /
+    increment / supersede MUST reuse it or urls land in the wrong parts;
+    (2) an explicit cfg value; (3) auto-derivation targeting
+    ``target_part_bytes`` of INPUT per partition, estimated from source
+    file metadata (never executes the dataset) with the in-memory size as
+    the fallback. At 100 TB / 2 GB targets that is ~50k parts — each a
+    resumable, compactable unit — instead of 16 multi-TB ones.
+    """
+    import dataclasses
+
+    recorded = read_layout(out_dir) if existing else None
+    if recorded:
+        if cfg.num_partitions not in (None, recorded):
+            raise ValueError(
+                f"num_partitions={cfg.num_partitions} conflicts with the "
+                f"existing output layout ({recorded}) at {out_dir}")
+        return dataclasses.replace(cfg, num_partitions=recorded)
+    if cfg.num_partitions is not None:
+        return cfg
+    est = 0
+    try:
+        for f in pages_ds.input_files():
+            if os.path.exists(f):
+                est += os.path.getsize(f)
+    except Exception:
+        est = 0
+    if not est:
+        try:
+            est = int(pages_ds.size_bytes() or 0)
+        except Exception:
+            est = 0
+    n = max(cfg.min_partitions,
+            min(cfg.max_partitions,
+                -(-est // cfg.target_part_bytes) if est else 0))
+    return dataclasses.replace(cfg, num_partitions=n)
 
 
 def _parts_filter(done: set[int], num_partitions: int):
@@ -260,7 +307,7 @@ def merge_edges_vectorized(tbl: pa.Table, cfg: EngineConfig,
         desc_out,
         pa.array(conf_out, pa.float32()),
         sc_out,
-        pa.array(_vec_bucket64(subj_id_out, cfg.num_partitions)
+        pa.array(_vec_bucket64(subj_id_out, effective_partitions(cfg))
                  .astype(np.int32)),
     ]
     if with_bucket:
@@ -476,6 +523,8 @@ def build_kg(
         _t = now
 
     os.makedirs(out_dir, exist_ok=True)
+    cfg = _resolve_partitions(pages_ds, out_dir, cfg,
+                              existing=(resume or increment))
     # size actor pools to the cluster unless pinned in cfg
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     ner_conc = cfg.ner_concurrency or (2, max(4, ncpu))
@@ -514,6 +563,11 @@ def build_kg(
                         int(entry[len("part="):]) not in marked:
                     shutil.rmtree(os.path.join(tdir, entry),
                                   ignore_errors=True)
+
+    # record the layout decision before any data is written so a killed
+    # run's resume reuses the same partition count (no-op when a layout
+    # manifest already exists)
+    write_layout(out_dir, cfg.num_partitions)
 
     if dedup_recrawls:
         # keep only the latest crawl of each url (V1 supersession); the one
@@ -1038,9 +1092,11 @@ def ingest_increment_supersede(
     if supersede_urls:
         from ..functions.hashing import url_parts_vec
 
+        # part ids must use the layout the existing output was written
+        # with, never a recomputed count
+        nparts = read_layout(out_dir) or effective_partitions(cfg)
         parts = set(
-            url_parts_vec(sorted(supersede_urls),
-                          cfg.num_partitions).tolist())
+            url_parts_vec(sorted(supersede_urls), nparts).tolist())
         urls_ref = ray.put(sorted(supersede_urls))
         # 1. purge the old versions' rows (url-carrying tables) — Ray
         #    tasks per part, crash-safe swap

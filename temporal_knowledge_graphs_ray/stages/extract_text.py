@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..config import DEFAULT_CONFIG, EngineConfig
+from ..config import DEFAULT_CONFIG, EngineConfig, effective_partitions
 from ..functions.chunking import chunk_text
 from ..functions.hashing import md5_hex, stable_hash64
 from ..functions.html_text import extract_text_from_html
@@ -51,7 +51,7 @@ def make_extract_text_stage(cfg: EngineConfig = DEFAULT_CONFIG):
     table inherits the same layout. ``valid_from = warc_ts`` (north_star
     temporal mapping).
     """
-    num_partitions = cfg.num_partitions
+    num_partitions = effective_partitions(cfg)
 
     def extract(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()

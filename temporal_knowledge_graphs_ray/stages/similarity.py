@@ -223,11 +223,29 @@ class AnnIndex:
         return knn_brute_force(cand, q, k, self.id_col,
                                self.emb_col).to_pandas()
 
+    # query-membership bitmasks are int64: at most 63 queries per scan
+    # (bit 63 would overflow); larger batches are chunked transparently
+    _MAX_QUERIES_PER_SCAN = 63
+
     def topk_many(self, query_vecs: np.ndarray,
                   k: int = 10) -> pd.DataFrame:
         """Batched queries in ONE index scan (the serving-at-scale shape):
-        returns (query_ix, id, cosine) for the top-k of each query."""
+        returns (query_ix, id, cosine) for the top-k of each query.
+        Batches beyond 63 queries run as multiple scans (the per-row
+        query-membership mask is an int64 bitfield)."""
         qs = np.asarray(query_vecs, dtype=np.float64)
+        maxq = self._MAX_QUERIES_PER_SCAN
+        if len(qs) > maxq:
+            frames = []
+            for start in range(0, len(qs), maxq):
+                sub = self.topk_many(qs[start:start + maxq], k)
+                if len(sub):
+                    sub["query_ix"] = sub["query_ix"] + start
+                    frames.append(sub)
+            if not frames:
+                return pd.DataFrame({"query_ix": [], self.id_col: [],
+                                     "cosine": []})
+            return pd.concat(frames, ignore_index=True)
         cand = (self._candidates(self.stage.buckets_of(qs))
                 .select_columns([self.id_col, self.emb_col, "qmask"])
                 .take_all())
@@ -488,7 +506,8 @@ class IvfIndex:
 
 def ann_lsh_topk(ds, query_vec: np.ndarray, k: int = 10, dim: int | None = None,
                  n_planes: int = 6, n_tables: int = 16,
-                 id_col: str = "vec_id", emb_col: str = "embedding"):
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 seed: int = 7):
     """Approximate top-k via a transient AnnIndex (single-query
     convenience; build the index once with ``AnnIndex`` for repeated
     queries).
@@ -502,4 +521,5 @@ def ann_lsh_topk(ds, query_vec: np.ndarray, k: int = 10, dim: int | None = None,
     q = np.asarray(query_vec, dtype=np.float64)
     if dim is None:
         dim = len(q)
-    return AnnIndex(ds, dim, n_planes, n_tables, id_col, emb_col).topk(q, k)
+    return AnnIndex(ds, dim, n_planes, n_tables, id_col, emb_col,
+                    seed=seed).topk(q, k)

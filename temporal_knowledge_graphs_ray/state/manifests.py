@@ -61,6 +61,33 @@ def completed_parts(out_dir: str, table: str) -> set[int]:
     return out
 
 
+def write_layout(out_dir: str, num_partitions: int) -> None:
+    """Persist the partition-layout decision BEFORE any data is written
+    (atomic tmp+rename). Resume / increment / supersede runs must reuse
+    this count — a drifting layout would mis-assign urls to parts."""
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    path = os.path.join(out_dir, MANIFEST_DIR, "_layout.json")
+    if os.path.exists(path):
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"num_partitions": int(num_partitions)}, f)
+    os.replace(tmp, path)
+
+
+def read_layout(out_dir: str) -> int | None:
+    """Recorded partition count for an existing output dir (layout
+    manifest, falling back to the run manifest for pre-layout outputs)."""
+    for name in ("_layout.json", "_run.json"):
+        path = os.path.join(out_dir, MANIFEST_DIR, name)
+        if os.path.exists(path):
+            with open(path) as f:
+                n = json.load(f).get("num_partitions")
+            if n:
+                return int(n)
+    return None
+
+
 def write_run_manifest(out_dir: str, payload: dict[str, Any]) -> None:
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     path = os.path.join(out_dir, MANIFEST_DIR, "_run.json")

@@ -12,7 +12,10 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from temporal_knowledge_graphs_ray.config import EngineConfig
+from temporal_knowledge_graphs_ray.config import (
+    EngineConfig,
+    effective_partitions,
+)
 from temporal_knowledge_graphs_ray.functions.relations import (
     merge_duplicate_relations,
 )
@@ -107,7 +110,7 @@ def test_empty_and_buckets():
     out3 = merge_edges_vectorized(_to_table(rows), cfg)
     assert out3.num_rows == 1
     row = out3.to_pylist()[0]
-    assert 0 <= row["part"] < cfg.num_partitions
+    assert 0 <= row["part"] < effective_partitions(cfg)
     assert 0 <= row["ekey_bucket"] < 64
 
     # bucket/part assignment must be a pure function of the key strings

@@ -177,3 +177,58 @@ def test_resume_cleans_partial_unmarked_files(tmp_path):
 
     assert _count(killed_dir) == _count(pristine_dir)
     _ = pq
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partition_count_invariance_and_layout_reuse(tmp_path):
+    """The partition count is a LAYOUT choice, not a semantics one: builds
+    at two different counts produce identical graphs, and a resumed run
+    (or an auto-config increment) reuses the recorded layout instead of
+    re-deriving it (VERDICT r2 item 10)."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.config import DEFAULT_CONFIG
+    from temporal_knowledge_graphs_ray.pipelines.kg import build_kg
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        alias_table,
+        pages_table,
+    )
+    from temporal_knowledge_graphs_ray.state.manifests import (
+        completed_parts,
+        read_layout,
+    )
+
+    pages = pages_table(list(range(80)))
+    cfg16 = dataclasses.replace(DEFAULT_CONFIG, num_partitions=16)
+    cfg7 = dataclasses.replace(DEFAULT_CONFIG, num_partitions=7)
+    r16 = build_kg(rd.from_arrow(pages), str(tmp_path / "n16"), cfg=cfg16,
+                   alias_table=alias_table())
+    r7 = build_kg(rd.from_arrow(pages), str(tmp_path / "n7"), cfg=cfg7,
+                  alias_table=alias_table())
+    assert _edge_keys(r16["edges"]) == _edge_keys(r7["edges"])
+    assert r16["node_rows"] == r7["node_rows"]
+    assert read_layout(str(tmp_path / "n7")) == 7
+    assert max(completed_parts(str(tmp_path / "n7"), "chunk_ents")) < 7
+
+    # resume with auto config (num_partitions=None) against the n7 output
+    # must reuse the recorded 7-part layout, and an explicit conflicting
+    # count must be rejected
+    lost = sorted(completed_parts(str(tmp_path / "n7"), "chunk_ents"))[:2]
+    for table in ("chunk_ents", "mentions", "edges_raw"):
+        for part in lost:
+            shutil.rmtree(os.path.join(str(tmp_path / "n7"), table,
+                                       f"part={part}"), ignore_errors=True)
+            mpath = os.path.join(str(tmp_path / "n7"), "_manifests",
+                                 f"{table}-part-{part}.json")
+            if os.path.exists(mpath):
+                os.remove(mpath)
+    r_resume = build_kg(rd.from_arrow(pages), str(tmp_path / "n7"),
+                        alias_table=alias_table(), resume=True)
+    assert _edge_keys(r_resume["edges"]) == _edge_keys(r16["edges"])
+    assert read_layout(str(tmp_path / "n7")) == 7
+
+    with pytest.raises(ValueError, match="conflicts with the existing"):
+        build_kg(rd.from_arrow(pages), str(tmp_path / "n7"), cfg=cfg16,
+                 alias_table=alias_table(), resume=True)

@@ -90,6 +90,27 @@ class TestAnnIndex:
             got = many[many["query_ix"] == qi]["vec_id"].tolist()
             assert got == single["vec_id"].tolist(), qi
 
+    def test_topk_many_beyond_int64_mask_width(self, ray_session):
+        """ADVICE r2: >= 64 queries used to overflow the int64 query
+        bitmask; batches now chunk transparently at 63 per scan."""
+        import numpy as np
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.similarity import AnnIndex
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = ds.take(70)
+        dim = len(rows[0]["embedding"])
+        idx = AnnIndex(ds, dim)
+        qs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        many = idx.topk_many(qs, k=3)  # 70 queries: crosses the 63 limit
+        assert set(many["query_ix"]) <= set(range(70))
+        # spot-check chunk-boundary queries against single-query scans
+        for qi in (0, 62, 63, 69):
+            single = idx.topk(qs[qi], k=3)
+            got = many[many["query_ix"] == qi]["vec_id"].tolist()
+            assert got == single["vec_id"].tolist(), qi
+
 
 class TestNeardupLsh:
     def test_planted_neardups_found_exactly(self, ray_session):
