@@ -47,7 +47,8 @@ def url_parts_vec(urls, num_partitions: int) -> np.ndarray:
     arr = np.asarray(list(urls), dtype=object)
     if arr.size == 0:
         return np.empty(0, dtype=np.int32)
-    return (pd.util.hash_array(arr) % num_partitions).astype(np.int32)
+    return (pd.util.hash_array(arr, categorize=False)
+            % num_partitions).astype(np.int32)
 
 
 def fast_hash64(text: str, seed: int = 0) -> int:

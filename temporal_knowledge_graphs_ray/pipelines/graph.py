@@ -180,7 +180,7 @@ def comention_pairs(mentions_ds, min_count: int = 2) -> pd.DataFrame:
     def add_bucket(t: pa.Table) -> pa.Table:
         # vectorized hash — bucket is a within-run shuffle key only
         h = pd.util.hash_array(
-            np.asarray(t["chunk_id"].to_pylist(), dtype=object)) % 64
+            np.asarray(t["chunk_id"].to_pylist(), dtype=object), categorize=False) % 64
         return t.append_column("bucket", pa.array(h.astype("int32")))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -59,7 +59,8 @@ def _role_union(left_ds, right_ds, key: str, num_buckets: int):
             names.append("__role")
             h = pd.util.hash_array(
                 np.asarray([str(v) for v in t[key].to_pylist()],
-                           dtype=object)) % num_buckets
+                           dtype=object),
+                categorize=False) % num_buckets
             arrays.append(pa.array(h.astype("int32")))
             names.append("__bucket")
             return pa.Table.from_arrays(arrays, names=names)

@@ -190,7 +190,8 @@ def _vec_bucket64(strings: pa.Array, modulus: int) -> np.ndarray:
     resume manifests depend on)."""
     import pandas as pd
 
-    return (pd.util.hash_array(np.asarray(strings.to_pylist(), dtype=object))
+    return (pd.util.hash_array(np.asarray(strings.to_pylist(), dtype=object),
+                               categorize=False)
             % modulus).astype(np.int64)
 
 

@@ -336,7 +336,7 @@ def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG,
             return partial_ds.limit(0)
         h = pd_.util.hash_array(
             (df["type"].astype(str) + "|" + df["block"].astype(str))
-            .to_numpy(dtype=object)) % num_buckets
+            .to_numpy(dtype=object), categorize=False) % num_buckets
         frames = [g for _, g in df.groupby(h.astype("int32"), sort=True)]
         return rd.from_pandas(frames).map_batches(
             lambda g: canonicalize_rows(g, cfg),
@@ -354,7 +354,8 @@ def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG,
         jk = pcc.binary_join_element_wise(
             t["type"].cast(pa.string()), t["block"].cast(pa.string()), "|")
         h = pd.util.hash_array(
-            np.asarray(jk.to_pylist(), dtype=object)) % num_buckets
+            np.asarray(jk.to_pylist(), dtype=object),
+            categorize=False) % num_buckets
         return t.append_column("bucket", pa.array(h.astype("int32")))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:

@@ -26,7 +26,8 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
 def _bucket_of(terms: list[str], num_buckets: int) -> np.ndarray:
-    return (pd.util.hash_array(np.asarray(terms, dtype=object))
+    return (pd.util.hash_array(np.asarray(terms, dtype=object),
+                               categorize=False)
             % num_buckets).astype("int32")
 
 

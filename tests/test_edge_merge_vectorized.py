@@ -117,3 +117,63 @@ def test_empty_and_buckets():
     out4 = merge_edges_vectorized(_to_table(rows), cfg)
     assert out4.to_pylist()[0]["ekey_bucket"] == row["ekey_bucket"]
     assert out4.to_pylist()[0]["part"] == row["part"]
+
+
+def test_vec_bucket64_nul_keys_order_and_value_exact():
+    """Root cause of the round-3 cross-session nondeterminism: pandas
+    hash_array(categorize=True) factorizes object strings through a
+    C-string hash table that treats an embedded NUL as a terminator —
+    strings sharing the pre-NUL prefix collapse into one category whose
+    representative (and hash) depends on ARRAY ORDER. The merge keys are
+    NUL-joined (subj_id \\x00 pred \\x00 obj_id), so the same key could
+    land in different ekey_buckets in different batches and the global
+    merge silently failed to merge (~1400 duplicate triples at sf0.1).
+    categorize=False hashes each value directly."""
+    import pyarrow as pa
+
+    from temporal_knowledge_graphs_ray.pipelines.kg import _vec_bucket64
+
+    s1 = "AAAA\x00pred one\x00BBBB"
+    s2 = "AAAA\x00pred two\x00CCCC"  # same pre-NUL prefix, different key
+    b12 = _vec_bucket64(pa.array([s1, s2]), 64)
+    b21 = _vec_bucket64(pa.array([s2, s1]), 64)
+    # order-invariant per value
+    assert b12[0] == b21[1] and b12[1] == b21[0]
+    # value-exact: equal to hashing each alone
+    assert b12[0] == _vec_bucket64(pa.array([s1]), 64)[0]
+    assert b12[1] == _vec_bucket64(pa.array([s2]), 64)[0]
+
+
+def test_cross_batch_partials_globally_merged(ray_session):
+    """Partial-merge outputs of the SAME key from different batches must
+    collapse to one row in the final merge regardless of batching."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.config import DEFAULT_CONFIG
+    from temporal_knowledge_graphs_ray.pipelines.kg import (
+        merge_edges_vectorized,
+    )
+
+    def raw(vf, desc, chunk):
+        return pa.table({
+            "subj": ["Alice"], "subj_id": ["id_a"], "pred": ["joined"],
+            "obj": ["OpenAI"], "obj_id": ["id_b"],
+            "valid_from": pa.array([vf], pa.timestamp("us")),
+            "description": pa.array([desc], pa.large_string()),
+            "confidence": pa.array([0.8], pa.float32()),
+            "source_chunks": pa.array([[chunk]], pa.list_(pa.string())),
+        })
+
+    cfg = DEFAULT_CONFIG
+    partials = [merge_edges_vectorized(raw(1000 * i, f"d{i}", f"c{i}"), cfg)
+                for i in range(5)]
+    buckets = {p["ekey_bucket"][0].as_py() for p in partials}
+    assert len(buckets) == 1  # same key -> same bucket in every batch
+    merged = merge_edges_vectorized(
+        pa.concat_tables(p.drop_columns(["ekey_bucket"]) for p in partials),
+        cfg, with_bucket=False)
+    assert merged.num_rows == 1
+    assert merged["valid_from"][0].as_py().year == 1970  # min vf
+    assert sorted(merged["source_chunks"][0].as_py()) == [
+        f"c{i}" for i in range(5)]

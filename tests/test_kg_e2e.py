@@ -103,6 +103,15 @@ class TestE2E:
         assert p >= 0.95, f"precision {p}: extra {list(ours - oracle)[:5]}"
         assert r >= 0.95, f"recall {r}: missing {list(oracle - ours)[:5]}"
 
+    def test_edges_merge_key_unique(self, ray_result):
+        """The global merge must leave exactly one row per
+        (subj_id, lower(pred), obj_id) — duplicate keys mean partials
+        escaped the final merge (the round-3 hash_array NUL bug)."""
+        rows = _read(ray_result["edges"])
+        keys = [(r["subj_id"], r["pred"].lower(), r["obj_id"])
+                for r in rows]
+        assert len(keys) == len(set(keys))
+
     def test_edges_full_match(self, ray_result, oracle_result):
         got = {
             (r["subj_id"], r["pred"].lower(), r["obj_id"]):
