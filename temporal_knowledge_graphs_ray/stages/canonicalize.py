@@ -317,8 +317,39 @@ def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG,
     group never spans buckets), far less per-group scheduling overhead.
     """
     partial = make_partial_agg_stage(cfg)
-    partial_ds = mentions_ds.map_batches(partial, batch_format="pyarrow",
-                                         batch_size=65536).materialize()
+
+    def recombine(batch: pa.Table) -> pa.Table:
+        # SECOND-LEVEL combine: partial rows grow with the input (one per
+        # distinct key per input batch) while distinct keys stay bounded,
+        # so at web scale the shuffle/gather input is dominated by
+        # re-mergeable duplicates — recombining in 256k-row batches
+        # bounds it near the distinct-key count (measured 264k -> ~20k
+        # rows at 1.28M pages). Same associative aggregates as the
+        # per-batch partial.
+        g = (
+            batch.group_by(["type", "block", "entity_key", "linked_name"])
+            .aggregate([("cnt", "sum"), ("first_seen", "min"),
+                        ("last_seen", "max")])
+        )
+        return pa.Table.from_arrays(
+            [
+                g["type"].cast(pa.string()).combine_chunks(),
+                g["block"].cast(pa.string()).combine_chunks(),
+                g["entity_key"].cast(pa.string()).combine_chunks(),
+                g["linked_name"].cast(pa.string()).combine_chunks(),
+                g["cnt_sum"].cast(pa.int64()).combine_chunks(),
+                g["first_seen_min"].cast(pa.timestamp("us")).combine_chunks(),
+                g["last_seen_max"].cast(pa.timestamp("us")).combine_chunks(),
+            ],
+            schema=PARTIAL_SCHEMA,
+        )
+
+    partial_ds = (
+        mentions_ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=65536)
+        .map_batches(recombine, batch_format="pyarrow", batch_size=262144)
+        .materialize()
+    )
     # the post-combine table holds one row per distinct (type, block, key)
     # per input batch — tiny relative to mentions. Below the gate, Ray's
     # sort-shuffle barrier (~1.4 s wall even for 4.5k rows) is replaced by
