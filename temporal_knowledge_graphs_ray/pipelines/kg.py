@@ -797,7 +797,14 @@ def build_kg(
                 canonical_pdf, schema=CANONICAL_SCHEMA, preserve_index=False,
             )
         nodes_tbl = _nodes_project(canonical_tbl)
-        rd.from_arrow(nodes_tbl).write_parquet(nodes_dir)
+        # broadcast path: the table is already on the driver and bounded
+        # by canonical_broadcast_limit — a direct write skips a whole Ray
+        # dataset job (~1 s of scheduling for a tiny table)
+        import pyarrow.parquet as _pq
+
+        os.makedirs(nodes_dir, exist_ok=True)
+        _pq.write_table(nodes_tbl, os.path.join(nodes_dir,
+                                                "nodes-0.parquet"))
         node_rows = nodes_tbl.num_rows
         cmap_ref = put_canonical_map(canonical_tbl)
     else:
