@@ -228,6 +228,32 @@ def _kg_shortest_path(sf_dir: str):
                          max_hops=SHORTEST_PATH_MAX_HOPS)
 
 
+def _rag_pipeline(sf_dir: str):
+    """M15 + Q9: the 5-node RAG state machine (understand -> retrieve ->
+    build_context -> generate -> verify, reference rag/graph.py:94-345) as
+    a batch dataflow over a deterministic query set, with the M15 context
+    builder's formatted output (prompts.py:142-260) as first-class columns.
+    The generate node runs the default deterministic client."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.oracle.materialize import (
+        RAG_MAX_CONTEXT_LENGTH,
+    )
+    from temporal_knowledge_graphs_ray.pipelines.rag import (
+        rag_answer_batch,
+        synth_rag_queries,
+    )
+
+    res = _kg_outputs(sf_dir)
+    nodes = rd.read_parquet(res["nodes"]).to_pandas().to_dict("records")
+    return rag_answer_batch(
+        rd.read_parquet(res["chunk_ents"]),
+        rd.read_parquet(res["mentions"]),
+        synth_rag_queries(nodes),
+        max_context_length=RAG_MAX_CONTEXT_LENGTH,
+    )
+
+
 def _eval_evidence_join(sf_dir: str):
     """J6: join benchmark questions' evidence urls against the ingested
     chunks/mentions tables to count evidence coverage (reference
@@ -523,12 +549,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # JSON / loaders
         "json_props": q.q_json_props,
         "doc_stats": q.q_doc_stats,
-        # text analysis (token/chunk stats merged into one pass; quality +
-        # fingerprint merged into one pass — the driver judges at most 50
-        # queries, so near-duplicate entries are consolidated)
+        # text analysis (token/chunk stats merged into one pass; language
+        # ID + quality + fingerprint merged into one pass — the driver
+        # judges at most 50 queries, so near-duplicate entries are
+        # consolidated; each merged kernel is also one read of the text
+        # column instead of several)
         "doc_token_counts": _textstat("token_stats_stage"),
-        "doc_language_id": _textstat("language_id_stage"),
-        "doc_quality": _textstat("quality_fingerprint_stage"),
+        "doc_text_stats": _textstat("text_stats_stage"),
         "extract_text_roundtrip": q.q_extract_text_roundtrip,
         # dedup
         "exact_dedup": _exact_dedup,
@@ -559,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hybrid": _kg_hybrid,
         "kg_shortest_path": _kg_shortest_path,
         "eval_evidence_join": _eval_evidence_join,
+        "rag_pipeline": _rag_pipeline,
     }
 
 
@@ -774,8 +802,8 @@ def oracle_sql() -> dict[str, str]:
                        '{_TOKEN_RE_SQL}')) + 89) // 90 AS BIGINT)) AS n_chunks
             FROM documents
         """,
-        "doc_language_id": f"""
-            WITH c AS (SELECT doc_id, {lang_counts} FROM documents)
+        "doc_text_stats": f"""
+            WITH c AS (SELECT doc_id, text, {lang_counts} FROM documents)
             SELECT doc_id, c_en, c_de, c_fr, c_es,
                    CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0
                             THEN 'unknown'
@@ -783,11 +811,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'en'
                         WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
                         WHEN c_fr >= c_es THEN 'fr'
-                        ELSE 'es' END AS lang_pred
-            FROM c
-        """,
-        "doc_quality": f"""
-            SELECT doc_id,
+                        ELSE 'es' END AS lang_pred,
                    CAST(length(text) AS BIGINT) AS n_chars,
                    CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+'))
                         AS BIGINT) AS n_words,
@@ -805,7 +829,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS stop_ratio,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                        AS fingerprint
-            FROM documents
+            FROM c
         """,
         "extract_text_roundtrip": f"""
             SELECT doc_id, {_NORM_LINES_SQL} AS extracted FROM documents
@@ -1062,6 +1086,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_shortest_path": f"""
             SELECT step, entity_id FROM '{o}/shortest_path.parquet'
+        """,
+        # rag_pipeline: the sequential per-query 5-node loop (rag_seq) is
+        # materialized; a green hash proves the batched multi-query
+        # retrieval + distributed hydration equals the obvious per-query
+        # sequential orchestration bit-for-bit.
+        "rag_pipeline": f"""
+            SELECT query_id, query, query_type, temporal_detected,
+                   n_entities, num_results, context_length, truncated,
+                   formatted_context, entity_relationships, answer,
+                   verified, verification_notes
+            FROM '{o}/rag.parquet' ORDER BY query_id
         """,
         "eval_evidence_join": f"""
             WITH q AS (SELECT question_id, url FROM '{o}/questions.parquet'),

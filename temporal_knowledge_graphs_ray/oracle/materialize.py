@@ -27,7 +27,7 @@ from collections import defaultdict
 import numpy as np
 
 # bump when oracle semantics change so stale /tmp caches are not reused
-ORACLE_VERSION = 4
+ORACLE_VERSION = 5
 
 # Query constants shared between the engine queries (__ray_entry__) and
 # this oracle — single source of truth for both sides.
@@ -46,6 +46,8 @@ HYBRID_K = 20
 ENTITY_MATCH_NAMES = ["OpenAI", "Acme Inc.", "Berlin"]
 FULLTEXT_TERMS = ["acquired", "revenue", "founded"]
 SHORTEST_PATH_MAX_HOPS = 6
+# rag_pipeline: small char budget so the M15 truncation path is exercised
+RAG_MAX_CONTEXT_LENGTH = 1200
 
 
 def oracle_dir(sf_dir: str) -> str:
@@ -216,6 +218,120 @@ def hybrid_seq(chunks: list[dict], mentions: list[dict], query_text: str,
     return out[:k]
 
 
+def rag_seq(chunks: list[dict], mentions: list[dict], nodes: list[dict],
+            k: int = 5, max_context_length: int = RAG_MAX_CONTEXT_LENGTH,
+            ) -> list[dict]:
+    """Sequential 5-node RAG loop (Q9, reference rag/graph.py:94-345): one
+    query at a time — per-query full-corpus rescoring, dict hydration, then
+    context/answer/verify via the shared pure kernels. The batched engine
+    (pipelines/rag.py) must match this row-for-row: that checks the
+    multi-query single-pass retrieval, the per-batch top-k truncation and
+    the distributed hydration against the obvious per-query loop."""
+    from ..functions.context_format import (
+        KEY_ENTITY_LIMIT,
+        build_context,
+    )
+    from ..functions.embed import embed_text
+    from ..functions.normalize import surface_key
+    from ..functions.rounding import round_half_away
+    from ..pipelines.rag import (
+        NO_ANSWER_SENTINEL,
+        NO_CONTEXT_SENTINEL,
+        AnswerStage,
+        DeterministicLlm,
+        render_prompt,
+        synth_rag_queries,
+        understand_queries,
+    )
+
+    understood = understand_queries(synth_rag_queries(nodes))
+
+    # chunk embeddings once (engine stores float32, scores in float64)
+    chunk_vecs = [
+        (c["chunk_id"],
+         embed_text(c["text"]).astype(np.float32).astype(np.float64))
+        for c in chunks
+    ]
+    by_chunk_ment: dict[str, list[dict]] = defaultdict(list)
+    for m in mentions:
+        by_chunk_ment[m["chunk_id"]].append(m)
+    chunk_info = {
+        c["chunk_id"]: {
+            "document_title": c["url"], "text": c["text"],
+            "created_at": c["valid_from"],
+            "entities": [m["surface"] for m in sorted(
+                by_chunk_ment[c["chunk_id"]],
+                key=lambda m: m["position"])],
+        }
+        for c in chunks
+    }
+
+    llm = DeterministicLlm()
+    rows = []
+    for q in understood:
+        qv = embed_text(q["query"]).astype(np.float64)
+        qn = float(np.linalg.norm(qv))
+        vec_rows = []
+        for cid, v in chunk_vecs:
+            n = float(np.linalg.norm(v))
+            denom = (n * qn) or np.inf
+            cos = float(round_half_away(
+                np.array([float(v @ qv) / denom]), 6)[0])
+            vec_rows.append((cid, cos))
+        vec_rows.sort(key=lambda r: (-r[1], r[0]))
+        vec_rank = [cid for cid, _ in vec_rows[:100]]
+
+        names = q["entities_detected"]
+        ent_rank: list[str] = []
+        if names:
+            ent_rows = entity_match_seq(mentions, names, k=100)
+            ent_rank = [r["chunk_id"] for r in ent_rows]
+
+        scores: dict[str, float] = {}
+        for rank, cid in enumerate(vec_rank, start=1):
+            scores[cid] = scores.get(cid, 0.0) + 1.0 / (60 + rank)
+        for rank, cid in enumerate(ent_rank, start=1):
+            scores[cid] = scores.get(cid, 0.0) + 1.0 / (60 + rank)
+        fused = [
+            (cid, float(round_half_away(np.array([s]), 8)[0]))
+            for cid, s in scores.items()
+        ]
+        fused.sort(key=lambda r: (-r[1], r[0]))
+        top = [cid for cid, _ in fused[:k]]
+
+        results = [
+            {**chunk_info[cid],
+             "entities": chunk_info[cid]["entities"][:KEY_ENTITY_LIMIT]}
+            for cid in top if cid in chunk_info
+        ]
+        ctx = build_context(q["query"], results,
+                            temporal_context=q["temporal_context"],
+                            max_context_length=max_context_length)
+        formatted = (ctx["formatted_context"] if results
+                     else NO_CONTEXT_SENTINEL)
+        row = {
+            "query_id": q["query_id"], "query": q["query"],
+            "query_type": q["query_type"],
+            "temporal_detected": bool(q["temporal_detected"]),
+            "n_entities": len(q["entities_detected"]),
+            "num_results": ctx["metadata"]["num_results"],
+            "context_length": len(formatted),
+            "truncated": bool(ctx["metadata"]["truncated"]),
+            "formatted_context": formatted,
+            "entity_relationships": ctx["entity_relationships"],
+            "temporal_context_str": ctx["temporal_context"],
+        }
+        answer = (NO_ANSWER_SENTINEL if formatted == NO_CONTEXT_SENTINEL
+                  else llm(render_prompt(row)))
+        verified, notes = AnswerStage._verify(row, answer)
+        row.update({"answer": answer, "verified": verified,
+                    "verification_notes": notes})
+        del row["temporal_context_str"]
+        rows.append(row)
+    rows.sort(key=lambda r: r["query_id"])
+    return rows
+
+
 def shortest_path_seq(edges: list[dict], src: str, dst: str,
                       max_hops: int = 6) -> list[dict]:
     """BFS shortest path with deterministic (lexicographic-min predecessor)
@@ -339,6 +455,19 @@ def materialize_kg_oracle(sf_dir: str) -> str:
           shortest_path_seq(res["edges"], hubs[0], hubs[-1],
                             SHORTEST_PATH_MAX_HOPS),
           pa.schema([("step", pa.int64()), ("entity_id", pa.string())]))
+    write("rag", rag_seq(res["chunks"], res["mentions"], res["nodes"]),
+          pa.schema([("query_id", pa.int64()), ("query", pa.string()),
+                     ("query_type", pa.string()),
+                     ("temporal_detected", pa.bool_()),
+                     ("n_entities", pa.int64()),
+                     ("num_results", pa.int64()),
+                     ("context_length", pa.int64()),
+                     ("truncated", pa.bool_()),
+                     ("formatted_context", pa.large_string()),
+                     ("entity_relationships", pa.large_string()),
+                     ("answer", pa.large_string()),
+                     ("verified", pa.bool_()),
+                     ("verification_notes", pa.string())]))
 
     # ---- per-document oracles over the raw documents table ----
     import pyarrow.parquet as _pq

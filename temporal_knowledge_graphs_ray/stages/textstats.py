@@ -126,6 +126,37 @@ def quality_fingerprint_stage(ds, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 
 
+def text_stats_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Language ID + quality signals + fingerprint in ONE pass over the
+    text column — the full per-document text-analysis bundle (language_id
+    and quality_fingerprint merged so the driver registry stays within its
+    50-query budget while covering both operators)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        counts = [stopword_counts(t) for t in texts]
+        sigs = [quality_signals(t) for t in texts]
+        arrays = [batch[id_col]]
+        names = [id_col]
+        for lang in LANG_ORDER:
+            arrays.append(pa.array([c[lang] for c in counts], pa.int64()))
+            names.append(f"c_{lang}")
+        arrays.append(pa.array([detect_language(t) for t in texts],
+                               pa.string()))
+        names.append("lang_pred")
+        for key, typ in (("n_chars", pa.int64()), ("n_words", pa.int64()),
+                         ("n_punct", pa.int64()),
+                         ("punct_ratio", pa.float64()),
+                         ("stop_ratio", pa.float64())):
+            arrays.append(pa.array([s[key] for s in sigs], typ))
+            names.append(key)
+        arrays.append(pa.array([fingerprint(t) for t in texts], pa.string()))
+        names.append("fingerprint")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
 def fingerprint_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
