@@ -53,6 +53,7 @@ def run_bench() -> dict:
     from temporal_knowledge_graphs_ray.stages.textstats import (
         language_id_stage,
         quality_stage,
+        text_stats_stage,
     )
 
     timings: dict[str, float] = {}
@@ -149,6 +150,7 @@ def run_bench() -> dict:
                            columns=["doc_id", "text"])
     timed("language_id", lambda: language_id_stage(docs).to_pandas())
     timed("quality", lambda: quality_stage(docs).to_pandas())
+    timed("text_stats", lambda: text_stats_stage(docs).to_pandas())
     timed("simhash_pairs",
           lambda: simhash_dedup(docs, max_hamming=8, num_blocks=9))
     idx_holder = {}
@@ -157,6 +159,19 @@ def run_bench() -> dict:
               "idx", AnnIndex(emb, dim=len(qvec))))
     timed("ann_index_topk10",
           lambda: idx_holder["idx"].topk(qvec, 10))
+
+    # ---- batch RAG over the KG built above (multi-query single pass) ----
+    from temporal_knowledge_graphs_ray.pipelines.rag import (
+        rag_answer_batch,
+        synth_rag_queries,
+    )
+
+    nodes_rows = rd.read_parquet(res["nodes"]).to_pandas().to_dict("records")
+    timed("rag_batch8",
+          lambda: rag_answer_batch(rd.read_parquet(res["chunk_ents"]),
+                                   rd.read_parquet(res["mentions"]),
+                                   synth_rag_queries(nodes_rows),
+                                   max_context_length=1200))
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -214,7 +214,10 @@ def entity_match_chunks(mentions_ds, names: list[str],
     want_arr = pa.array(sorted(want))
 
     def match(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["entity_key"], value_set=want_arr))
+        # map-side distinct: repeated (chunk, key) mentions collapse
+        # before the driver collect, not after
+        hit = t.filter(pc.is_in(t["entity_key"], value_set=want_arr))
+        return hit.group_by(["chunk_id", "entity_key"]).aggregate([])
 
     hits = (
         mentions_ds.select_columns(["chunk_id", "entity_key"])

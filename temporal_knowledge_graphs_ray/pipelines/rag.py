@@ -213,10 +213,13 @@ def hybrid_search_many(chunks_ds, mentions_ds, qlist: list[dict],
     # ---- vector legs: one embedding+cosine pass over chunks ----
     qmat = np.stack([embed_text(q["query"]).astype(np.float64)
                      for q in qlist])
+    # batch_size 512 (not larger): the hash embedder dominates this pass,
+    # and small batches keep all cores busy even on a few-thousand-chunk
+    # corpus; per-batch output is bounded (n_q x pool rows)
     scored = (
         chunks_ds.select_columns(["chunk_id", "text"])
         .map_batches(_MultiQueryCosineStage(qmat, pool),
-                     batch_format="pyarrow", batch_size=4096)
+                     batch_format="pyarrow", batch_size=512)
         .to_pandas()
     )
     vec_ranks: dict[int, list[str]] = {}
@@ -238,7 +241,10 @@ def hybrid_search_many(chunks_ds, mentions_ds, qlist: list[dict],
         want_arr = pa.array(all_keys)
 
         def match(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["entity_key"], value_set=want_arr))
+            # map-side distinct: repeated (chunk, key) mentions collapse
+            # before the driver collect, not after
+            hit = t.filter(pc.is_in(t["entity_key"], value_set=want_arr))
+            return hit.group_by(["chunk_id", "entity_key"]).aggregate([])
 
         hits = (
             mentions_ds.select_columns(["chunk_id", "entity_key"])
