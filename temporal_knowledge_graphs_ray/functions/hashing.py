@@ -140,6 +140,24 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+# popcount of each byte value 0..255 (numpy 1.x has no bitwise_count)
+_POPCNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)
+
+
+def hamming64_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit Hamming distance (byte-LUT popcount).
+
+    Accepts int64 or uint64 arrays (int64 is reinterpreted bitwise).
+    Returns int64[n]; equals ``hamming64`` element-wise.
+    """
+    av = np.ascontiguousarray(a, dtype=np.int64).view(np.uint64)
+    bv = np.ascontiguousarray(b, dtype=np.int64).view(np.uint64)
+    x = av ^ bv
+    return _POPCNT8[x.view(np.uint8).reshape(len(x), 8)].sum(
+        axis=1).astype(np.int64)
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import (
-    hamming64,
+    hamming64_vec,
     jaccard,
     minhash_bands,
     minhash_signature,
@@ -385,10 +385,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         m = m.drop_duplicates(subset=[f"{id_col}_a", f"{id_col}_b"])
         if m.empty:
             return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        ham = [
-            hamming64(int(x) & (2**64 - 1), int(y) & (2**64 - 1))
-            for x, y in zip(m["simhash_a"], m["simhash_b"])
-        ]
+        ham = hamming64_vec(m["simhash_a"].to_numpy(),
+                            m["simhash_b"].to_numpy())
         m = m.assign(hamming=ham)
         m = m[m["hamming"] <= max_hamming]
         out = m[[f"{id_col}_a", f"{id_col}_b", "hamming"]]

@@ -319,6 +319,24 @@ class TestHashing:
         c = simhash64(word_shingles("unrelated corpus of words entirely " * 10, 2))
         assert hamming64(a, b) < hamming64(a, c)
 
+    def test_hamming64_vec_matches_scalar(self):
+        import numpy as np
+
+        from temporal_knowledge_graphs_ray.functions.hashing import hamming64_vec
+
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 2**63, 500, dtype=np.int64)
+        b = rng.integers(0, 2**63, 500, dtype=np.int64)
+        # include negative int64 (uint64-origin) and boundary values
+        a[:4] = [-1, 0, np.iinfo(np.int64).min, np.iinfo(np.int64).max]
+        b[:4] = [0, -1, -1, np.iinfo(np.int64).min]
+        got = hamming64_vec(a, b)
+        want = [hamming64(int(x) & (2**64 - 1), int(y) & (2**64 - 1))
+                for x, y in zip(a, b)]
+        assert got.tolist() == want
+        assert hamming64_vec(np.empty(0, np.int64),
+                             np.empty(0, np.int64)).tolist() == []
+
     def test_jaccard(self):
         assert jaccard({1, 2}, {2, 3}) == 1 / 3
         assert jaccard(set(), set()) == 1.0
