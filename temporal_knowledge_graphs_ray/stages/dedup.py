@@ -167,9 +167,10 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     Verification is worker-side: shingle sets are attached to pair-halves
     via a doc-keyed bucketed groupby, then pairs reunite via a pair-keyed
     bucketed groupby and Jaccard is computed inside the group task. The
-    driver only ever holds the candidate ID SET (for the semi-join filter;
-    swap for a Bloom filter when candidates exceed driver memory) — never
-    texts, shingles, or a Python verify loop.
+    driver only ever holds the candidate PAIR set (near-dup candidates,
+    tiny relative to the corpus; swap for a distributed pair dedup + Bloom
+    filter when candidates exceed driver memory) — never texts, shingles,
+    or a Python verify loop.
 
     Docs with fewer than ``shingle_k`` words are excluded (no full shingle
     exists — matching the SQL oracle's ``len(ws) >= k`` guard).
@@ -180,20 +181,22 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     band_ds = minhash_rows(ds, text_col, id_col, num_perm, num_bands,
                            shingle_k)
-    cand = (
-        _candidate_pairs_from_bands(band_ds, id_col)
-        .groupby(["a", "b"]).count()  # global pair dedup, distributed
-        .select_columns(["a", "b"])
-    ).materialize()
-    cand_ids = set()
-    for batch in cand.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(batch["a"].to_pylist())
-        cand_ids.update(batch["b"].to_pylist())
-    if not cand_ids:
+    # pairs are distinct within each band bucket already; cross-bucket
+    # duplicates (same pair surfacing via several bands) are deduped on
+    # the driver — the pair set is the same driver-bounded quantity the
+    # semi-join filter below needs anyway, so no extra shuffle for it
+    cand_pdf = (_candidate_pairs_from_bands(band_ds, id_col)
+                .to_pandas().drop_duplicates(ignore_index=True))
+    if cand_pdf.empty:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
+    cand_ids = set(cand_pdf["a"]) | set(cand_pdf["b"])
     needed = pa.array(sorted(cand_ids), pa.int64())
+    cand_tbl = pa.Table.from_arrays(
+        [pa.array(cand_pdf["a"].astype("int64")),
+         pa.array(cand_pdf["b"].astype("int64"))],
+        names=["a", "b"])
 
     # (doc, payload) rows: candidate docs' shingle sets, serialized as a
     # list column; non-candidates are filtered worker-side (semi-join)
@@ -265,7 +268,9 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
         return fn
 
-    halves_ds = cand.map_batches(half_rows, batch_format="pyarrow")
+    import ray.data as rd
+
+    halves_ds = rd.from_arrow(half_rows(cand_tbl))
     sh_ds = (ds.map_batches(shingle_rows, batch_format="pyarrow")
              .union(halves_ds))
     joined = (
