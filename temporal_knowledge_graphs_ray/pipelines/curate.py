@@ -139,8 +139,11 @@ def curate_corpus(
         curated = exact_unique
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    (curated.select_columns([id_col, text_col, "lang_pred", "n_words"])
-     .write_parquet(out_dir))
+    from ..stages.blocks import coalesce_blocks
+
+    coalesce_blocks(
+        curated.select_columns([id_col, text_col, "lang_pred", "n_words"])
+    ).write_parquet(out_dir)
     report["curated_docs"] = rd.read_parquet(out_dir).count()
     with open(os.path.join(out_dir, "_curation_report.json"), "w") as f:
         json.dump(report, f)

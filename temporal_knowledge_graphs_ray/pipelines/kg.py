@@ -50,6 +50,7 @@ from ..state.manifests import (
     write_manifest,
     write_run_manifest,
 )
+from ..stages.blocks import coalesce_blocks as _coalesce_blocks
 from ..stages.canonicalize import CANONICAL_SCHEMA, canonicalize
 from ..stages.entities import EntityExtractorStage, MentionLinkStage
 from ..stages.extract_text import (
@@ -148,20 +149,6 @@ def _parts_filter(done: set[int], num_partitions: int):
 
     return fn
 
-
-def _coalesce_blocks(ds):
-    """One Arrow chunk per block before a hive-partitioned write.
-
-    The Parquet sink flushes a row group per (record batch x partition
-    value), so a block assembled from 64-row task batches scatters into
-    ~4-row row groups across 16 parts (measured: 309 row groups in a
-    1268-row file) — pathological footer metadata, dead compression, and
-    a write tail that starves behind the foreground phases. Combining
-    chunks first costs one distributed memcpy and collapses each file to
-    a single row group.
-    """
-    return ds.map_batches(lambda t: t.combine_chunks(),
-                          batch_format="pyarrow", batch_size=None)
 
 
 def _per_part_rowcounts(path: str) -> dict[int, int]:
@@ -1198,11 +1185,11 @@ def ingest_increment_supersede(
                      if alias_table is not None else None)
         ce_parts = rd.read_parquet(chunk_ents_dir).map_batches(
             only_parts, batch_format="pyarrow")
-        (ce_parts.map_batches(
+        _coalesce_blocks(ce_parts.map_batches(
             RelationExtractorStage(alias_ref, cfg),
             batch_format="pyarrow", batch_size=cfg.relation_batch_size)
-         .write_parquet(os.path.join(out_dir, "edges_raw"),
-                        partition_cols=["part"]))
+        ).write_parquet(os.path.join(out_dir, "edges_raw"),
+                        partition_cols=["part"])
         _write_part_manifests(out_dir, "edges_raw")
 
     # 3. standard increment over genuinely-new + superseding crawls

@@ -68,7 +68,10 @@ class FulltextIndex:
 
         _sh.rmtree(path, ignore_errors=True)
         # partitioned by term-hash bucket: a query reads only its buckets
-        self.postings.write_parquet(path, partition_cols=["bucket"])
+        from .blocks import coalesce_blocks
+
+        coalesce_blocks(self.postings).write_parquet(
+            path, partition_cols=["bucket"])
 
     @classmethod
     def load(cls, path: str, id_col: str = "chunk_id",

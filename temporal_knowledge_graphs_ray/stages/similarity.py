@@ -460,8 +460,10 @@ class IvfIndex:
         import shutil as _sh
 
         _sh.rmtree(path, ignore_errors=True)
-        self.assigned.write_parquet(os.path.join(path, "lists"),
-                                    partition_cols=["list_id"])
+        from .blocks import coalesce_blocks
+
+        coalesce_blocks(self.assigned).write_parquet(
+            os.path.join(path, "lists"), partition_cols=["list_id"])
         import pyarrow.parquet as pq
 
         pq.write_table(
