@@ -40,6 +40,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from temporal_knowledge_graphs_ray.pipelines import queries as q
+    from temporal_knowledge_graphs_ray.config import DEFAULT_CONFIG
     from temporal_knowledge_graphs_ray.pipelines.kg import build_kg
     from temporal_knowledge_graphs_ray.sources.synth import (
         alias_table,
@@ -88,9 +89,26 @@ def run_bench() -> dict:
 
     repeat = int(os.environ.get("GRAFT_KG_REPEAT", "1"))
 
+    # Large-corpus batch sizing (config.py knob guidance): per-stage task
+    # batches of 64 keep small corpora fully parallel (5k pages / 64 = 78
+    # tasks), but at >= 100k pages the ~20k tasks/stage they produce are
+    # pure scheduling tax — 256-row batches measured 86.7 -> 65.1 s at
+    # 1.28M pages / 16 CPUs (knee at 256; 512 regresses). Output is
+    # bit-identical at any batch size (kernels are row-wise).
+    import dataclasses
+    import duckdb
+
+    n_base = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
+    cfg = DEFAULT_CONFIG
+    if n_base * repeat >= 100_000:
+        cfg = dataclasses.replace(
+            cfg, extract_batch_size=256, chunk_batch_size=256,
+            ner_batch_size=256, relation_batch_size=256)
+
     def kg():
         pages = pages_from_documents(sf_dir, repeat=repeat)
-        return build_kg(pages, out_dir, alias_table=alias_table())
+        return build_kg(pages, out_dir, alias_table=alias_table(), cfg=cfg)
 
     res = timed("kg_pipeline", kg)
     for ph, sec in res.get("phase_sec", {}).items():

@@ -41,6 +41,12 @@ class EngineConfig:
     # NOTE: when stages fuse, Ray bundles ~max(batch_size) INPUT rows per
     # task — keep these moderate so a fused chain still yields >= cluster
     # CPUs tasks on small inputs (1 -> N fan-out stages amplify rows).
+    # SIZE TO THE CORPUS: 64 keeps a 5k-page corpus fully parallel, but at
+    # >= 100k pages the resulting ~1 task per 64 pages is pure scheduling
+    # tax — 256 measured 25% faster end-to-end at 1.28M pages (86.7 ->
+    # 65.1 s at 16 CPUs; knee at 256, 512 regresses). Output is
+    # bit-identical at any batch size. bench.py switches to 256 above
+    # 100k pages; a 100 TB run should, too.
     read_batch_size: int = 2048
     extract_batch_size: int = 64
     chunk_batch_size: int = 64
