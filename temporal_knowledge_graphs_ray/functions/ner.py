@@ -97,13 +97,22 @@ class RawMention:
     start: int
 
 
+# The before-context cues are suffix-anchored and short (cue word + a
+# whitespace run + at most one \S+ token); a bounded look-back window
+# avoids slicing an O(position) prefix copy per candidate match. Using
+# pos/endpos keeps the regexes zero-copy: ``$`` matches at endpos exactly
+# as it matched at the end of the old ``text[:start]`` slice.
+_BEFORE_WINDOW = 256
+
+
 def _classify_capseq(text: str, m: re.Match) -> str | None:
     """Classify a capitalized-sequence match; None -> drop."""
     seq = m.group(0)
     tokens = seq.split()
-    before = text[: m.start()]
+    start = m.start()
+    wstart = 0 if start < _BEFORE_WINDOW else start - _BEFORE_WINDOW
 
-    if _LOCATION_CUE_BEFORE.search(before):
+    if _LOCATION_CUE_BEFORE.search(text, wstart, start):
         return "LOCATION"
 
     if any(t in _ORG_SUFFIX_TOKENS for t in tokens[1:]) or (
@@ -127,9 +136,10 @@ def _classify_capseq(text: str, m: re.Match) -> str | None:
         and all(t.isalpha() and t[0].isupper() and t[1:].islower() for t in tokens)
     )
     if person_shaped:
-        honorific = any(before.rstrip().endswith(h) for h in _HONORIFICS)
-        cued_after = bool(_PERSON_VERBS_AFTER.match(text[m.end():]))
-        cued_before = bool(_PERSON_CUE_BEFORE.search(before))
+        before = text[wstart:start].rstrip()
+        honorific = before.endswith(_HONORIFICS)
+        cued_after = bool(_PERSON_VERBS_AFTER.match(text, m.end()))
+        cued_before = bool(_PERSON_CUE_BEFORE.search(text, wstart, start))
         if honorific or cued_after or cued_before:
             return "PERSON"
     return "ORGANIZATION"
@@ -176,6 +186,7 @@ def extract_entities(text: str) -> list[dict]:
     if not text.strip():
         return []
     by_key: dict[tuple[str, str], dict] = {}
+    text_lower = text.lower()
     for raw in extract_raw_mentions(text):
         name = normalize_entity_name(raw.name)
         if not name:
@@ -184,7 +195,7 @@ def extract_entities(text: str) -> list[dict]:
         key = (name, etype)
         row = by_key.get(key)
         if row is None:
-            position = text.lower().find(name.lower())
+            position = text_lower.find(name.lower())
             if position == -1:
                 position = 0
             by_key[key] = {
