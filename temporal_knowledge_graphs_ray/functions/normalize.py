@@ -27,7 +27,11 @@ def normalize_entity_name(name: str) -> str:
     return name.strip()
 
 
+@lru_cache(maxsize=65536)
 def simplify_entity_name(name: str) -> str:
+    # pure function of the name; surface forms repeat heavily (hub
+    # entities appear in ~1/3 of pages), so the suffix/prefix scan runs
+    # once per distinct form per worker process
     name = name.strip()
     for suffix in _SUFFIXES:
         if name.endswith(suffix):
