@@ -145,6 +145,11 @@ def _candidate_pairs_from_bands(band_ds, id_col: str = "doc_id",
 # pair-expanded quadratically; identical docs are handled by exact_dedup
 _MAX_BAND_GROUP = 4096
 
+# candidate-id count above which the verification semi-join broadcasts a
+# Bloom filter instead of the exact id value_set (tests force the Bloom
+# path by monkeypatching this to 0 — output is identical either way)
+_BLOOM_SEMIJOIN_MIN = 200_000
+
 
 def _as_array(col) -> pa.Array:
     """Table column (ChunkedArray) -> single contiguous Array."""
@@ -168,9 +173,10 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     via a doc-keyed bucketed groupby, then pairs reunite via a pair-keyed
     bucketed groupby and Jaccard is computed inside the group task. The
     driver only ever holds the candidate PAIR set (near-dup candidates,
-    tiny relative to the corpus; swap for a distributed pair dedup + Bloom
-    filter when candidates exceed driver memory) — never texts, shingles,
-    or a Python verify loop.
+    tiny relative to the corpus) — never texts, shingles, or a Python
+    verify loop. Above ``_BLOOM_SEMIJOIN_MIN`` candidate ids the worker
+    semi-join broadcasts a fixed-size Bloom filter instead of the exact
+    id set (functions/bloom.py; FPs are harmless — see inline note).
 
     Docs with fewer than ``shingle_k`` words are excluded (no full shingle
     exists — matching the SQL oracle's ``len(ws) >= k`` guard).
@@ -192,16 +198,42 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
     cand_ids = set(cand_pdf["a"]) | set(cand_pdf["b"])
-    needed = pa.array(sorted(cand_ids), pa.int64())
     cand_tbl = pa.Table.from_arrays(
         [pa.array(cand_pdf["a"].astype("int64")),
          pa.array(cand_pdf["b"].astype("int64"))],
         names=["a", "b"])
 
+    # Semi-join broadcast: below the threshold ship the exact id set into
+    # ``pc.is_in``; above it ship a fixed-size Bloom filter instead (a
+    # 10^8-id value_set is gigabytes per task broadcast, the Bloom is
+    # ~10 bits/id). Bloom false positives are HARMLESS here: a non-
+    # candidate doc's shingle row has no pair-half to join onto, so the
+    # attach stage drops it — FPs cost shuffle bytes, never output rows.
+    use_bloom = len(cand_ids) >= _BLOOM_SEMIJOIN_MIN
+    if use_bloom:
+        import ray
+
+        from ..functions.bloom import bloom_from_int64
+
+        bloom_ref = ray.put(bloom_from_int64(
+            np.fromiter(cand_ids, np.int64, len(cand_ids))))
+        needed = None
+    else:
+        bloom_ref = None
+        needed = pa.array(sorted(cand_ids), pa.int64())
+
     # (doc, payload) rows: candidate docs' shingle sets, serialized as a
     # list column; non-candidates are filtered worker-side (semi-join)
     def shingle_rows(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t[id_col], value_set=needed))
+        if bloom_ref is not None:
+            import ray
+
+            bf = ray.get(bloom_ref)  # local object-store hit per task
+            mask = bf.contains_many(
+                t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False))
+            t = t.filter(pa.array(mask))
+        else:
+            t = t.filter(pc.is_in(t[id_col], value_set=needed))
         docs, sh = [], []
         for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             grams = word_shingles(text, shingle_k)
