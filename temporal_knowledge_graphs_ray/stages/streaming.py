@@ -111,6 +111,68 @@ def sessionize_streaming(events_ds, key_col: str = "user_id",
     return out.sort_values([key_col, "session_start"], ignore_index=True)
 
 
+def sessionize_streaming_sourcefed(events_ds, key_col: str = "user_id",
+                                   ts_col: str = "ts", gap_s: int = 1800,
+                                   num_buckets: int = 8) -> pd.DataFrame:
+    """Source-fed streaming sessionization: the data path never touches
+    the driver.
+
+    ``sessionize_streaming`` demonstrates the semantics but iterates the
+    log on the driver (one feed point). Here the feed itself is
+    distributed the way a real stream fabric partitions by key: ONE hash
+    exchange routes every event row to its key bucket, each bucket's
+    group task sorts its own rows by event time and streams them straight
+    to that bucket's stateful actor in feed-batch chunks. Per-key
+    ordering (all sessionization needs) is guaranteed because a key lives
+    in exactly one bucket; buckets feed in parallel. Output is identical
+    to ``sessionize_streaming`` and the batch aggregate (tested).
+    """
+    import ray
+
+    SessionizerActor = _make_sessionizer_actor()
+    gap_us = gap_s * 1_000_000
+    actors = [SessionizerActor.remote(gap_us) for _ in range(num_buckets)]
+
+    import pyarrow as pa
+
+    def add_bucket(t: "pa.Table") -> "pa.Table":
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column(
+            "bucket", pa.array((keys % num_buckets).astype("int32")))
+
+    def feed_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["bucket"].iloc[0])
+        g = group.sort_values(ts_col, kind="mergesort")
+        keys = g[key_col].to_numpy().astype("int64")
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        handle = actors[b]
+        for i in range(0, len(g), 8192):
+            # sequential per bucket (ray.get preserves in-bucket order);
+            # buckets run concurrently as separate group tasks
+            ray.get(handle.feed.remote(keys[i:i + 8192].tolist(),
+                                       ts_us[i:i + 8192].tolist()))
+        return pd.DataFrame({"bucket": [b], "fed": [len(g)]})
+
+    (events_ds.select_columns([key_col, ts_col])
+     .map_batches(add_bucket, batch_format="pyarrow")
+     .groupby("bucket")
+     .map_groups(feed_bucket, batch_format="pandas")
+     .materialize())  # drives the feeds; result is per-bucket counts only
+
+    rows = []
+    for closed in ray.get([a.flush.remote() for a in actors]):
+        for k, start, last, n in closed:
+            rows.append({
+                key_col: k,
+                "session_start": np.datetime64(start, "us"),
+                "session_end": np.datetime64(last, "us"),
+                "n_events": n,
+            })
+    out = pd.DataFrame(rows, columns=[key_col, "session_start",
+                                      "session_end", "n_events"])
+    return out.sort_values([key_col, "session_start"], ignore_index=True)
+
+
 def _make_watermark_actor():
     import heapq
 

@@ -67,6 +67,23 @@ def test_matches_batch_sessionize(ray_session):
     assert agg["n_events"].tolist() == batch["n_events"].tolist()
 
 
+def test_sourcefed_equals_driver_fed(ray_session):
+    """The source-fed variant (hash exchange -> per-bucket group task
+    feeding its actor directly) produces exactly the driver-fed output."""
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.streaming import (
+        sessionize_streaming,
+        sessionize_streaming_sourcefed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    driver_fed = sessionize_streaming(_read(sf, "events", ["user_id", "ts"]))
+    source_fed = sessionize_streaming_sourcefed(
+        _read(sf, "events", ["user_id", "ts"]))
+    assert driver_fed.equals(source_fed)
+    assert len(source_fed) > 0
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestWatermarkSessionizer:
     def _disordered_events(self, max_shuffle_s=120):
