@@ -76,7 +76,7 @@ class _TextExtractor(HTMLParser):
 # attributes) — the caller then falls back to the parser path, so the
 # byte-identical contract holds for every input by construction. The
 # subset-equivalence is pinned by a differential fuzz test
-# (tests/test_html_text.py).
+# (tests/test_html_fast_path.py).
 
 # Tag-name charset matches html.parser's ``tagfind_tolerant``; the attr
 # region excludes both angle brackets so any "<" inside a tag (or an
