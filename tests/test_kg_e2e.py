@@ -192,3 +192,33 @@ class TestResume:
             for r in _read(r2["edges"])
         }
         assert e1 == e2
+
+
+def test_batch_size_invariance(ray_session, tmp_path):
+    """The bench raises stage batch sizes to 256 above 100k pages; output
+    must be bit-identical at ANY batch size (the partial merges are
+    associative/commutative and keyed on everything that distinguishes
+    outputs — this is the guard for that claim)."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.config import DEFAULT_CONFIG
+
+    pages = pages_table(list(range(80)))
+    r64 = build_kg(rd.from_arrow(pages), str(tmp_path / "b64"),
+                   alias_table=alias_table())
+    cfg256 = dataclasses.replace(
+        DEFAULT_CONFIG, extract_batch_size=256, chunk_batch_size=256,
+        ner_batch_size=256, relation_batch_size=256)
+    r256 = build_kg(rd.from_arrow(pages), str(tmp_path / "b256"),
+                    alias_table=alias_table(), cfg=cfg256)
+
+    def table(path):
+        rows = _read(path)
+        key = ("subj_id", "pred", "obj_id") if "edges" in path else None
+        return sorted(
+            [tuple(sorted(r.items(), key=lambda kv: kv[0])) for r in rows])
+
+    assert table(r64["edges"]) == table(r256["edges"])
+    assert table(r64["nodes"]) == table(r256["nodes"])
