@@ -153,9 +153,12 @@ def test_diff_graphs_classifies_increment(tmp_path):
             t["obj_id"].to_pylist())}
 
     ko, kn = keys(old), keys(new)
+    # materialize ONCE: each .to_pandas() re-executes the lazy join with a
+    # nondeterministic output row order, so per-column executions scramble
+    # the (s, p, o) tuples
+    da = d["added"].to_pandas()
     got_added = {(s, p.lower(), o) for s, p, o in zip(
-        *[d["added"].to_pandas()[c] for c in ("subj_id", "pred",
-                                              "obj_id")])}
+        da["subj_id"], da["pred"], da["obj_id"])}
     assert got_added == kn - ko
 
 
