@@ -588,3 +588,271 @@ def diff_graphs(old_edges_ds, new_edges_ds, num_partitions: int = 16):
         "unchanged": new_k.join(old_k, "left_semi", num_partitions,
                                 on=("tkey",)).drop_columns(["tkey"]),
     }
+
+def connected_components(edges_ds, num_partitions: int = 64,
+                         max_iters: int = 50,
+                         local_edge_cutoff: int = 500_000):
+    """Connected components over the undirected (subj_id, obj_id) graph.
+
+    Returns a Dataset of (entity_id, component) where ``component`` is the
+    lexicographically smallest entity_id in the node's component — the KG
+    analogue of "which facts form one connected story" (the reference has
+    no batch equivalent; its graph lives in Neo4j where this is a GDS
+    call, graph/neo4j_client.py).
+
+    Distributed hash-min label propagation: labels live in a node-grain
+    Dataset (NEVER on the driver) and each round is exactly two bucketed
+    ``groupby(bucket).map_groups`` shuffles — (1) co-locate each node's
+    label with its adjacency rows and emit the label to every neighbor,
+    (2) co-locate each node's incoming messages with its old label and
+    take the min, flagging changes. O(diameter) rounds, small for web-KG
+    graphs with hub entities. No ``Dataset.join`` in the loop: iterated
+    join operators accumulate per-join shuffle actor pools and starve the
+    streaming executor, while bucketed groupbys reuse the one pattern the
+    rest of the engine runs (queries.py ``_bucketed_by_key``). The
+    adjacency is materialized once (both directions); the node-grain
+    label table is re-materialized per round (the algorithm's bounded
+    state — one row per node, distributed). Graphs under
+    ``local_edge_cutoff`` edges short-circuit to an in-process union-find
+    (same output; the cutoff mirrors ``ppr``'s bounded local path).
+    """
+    import ray.data as rd
+
+    from ..functions.unionfind import UnionFind
+
+    pairs = edges_ds.select_columns(["subj_id", "obj_id"])
+
+    def undirected(t: pa.Table) -> pa.Table:
+        a = t["subj_id"].cast(pa.string()).combine_chunks()
+        b = t["obj_id"].cast(pa.string()).combine_chunks()
+        node = pa.concat_arrays([a, b])
+        nbr = pa.concat_arrays([b, a])
+        out = pa.table({"node": node, "nbr": nbr})
+        # batch-local dedup (exact dedup happens implicitly in the min
+        # aggregates — duplicate messages cannot change a min)
+        return out.group_by(["node", "nbr"]).aggregate([]).rename_columns(
+            ["node", "nbr"])
+
+    n_edges = pairs.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "entity_id": pa.array([], pa.string()),
+            "component": pa.array([], pa.string())}))
+
+    if n_edges <= local_edge_cutoff:
+        tab = pairs.take_all()
+        uf = UnionFind()
+        for r in tab:
+            uf.union(str(r["subj_id"]), str(r["obj_id"]))
+        nodes = sorted(uf.parent)
+        comp_min: dict = {}
+        for nd in nodes:
+            root = uf.find(nd)
+            if root not in comp_min or nd < comp_min[root]:
+                comp_min[root] = nd
+        return rd.from_arrow(pa.table({
+            "entity_id": pa.array(nodes, pa.string()),
+            "component": pa.array([comp_min[uf.find(nd)] for nd in nodes],
+                                  pa.string())}))
+
+    def _bucket_np(values: pd.Series) -> np.ndarray:
+        h = pd.util.hash_array(values.to_numpy(dtype=object),
+                               categorize=False)
+        return (h % np.uint64(num_partitions)).astype(np.int32)
+
+    # one shared schema for the union: (node, nbr, label, bucket) — adj
+    # rows carry null label, label rows carry null nbr
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "node": df["node"].astype(object),
+            "nbr": df["nbr"].astype(object),
+            "label": pd.Series([None] * len(df), dtype=object),
+        })
+        out["bucket"] = _bucket_np(out["node"])
+        return out
+
+    adj = (pairs.map_batches(undirected, batch_format="pyarrow")
+           .map_batches(with_bucket, batch_format="pandas")
+           .materialize())
+
+    # round 0: label(node) = min(node, min neighbor) — one reduce over
+    # the adjacency, already bucketed by node
+    def init_label(g: pd.DataFrame) -> pd.DataFrame:
+        lab = np.minimum(g["node"], g["nbr"])
+        out = (pd.DataFrame({"node": g["node"], "label": lab})
+               .groupby("node", as_index=False)["label"].min())
+        out["bucket"] = _bucket_np(out["node"])
+        out["changed"] = np.int32(1)
+        return out
+
+    labels = (adj.groupby("bucket").map_groups(init_label,
+                                               batch_format="pandas")
+              .materialize())
+
+    for _ in range(max_iters):
+        # stage 1: co-locate each node's label row with its adjacency
+        # rows (same bucket by construction) and emit the label to every
+        # neighbor, plus the node's own old-label record
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["nbr"].isna()][["node", "label"]]
+            ar = g[g["nbr"].notna()][["node", "nbr"]]
+            m = ar.merge(lab, on="node")
+            out = pd.DataFrame({
+                "node": pd.concat([m["nbr"], lab["node"]],
+                                  ignore_index=True),
+                "label": pd.concat([m["label"], lab["label"]],
+                                   ignore_index=True),
+                "is_old": np.concatenate([
+                    np.zeros(len(m), dtype=bool),
+                    np.ones(len(lab), dtype=bool)]),
+            })
+            out["bucket"] = _bucket_np(out["node"])
+            return out
+
+        def as_label_rows(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": d["node"].astype(object),
+                "nbr": pd.Series([None] * len(d), dtype=object),
+                "label": d["label"].astype(object),
+                "bucket": d["bucket"].to_numpy(),
+            })
+
+        mixed = adj.union(
+            labels.map_batches(as_label_rows, batch_format="pandas"))
+        msgs = mixed.groupby("bucket").map_groups(propagate,
+                                                  batch_format="pandas")
+
+        # stage 2: per node take the min of old label + incoming messages
+        def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+            newl = g.groupby("node", as_index=False)["label"].min()
+            oldl = g[g["is_old"]].set_index("node")["label"]
+            out = newl
+            out["changed"] = (
+                out["label"].to_numpy()
+                != oldl.reindex(out["node"]).to_numpy()
+            ).astype(np.int32)
+            out["bucket"] = _bucket_np(out["node"])
+            return out[["node", "label", "bucket", "changed"]]
+
+        labels = (msgs.groupby("bucket")
+                  .map_groups(reduce_min, batch_format="pandas")
+                  .materialize())
+        if labels.sum(on="changed") == 0:
+            break
+
+    # rename via an Arrow projection (rename_columns can't project the
+    # pandas-format blocks map_groups emits)
+    return labels.map_batches(
+        lambda t: pa.table({
+            "entity_id": t["node"].cast(pa.string()),
+            "component": t["label"].cast(pa.string())}),
+        batch_format="pyarrow")
+
+
+def pagerank(edges_ds, damping: float = 0.85, max_iters: int = 30,
+             tol: float = 1e-9,
+             local_edge_cutoff: int = 500_000) -> pd.DataFrame:
+    """Global DIRECTED PageRank over (subj_id -> obj_id) edges.
+
+    Complements ``ppr`` (seeded, undirected): uniform teleport over ALL
+    nodes, directed out-degree normalization, dangling mass (nodes with
+    no out-edges) redistributed uniformly — the textbook power iteration.
+    Returns (entity_id, score) sorted desc, scores rounded to 8 and
+    summing to ~1.
+
+    Same scale shape as ``ppr``: node ids map to dense ints once
+    (broadcast key array + out-degree vector via one ``ray.put``); per
+    iteration only the float score vector is re-broadcast and the shuffle
+    carries compact (int node index, partial sum) rows with a map-side
+    combine. Driver state is O(#nodes) floats — for graphs whose node
+    vector exceeds driver memory, shard the broadcast by entity hash (the
+    documented ppr caveat applies verbatim).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    pairs = edges_ds.select_columns(["subj_id", "obj_id"]).materialize()
+
+    # node universe + out-degree (directed: subj only)
+    def endpoints(t: pa.Table) -> pa.Table:
+        a = t["subj_id"].cast(pa.string()).combine_chunks()
+        b = t["obj_id"].cast(pa.string()).combine_chunks()
+        node = pa.concat_arrays([a, b])
+        out1 = np.zeros(len(node), dtype=np.int64)
+        out1[:len(a)] = 1
+        tbl = pa.table({"node": node, "out1": pa.array(out1)})
+        return tbl.group_by("node").aggregate([("out1", "sum")]) \
+            .rename_columns(["node", "out1"])
+
+    deg_df = (pairs.map_batches(endpoints, batch_format="pyarrow")
+              .groupby("node").aggregate(Sum("out1", alias_name="outdeg"))
+              .to_pandas())
+    if deg_df.empty:
+        return pd.DataFrame({"entity_id": [], "score": []})
+
+    names_sorted = sorted(deg_df["node"])
+    node_ix_of = {n: i for i, n in enumerate(names_sorted)}
+    n_nodes = len(names_sorted)
+    outdeg = np.zeros(n_nodes, dtype=np.float64)
+    outdeg[deg_df["node"].map(node_ix_of).to_numpy()] = \
+        deg_df["outdeg"].to_numpy().astype(np.float64)
+    dangling = outdeg == 0
+
+    score = np.full(n_nodes, 1.0 / n_nodes)
+
+    if pairs.count() <= local_edge_cutoff:
+        etab = pairs.to_pandas()
+        s_ix = etab["subj_id"].map(node_ix_of).to_numpy()
+        o_ix = etab["obj_id"].map(node_ix_of).to_numpy()
+        for _ in range(max_iters):
+            contrib = np.zeros(n_nodes)
+            np.add.at(contrib, o_ix, score[s_ix] / outdeg[s_ix])
+            dmass = float(score[dangling].sum())
+            new = ((1 - damping) / n_nodes
+                   + damping * (contrib + dmass / n_nodes))
+            delta = float(np.abs(new - score).sum())
+            score = new
+            if delta < tol:
+                break
+    else:
+        key_arr = pa.array(names_sorted, pa.string())
+        static_ref = ray.put((key_arr, outdeg))
+        for _ in range(max_iters):
+            scores_ref = ray.put(score)
+
+            def contribute(t: pa.Table, _sref=scores_ref) -> pa.Table:
+                import ray as _ray
+
+                keys, deg = _ray.get(static_ref)
+                sc = _ray.get(_sref)
+                six = pc.index_in(t["subj_id"], value_set=keys).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                oix = pc.index_in(t["obj_id"], value_set=keys).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                contrib = sc[six] / deg[six]
+                uniq, inv = np.unique(oix, return_inverse=True)
+                summed = np.zeros(len(uniq))
+                np.add.at(summed, inv, contrib)
+                return pa.Table.from_pydict({"node_ix": uniq,
+                                             "contrib": summed})
+
+            agg = (pairs.map_batches(contribute, batch_format="pyarrow")
+                   .groupby("node_ix")
+                   .aggregate(Sum("contrib", alias_name="s"))
+                   .to_pandas())
+            contrib = np.zeros(n_nodes)
+            contrib[agg["node_ix"].to_numpy()] = agg["s"].to_numpy()
+            dmass = float(score[dangling].sum())
+            new = ((1 - damping) / n_nodes
+                   + damping * (contrib + dmass / n_nodes))
+            delta = float(np.abs(new - score).sum())
+            score = new
+            if delta < tol:
+                break
+
+    out = pd.DataFrame({
+        "entity_id": names_sorted,
+        "score": round_half_away(score, 8),
+    })
+    return out.sort_values(["score", "entity_id"],
+                           ascending=[False, True], ignore_index=True)
