@@ -35,6 +35,14 @@ def _kg_outputs(sf_dir: str) -> dict:
     )
     pages = pages_from_documents(sf_dir)
     res = build_kg(pages, out_dir, alias_table=alias_table())
+    # the KG was just rebuilt: any fulltext index persisted by a PREVIOUS
+    # process over the same out_dir indexes the old chunks — drop it so
+    # _kg_fulltext rebuilds from the current build (build_kg only wipes
+    # its own tables)
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "fulltext_idx"),
+                  ignore_errors=True)
     _KG_CACHE[sf_dir] = res
     return res
 
@@ -282,12 +290,16 @@ def _eval_evidence_join(sf_dir: str):
 def _knn_topk(sf_dir: str):
     import numpy as np
 
+    from temporal_knowledge_graphs_ray.oracle.materialize import (
+        ANN_QUERY_VEC_ID,
+    )
     from temporal_knowledge_graphs_ray.pipelines.queries import _read
     from temporal_knowledge_graphs_ray.stages.similarity import knn_brute_force
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = np.array(
-        ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
+        ds.filter(lambda r: r["vec_id"] == ANN_QUERY_VEC_ID)
+        .take(1)[0]["embedding"],
         dtype=np.float64,
     )
     return knn_brute_force(ds, q, k=10)
@@ -299,9 +311,14 @@ def _cosine_threshold(sf_dir: str):
     from temporal_knowledge_graphs_ray.pipelines.queries import _read
     from temporal_knowledge_graphs_ray.stages.similarity import cosine_scores
 
+    from temporal_knowledge_graphs_ray.oracle.materialize import (
+        ANN_QUERY_VEC_ID,
+    )
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = np.array(
-        ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
+        ds.filter(lambda r: r["vec_id"] == ANN_QUERY_VEC_ID)
+        .take(1)[0]["embedding"],
         dtype=np.float64,
     )
     import pandas as pd
@@ -618,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
     # (GRAFT_TEST_SF overrides for self-tests).
     from temporal_knowledge_graphs_ray.functions.normalize import surface_key
     from temporal_knowledge_graphs_ray.oracle.materialize import (
+        ANN_QUERY_VEC_ID,
         ENTITY_MATCH_NAMES,
         FULLTEXT_TERMS,
         materialize_kg_oracle,
@@ -859,18 +877,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.sh, b.sh)) > 0
             ORDER BY a, b
         """,
-        "knn_topk": """
+        "knn_topk": f"""
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                       FROM embeddings WHERE vec_id = 0)
+                       FROM embeddings WHERE vec_id = {ANN_QUERY_VEC_ID})
             SELECT e.vec_id,
                    ROUND(list_cosine_similarity(
                        CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
             FROM embeddings e, q
             ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
         """,
-        "cosine_threshold": """
+        "cosine_threshold": f"""
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                       FROM embeddings WHERE vec_id = 0)
+                       FROM embeddings WHERE vec_id = {ANN_QUERY_VEC_ID})
             SELECT e.vec_id,
                    ROUND(list_cosine_similarity(
                        CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
@@ -1120,7 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         # (tests/test_similarity.py).
         "ann_lsh_topk": f"""
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                       FROM embeddings WHERE vec_id = 0),
+                       FROM embeddings WHERE vec_id = {ANN_QUERY_VEC_ID}),
                  c AS (SELECT vec_id FROM '{o}/ann_candidates.parquet')
             SELECT e.vec_id,
                    ROUND(list_cosine_similarity(

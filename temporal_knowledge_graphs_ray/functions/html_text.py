@@ -145,14 +145,29 @@ def _extract_fast(html: str) -> str | None:
         # self-closing test is end.endswith("/>"), i.e. no space before ">"
         if (not closing and name in _SKIP_TAGS
                 and not attrs.endswith("/")):
-            # CDATA content mode: raw text until the matching end tag
-            em = _CDATA_END[name].search(html, i)
-            if em is None:
-                break  # unterminated: parser treats the rest as (skipped) data
-            cm = _SIMPLE_TAG_RE.match(html, em.start())
-            if cm is None or not cm.group(1) or cm.group(3).strip():
-                return None
-            i = cm.end()
+            # CDATA content mode: raw text until the matching end tag.
+            # The scanner regex is a PREFIX match (``</\s*script``), so it
+            # also stops at ``</scripty>`` — html.parser parses that end
+            # tag, sees the name differs from the cdata element, emits it
+            # as (skipped) data and STAYS in CDATA mode
+            # (parser.parse_endtag's ``elem != self.cdata_elem`` branch);
+            # only an exact-name match exits the mode.
+            scan = i
+            i = None
+            while True:
+                em = _CDATA_END[name].search(html, scan)
+                if em is None:
+                    break  # unterminated: rest is (skipped) data
+                cm = _SIMPLE_TAG_RE.match(html, em.start())
+                if cm is None or not cm.group(1) or cm.group(3).strip():
+                    return None
+                if cm.group(2).lower() != name:
+                    scan = em.start() + 1  # data inside CDATA, keep going
+                    continue
+                i = cm.end()
+                break
+            if i is None:
+                break
     text = "\n".join(parts)
     lines = [line.strip() for line in text.splitlines() if line.strip()]
     return "\n".join(lines)

@@ -97,12 +97,27 @@ class RawMention:
     start: int
 
 
-# The before-context cues are suffix-anchored and short (cue word + a
-# whitespace run + at most one \S+ token); a bounded look-back window
-# avoids slicing an O(position) prefix copy per candidate match. Using
-# pos/endpos keeps the regexes zero-copy: ``$`` matches at endpos exactly
-# as it matched at the end of the old ``text[:start]`` slice.
-_BEFORE_WINDOW = 256
+# The before-context cues are suffix-anchored and span at most FOUR
+# whitespace-delimited tokens (person cue: cue word + "of" + \S+ + "is";
+# the \S+ is unbounded in CHARS, so a fixed char window could miss a
+# legal match — e.g. "CEO of <300-char-url> is John Smith"). The
+# look-back start is therefore found by scanning back four tokens, which
+# is O(match span), not O(position), and provably covers every possible
+# match start. Using pos/endpos keeps the regexes zero-copy: ``$``
+# matches at endpos exactly as at the end of the old ``text[:start]``
+# slice.
+_LOOKBACK_TOKENS = 4
+
+
+def _lookback_start(text: str, start: int,
+                    ntokens: int = _LOOKBACK_TOKENS) -> int:
+    i = start
+    for _ in range(ntokens):
+        while i > 0 and text[i - 1].isspace():
+            i -= 1
+        while i > 0 and not text[i - 1].isspace():
+            i -= 1
+    return i
 
 
 def _classify_capseq(text: str, m: re.Match) -> str | None:
@@ -110,7 +125,7 @@ def _classify_capseq(text: str, m: re.Match) -> str | None:
     seq = m.group(0)
     tokens = seq.split()
     start = m.start()
-    wstart = 0 if start < _BEFORE_WINDOW else start - _BEFORE_WINDOW
+    wstart = _lookback_start(text, start)
 
     if _LOCATION_CUE_BEFORE.search(text, wstart, start):
         return "LOCATION"

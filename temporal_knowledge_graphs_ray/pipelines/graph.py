@@ -620,7 +620,11 @@ def connected_components(edges_ds, num_partitions: int = 64,
 
     from ..functions.unionfind import UnionFind
 
-    pairs = edges_ds.select_columns(["subj_id", "obj_id"])
+    # materialize ONCE before counting: count() on the lazy lineage would
+    # execute the whole upstream pipeline, and the local/distributed paths
+    # below would then re-execute it (the waste class commit 2e4121e
+    # removed from partition auto-sizing)
+    pairs = edges_ds.select_columns(["subj_id", "obj_id"]).materialize()
 
     def undirected(t: pa.Table) -> pa.Table:
         a = t["subj_id"].cast(pa.string()).combine_chunks()

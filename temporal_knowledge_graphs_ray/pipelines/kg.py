@@ -642,7 +642,14 @@ def build_kg(
         checkpoint_threads.append(t)
 
     disk_mode = cfg.stage_cache == "disk"
-    if disk_mode:
+    # INCREMENT in disk mode must NOT source phases B from the durable
+    # Parquet: it holds every pre-existing part too, and re-deriving
+    # mentions/edges_raw for those parts would APPEND duplicates into the
+    # already-complete part dirs. An increment's new-page set is small
+    # relative to the corpus by definition, so materializing just the new
+    # pages' chunk_ents (memory-mode shape) is bounded by increment size;
+    # the pure streaming layout applies to the full build.
+    if disk_mode and not increment:
         # 100 TB mode: phase A STREAMS straight to the durable Parquet —
         # the page-grain table is never materialized in the object store
         # (blocks flow read -> extract -> chunk -> NER -> write with

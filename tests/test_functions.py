@@ -225,6 +225,61 @@ class TestNer:
         assert all(r["type"] in ("DATE",) or r["name"] not in ("The", "This")
                    for r in rows)
 
+    def test_person_cue_with_long_token(self):
+        """The person cue's ``of \\S+`` token is unbounded in chars — the
+        look-back must scan TOKENS, not a fixed char window, or a long URL
+        between 'of' and 'is' flips PERSON to ORGANIZATION."""
+        long_tok = "https://example.com/" + "x" * 300
+        rows = extract_entities(f"The CEO of {long_tok} is John Smith")
+        d = {r["name"]: r["type"] for r in rows}
+        assert d.get("John Smith") == "PERSON"
+
+    def test_lookback_equals_full_prefix_search(self):
+        """Token-bounded look-back classifies IDENTICALLY to a search over
+        the entire prefix (the pre-fast-path semantics) on generated text."""
+        import random
+
+        import temporal_knowledge_graphs_ray.functions.ner as N
+
+        def classify_full_prefix(text, m):
+            seq, start = m.group(0), m.start()
+            tokens = seq.split()
+            if N._LOCATION_CUE_BEFORE.search(text, 0, start):
+                return "LOCATION"
+            if any(t in N._ORG_SUFFIX_TOKENS for t in tokens[1:]) or (
+                    len(tokens) == 1 and tokens[0] in N._ORG_SUFFIX_TOKENS):
+                return "ORGANIZATION"
+            if len(tokens) == 1:
+                tok = tokens[0]
+                if tok in N._COMMON_WORDS:
+                    return None
+                if len(tok) >= 2 and tok.isupper() and tok.isalpha():
+                    return "ORGANIZATION"
+                if any(c.isupper() for c in tok[1:]) and any(
+                        c.islower() for c in tok):
+                    return "ORGANIZATION"
+                return None
+            person_shaped = (2 <= len(tokens) <= 3 and all(
+                t.isalpha() and t[0].isupper() and t[1:].islower()
+                for t in tokens))
+            if person_shaped:
+                if (text[:start].rstrip().endswith(N._HONORIFICS)
+                        or N._PERSON_VERBS_AFTER.match(text, m.end())
+                        or N._PERSON_CUE_BEFORE.search(text, 0, start)):
+                    return "PERSON"
+            return "ORGANIZATION"
+
+        rng = random.Random(42)
+        words = ["the", "CEO", "CTO", "of", "is", "based", "in",
+                 "headquartered", "Dr.", "Mr.", "Alice", "Bob", "Smith",
+                 "Jones", "Acme", "Corp", "x" * 300, "y" * 50, "founded",
+                 "joined", "said", "New", "York", "    ", "\n", "a"]
+        for _ in range(3000):
+            t = " ".join(rng.choices(words, k=rng.randint(3, 14)))
+            for m in N._CAPSEQ_RE.finditer(t):
+                assert (classify_full_prefix(t, m)
+                        == N._classify_capseq(t, m)), (t, m.group(0))
+
 
 class TestRelations:
     def test_founded(self):

@@ -72,6 +72,13 @@ ADVERSARIAL = [
     '<div foo="b/">v</div>',
     "<div/ >w</div>",
     '<x y="a&amp;b">amp-in-attr</x>',
+    # end tags whose name merely EXTENDS the cdata element: html.parser
+    # emits them as data and stays in CDATA mode until the exact name
+    "<script>a</scripty>visible</script>after",
+    "<style>x</styler>y</style>z",
+    "<script>a</scripty",
+    "<script>a</scripty></scripty></script>done",
+    "<STYLE>q</STYLEX>r</STYLE>s",
 ]
 
 
@@ -90,7 +97,7 @@ def test_fast_path_fragment_fuzz():
         "&lt;x&gt;", "&#65;", "&notreal;", "<", ">", '"', "'", "/",
         "<br/>", "<br />", '<a href="http://x/y">', "</a>", "<!-- x -->",
         "<b foo=bar>", "<i foo=bar/>", "\n", "Ü東", "&amp", "&#x41;",
-        "&nbsp;",
+        "&nbsp;", "</scripty>", "</styler>",
     ]
     n_fast = 0
     for _ in range(5000):

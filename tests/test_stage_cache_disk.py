@@ -58,3 +58,58 @@ def test_disk_mode_matches_memory_mode(tmp_path):
 
     assert edge_keys(mem["edges"]) == edge_keys(dsk["edges"])
     assert mem["node_rows"] == dsk["node_rows"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_disk_mode_increment_equals_fresh_union(tmp_path):
+    """disk-mode increment must NOT re-derive mentions/edges_raw for the
+    pre-existing partitions (the durable chunk_ents Parquet holds every
+    part — sourcing phase B from it would append duplicate rows into the
+    already-complete part dirs, roughly doubling mention counts)."""
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.config import DEFAULT_CONFIG
+    from temporal_knowledge_graphs_ray.pipelines.kg import (
+        build_kg,
+        ingest_increment,
+    )
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        alias_table,
+        pages_table,
+    )
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, stage_cache="disk")
+
+    full = build_kg(rd.from_arrow(pages_table(list(range(90)))),
+                    str(tmp_path / "full"), cfg=cfg,
+                    alias_table=alias_table())
+
+    inc_dir = str(tmp_path / "inc")
+    build_kg(rd.from_arrow(pages_table(list(range(60)))), inc_dir,
+             cfg=cfg, alias_table=alias_table())
+    r2 = ingest_increment(rd.from_arrow(pages_table(list(range(30, 90)))),
+                          inc_dir, cfg=cfg, alias_table=alias_table())
+
+    def graph_key(res):
+        edges = (pads.dataset(res["edges"], partitioning="hive").to_table()
+                 .select(["subj_id", "pred", "obj_id", "valid_from",
+                          "confidence"]).to_pandas()
+                 .sort_values(["subj_id", "pred", "obj_id"],
+                              ignore_index=True))
+        nodes = (pads.dataset(res["nodes"]).to_table()
+                 .select(["entity_id", "name", "type", "mention_count"])
+                 .to_pandas().sort_values("entity_id", ignore_index=True))
+        return edges, nodes
+
+    fe, fn = graph_key(full)
+    ie, inn = graph_key(r2)
+    pdt.assert_frame_equal(fe, ie)
+    pdt.assert_frame_equal(fn, inn)
+
+    # mention rows must appear exactly once per (chunk, surface, position)
+    # — duplicates are the disk+increment failure mode
+    m = (pads.dataset(str(tmp_path / "inc" / "mentions"),
+                      partitioning="hive").to_table()
+         .select(["chunk_id", "surface", "position"]).to_pandas())
+    assert not m.duplicated().any()
