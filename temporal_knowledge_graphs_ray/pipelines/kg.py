@@ -1099,6 +1099,65 @@ def _purge_urls_from_table(out_dir: str, table: str, urls_ref,
     shutil.rmtree(os.path.join(tdir, ".purge_old"), ignore_errors=True)
 
 
+def _supersede_journal_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifests", "supersede_pending.json")
+
+
+def _apply_supersede(out_dir: str, cfg: EngineConfig,
+                     alias_table: pa.Table | None,
+                     supersede_urls: set[str]) -> None:
+    """Steps 1-2 of supersession: purge the superseded urls' rows from the
+    url-carrying tables and recompute edges_raw for the touched
+    partitions. IDEMPOTENT — purging already-purged urls rewrites the same
+    rows and the edges_raw recompute is deterministic — so the journaled
+    recovery path can simply re-apply it."""
+    import ray
+    import ray.data as rd
+
+    nparts = read_layout(out_dir) or effective_partitions(cfg)
+    from ..functions.hashing import url_parts_vec
+
+    parts = set(url_parts_vec(sorted(supersede_urls), nparts).tolist())
+    urls_ref = ray.put(sorted(supersede_urls))
+    # 1. purge the old versions' rows (url-carrying tables) — Ray tasks
+    #    per part, crash-safe swap
+    for table in ("chunk_ents", "mentions"):
+        _purge_urls_from_table(out_dir, table, urls_ref, parts)
+        _write_part_manifests(out_dir, table)
+    # 2. recompute edges_raw for the touched partitions from the purged
+    #    chunk_ents (edge rows have no url after the partial merge —
+    #    partition recompute is the exact unit)
+    from ..stages.entities import CHUNK_ENTS_SCHEMA
+
+    for part in sorted(parts):
+        er_dir = os.path.join(out_dir, "edges_raw", f"part={part}")
+        shutil.rmtree(er_dir, ignore_errors=True)
+        mpath = os.path.join(out_dir, "_manifests",
+                             f"edges_raw-part-{part}.json")
+        if os.path.exists(mpath):
+            os.remove(mpath)
+    part_arr = pa.array(sorted(parts), pa.int32())
+
+    def only_parts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["part"].cast(pa.int32()),
+                              value_set=part_arr))
+        cols = [t[f.name].cast(f.type).combine_chunks()
+                for f in CHUNK_ENTS_SCHEMA]
+        return pa.Table.from_arrays(cols, schema=CHUNK_ENTS_SCHEMA)
+
+    alias_ref = (put_alias_dict(alias_table)
+                 if alias_table is not None else None)
+    ce_parts = rd.read_parquet(
+        os.path.join(out_dir, "chunk_ents")).map_batches(
+        only_parts, batch_format="pyarrow")
+    _coalesce_blocks(ce_parts.map_batches(
+        RelationExtractorStage(alias_ref, cfg),
+        batch_format="pyarrow", batch_size=cfg.relation_batch_size)
+    ).write_parquet(os.path.join(out_dir, "edges_raw"),
+                    partition_cols=["part"])
+    _write_part_manifests(out_dir, "edges_raw")
+
+
 def ingest_increment_supersede(
     pages_ds,
     out_dir: str,
@@ -1128,6 +1187,21 @@ def ingest_increment_supersede(
     # finish any partition swap a killed previous supersede left behind
     for table in ("chunk_ents", "mentions"):
         _recover_purge_swaps(out_dir, table)
+    # CROSS-TABLE recovery: the journal written before any purge makes the
+    # whole multi-table operation idempotent. Without it, a kill between
+    # the chunk_ents purge and the mentions purge would be unrecoverable —
+    # the superseded urls are already gone from chunk_ents, so recomputing
+    # the supersede set from it yields an EMPTY set and the stale
+    # mentions/edges_raw rows persist forever.
+    journal = _supersede_journal_path(out_dir)
+    if os.path.exists(journal):
+        import json
+
+        with open(journal) as f:
+            pending = set(json.load(f)["urls"])
+        if pending:
+            _apply_supersede(out_dir, cfg, alias_table, pending)
+        os.remove(journal)
 
     # latest crawl per incoming url
     pages_latest = dedup_recrawls_keep_latest(pages_ds).materialize()
@@ -1151,53 +1225,24 @@ def ingest_increment_supersede(
 
     sup_df = joined.map_batches(newer_only,
                                 batch_format="pyarrow").to_pandas()
-    supersede_urls = set(sup_df["url"])
+    # an all-filtered result comes back as a COLUMN-LESS empty frame
+    # (Ray's to_pandas drops the schema on empty) — no superseded urls
+    supersede_urls = (set(sup_df["url"]) if "url" in sup_df.columns
+                      else set())
 
     if supersede_urls:
-        from ..functions.hashing import url_parts_vec
+        import json
 
-        # part ids must use the layout the existing output was written
-        # with, never a recomputed count
-        nparts = read_layout(out_dir) or effective_partitions(cfg)
-        parts = set(
-            url_parts_vec(sorted(supersede_urls), nparts).tolist())
-        urls_ref = ray.put(sorted(supersede_urls))
-        # 1. purge the old versions' rows (url-carrying tables) — Ray
-        #    tasks per part, crash-safe swap
-        for table in ("chunk_ents", "mentions"):
-            _purge_urls_from_table(out_dir, table, urls_ref, parts)
-            _write_part_manifests(out_dir, table)
-        # 2. recompute edges_raw for the touched partitions from the
-        #    purged chunk_ents (edge rows have no url after the partial
-        #    merge — partition recompute is the exact unit)
-        from ..stages.entities import CHUNK_ENTS_SCHEMA
+        # journal FIRST (atomic tmp+rename): any kill during the purge /
+        # recompute below is re-applied from the journal on the next run
+        os.makedirs(os.path.dirname(journal), exist_ok=True)
+        tmp = journal + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"urls": sorted(supersede_urls)}, f)
+        os.replace(tmp, journal)
 
-        for part in sorted(parts):
-            er_dir = os.path.join(out_dir, "edges_raw", f"part={part}")
-            shutil.rmtree(er_dir, ignore_errors=True)
-            mpath = os.path.join(out_dir, "_manifests",
-                                 f"edges_raw-part-{part}.json")
-            if os.path.exists(mpath):
-                os.remove(mpath)
-        part_arr = pa.array(sorted(parts), pa.int32())
-
-        def only_parts(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.is_in(t["part"].cast(pa.int32()),
-                                  value_set=part_arr))
-            cols = [t[f.name].cast(f.type).combine_chunks()
-                    for f in CHUNK_ENTS_SCHEMA]
-            return pa.Table.from_arrays(cols, schema=CHUNK_ENTS_SCHEMA)
-
-        alias_ref = (put_alias_dict(alias_table)
-                     if alias_table is not None else None)
-        ce_parts = rd.read_parquet(chunk_ents_dir).map_batches(
-            only_parts, batch_format="pyarrow")
-        _coalesce_blocks(ce_parts.map_batches(
-            RelationExtractorStage(alias_ref, cfg),
-            batch_format="pyarrow", batch_size=cfg.relation_batch_size)
-        ).write_parquet(os.path.join(out_dir, "edges_raw"),
-                        partition_cols=["part"])
-        _write_part_manifests(out_dir, "edges_raw")
+        _apply_supersede(out_dir, cfg, alias_table, supersede_urls)
+        os.remove(journal)
 
     # 3. standard increment over genuinely-new + superseding crawls
     #    (the superseded urls are gone from chunk_ents, so the anti-join

@@ -246,3 +246,88 @@ class TestPurgeCrashSafety:
         assert self._rows(pdir) == before
         assert not os.path.isdir(os.path.join(out, "chunk_ents",
                                               ".purge_new"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_supersede_recovers_from_kill_between_table_purges(tmp_path):
+    """A kill AFTER the chunk_ents purge but BEFORE the mentions purge used
+    to be unrecoverable: the superseded urls were already gone from
+    chunk_ents, so the next run's supersede-set join returned empty and the
+    stale mentions/edges_raw rows persisted forever. The journal written
+    before any purge makes the whole multi-table operation re-applicable."""
+    from datetime import datetime
+
+    import pandas.testing as pdt
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.config import DEFAULT_CONFIG
+    from temporal_knowledge_graphs_ray.functions.hashing import url_parts_vec
+    from temporal_knowledge_graphs_ray.pipelines.kg import (
+        _purge_urls_from_table,
+        _supersede_journal_path,
+        _write_part_manifests,
+        build_kg,
+        ingest_increment_supersede,
+        read_layout,
+    )
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        PAGES_SCHEMA,
+        alias_table,
+        pages_table,
+    )
+
+    url = "https://x.example/recrawled"
+    old = {"url": url, "warc_ts": datetime(2020, 1, 1),
+           "html": b"<p>Alice Johnson founded Oldcorp Inc. in 2010.</p>",
+           "text": "", "lang": "en"}
+    new = {"url": url, "warc_ts": datetime(2022, 6, 1),
+           "html": b"<p>Alice Johnson founded Newcorp Inc. in 2012.</p>",
+           "text": "", "lang": "en"}
+
+    base = pa.concat_tables([
+        pages_table(list(range(50))),
+        pa.Table.from_pylist([old], schema=PAGES_SCHEMA),
+    ])
+    inc = pa.concat_tables([
+        pages_table(list(range(50, 60))),
+        pa.Table.from_pylist([new], schema=PAGES_SCHEMA),
+    ])
+    union_latest = pa.concat_tables([
+        pages_table(list(range(60))),
+        pa.Table.from_pylist([new], schema=PAGES_SCHEMA),
+    ])
+
+    inc_dir = str(tmp_path / "inc")
+    build_kg(rd.from_arrow(base), inc_dir, alias_table=alias_table())
+
+    # --- simulate the crash window: journal written, chunk_ents purged,
+    # then the process dies before the mentions purge ---
+    import json
+    import os
+
+    journal = _supersede_journal_path(inc_dir)
+    os.makedirs(os.path.dirname(journal), exist_ok=True)
+    with open(journal, "w") as f:
+        json.dump({"urls": [url]}, f)
+    nparts = read_layout(inc_dir)
+    parts = set(url_parts_vec([url], nparts).tolist())
+    _purge_urls_from_table(inc_dir, "chunk_ents", ray.put([url]), parts)
+    _write_part_manifests(inc_dir, "chunk_ents")
+    # (killed here: mentions still hold the OLD crawl's rows)
+
+    # --- the next supersede run must recover via the journal ---
+    r2 = ingest_increment_supersede(rd.from_arrow(inc), inc_dir,
+                                    alias_table=alias_table())
+    fresh = build_kg(rd.from_arrow(union_latest), str(tmp_path / "fresh"),
+                     alias_table=alias_table())
+
+    ie, inn = _graph_key(r2)
+    fe, fn = _graph_key(fresh)
+    pdt.assert_frame_equal(ie, fe)
+    pdt.assert_frame_equal(inn, fn)
+    names = set(inn["name"])
+    assert not any("Oldcorp" in n for n in names)
+    assert any("Newcorp" in n for n in names)
+    assert not os.path.exists(journal)
