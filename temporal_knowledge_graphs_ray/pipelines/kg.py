@@ -85,6 +85,23 @@ NODES_SCHEMA = pa.schema([
 ])
 
 
+def _require_current_url_hash(out_dir: str) -> None:
+    """Refuse to build on an output partitioned with a DIFFERENT url->part
+    hash: every part-addressing operation (resume filter, increment
+    append, supersede purge) recomputes parts from urls, and a scheme
+    mismatch silently drops/duplicates rows instead of erroring."""
+    from ..state.manifests import URL_HASH_SCHEME, read_layout_scheme
+
+    scheme = read_layout_scheme(out_dir)
+    if scheme is not None and scheme != URL_HASH_SCHEME:
+        raise ValueError(
+            f"output at {out_dir} was partitioned with url hash "
+            f"'{scheme}', but this engine version partitions with "
+            f"'{URL_HASH_SCHEME}' — resume/increment/supersede would "
+            f"misassign partitions. Rebuild the output (or run it with "
+            f"the engine version that wrote it).")
+
+
 def _resolve_partitions(pages_ds, out_dir: str, cfg: EngineConfig,
                         existing: bool) -> EngineConfig:
     """Return ``cfg`` with a concrete ``num_partitions``.
@@ -101,6 +118,7 @@ def _resolve_partitions(pages_ds, out_dir: str, cfg: EngineConfig,
 
     recorded = read_layout(out_dir) if existing else None
     if recorded:
+        _require_current_url_hash(out_dir)
         if cfg.num_partitions not in (None, recorded):
             raise ValueError(
                 f"num_partitions={cfg.num_partitions} conflicts with the "
@@ -195,8 +213,9 @@ def _vec_bucket64(strings: pa.Array, modulus: int) -> np.ndarray:
     its fixed default key — deterministic across processes). Buckets are
     within-lineage shuffle/layout keys only; nothing durable addresses a
     row by recomputing this hash from content, so it does not need to
-    match ``stable_hash64`` (which stays the URL-partition hash that the
-    resume manifests depend on)."""
+    match ``url_parts_vec`` (the URL-partition hash the resume manifests
+    depend on — its scheme is recorded in the layout manifest and
+    enforced by ``_require_current_url_hash``)."""
     import pandas as pd
 
     return (pd.util.hash_array(np.asarray(strings.to_pylist(), dtype=object),
@@ -1114,6 +1133,7 @@ def _apply_supersede(out_dir: str, cfg: EngineConfig,
     import ray
     import ray.data as rd
 
+    _require_current_url_hash(out_dir)
     nparts = read_layout(out_dir) or effective_partitions(cfg)
     from ..functions.hashing import url_parts_vec
 

@@ -61,17 +61,23 @@ def completed_parts(out_dir: str, table: str) -> set[int]:
     return out
 
 
+URL_HASH_SCHEME = "siphash64"  # pd.util.hash_array, fixed default key
+
+
 def write_layout(out_dir: str, num_partitions: int) -> None:
     """Persist the partition-layout decision BEFORE any data is written
     (atomic tmp+rename). Resume / increment / supersede runs must reuse
-    this count — a drifting layout would mis-assign urls to parts."""
+    this count — a drifting layout would mis-assign urls to parts. The
+    url->part hash scheme is recorded too: a layout is only addressable
+    with the exact hash that wrote it."""
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     path = os.path.join(out_dir, MANIFEST_DIR, "_layout.json")
     if os.path.exists(path):
         return
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"num_partitions": int(num_partitions)}, f)
+        json.dump({"num_partitions": int(num_partitions),
+                   "url_hash": URL_HASH_SCHEME}, f)
     os.replace(tmp, path)
 
 
@@ -85,6 +91,25 @@ def read_layout(out_dir: str) -> int | None:
                 n = json.load(f).get("num_partitions")
             if n:
                 return int(n)
+    return None
+
+
+def read_layout_scheme(out_dir: str) -> str | None:
+    """url->part hash scheme the existing output was partitioned with.
+
+    ``_layout.json`` outputs are siphash64 (the layout manifest postdates
+    the hash switch, and newer manifests record the scheme explicitly);
+    an output with only the pre-layout ``_run.json`` was partitioned with
+    the legacy per-url md5 (``stable_hash64``) — resuming it with the
+    current hash would silently misassign partitions, so callers must
+    REFUSE it. None = no recorded layout at all (fresh dir)."""
+    lpath = os.path.join(out_dir, MANIFEST_DIR, "_layout.json")
+    if os.path.exists(lpath):
+        with open(lpath) as f:
+            return json.load(f).get("url_hash", URL_HASH_SCHEME)
+    rpath = os.path.join(out_dir, MANIFEST_DIR, "_run.json")
+    if os.path.exists(rpath):
+        return "legacy-md5"
     return None
 
 

@@ -232,3 +232,56 @@ def test_partition_count_invariance_and_layout_reuse(tmp_path):
     with pytest.raises(ValueError, match="conflicts with the existing"):
         build_kg(rd.from_arrow(pages), str(tmp_path / "n7"), cfg=cfg16,
                  alias_table=alias_table(), resume=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_legacy_url_hash_layout_is_refused(tmp_path):
+    """An output partitioned with a different url->part hash (a pre-layout
+    output carrying only _run.json, or a layout manifest naming another
+    scheme) must be REFUSED loudly on resume/increment/supersede — the
+    part-addressing operations would otherwise silently drop/duplicate
+    rows by recomputing parts with the wrong hash."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.kg import (
+        build_kg,
+        ingest_increment,
+        ingest_increment_supersede,
+    )
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        alias_table,
+        pages_table,
+    )
+
+    out = str(tmp_path / "legacy")
+    build_kg(rd.from_arrow(pages_table(list(range(20)))), out,
+             alias_table=alias_table())
+    # simulate a pre-layout output: only _run.json records the count
+    os.remove(os.path.join(out, "_manifests", "_layout.json"))
+    with open(os.path.join(out, "_manifests", "_run.json")) as f:
+        assert json.load(f)["num_partitions"]  # fallback path is live
+
+    inc = rd.from_arrow(pages_table(list(range(20, 25))))
+    with pytest.raises(ValueError, match="url hash"):
+        ingest_increment(inc, out, alias_table=alias_table())
+    with pytest.raises(ValueError, match="url hash"):
+        ingest_increment_supersede(inc, out, alias_table=alias_table())
+    with pytest.raises(ValueError, match="url hash"):
+        build_kg(inc, out, alias_table=alias_table(), resume=True)
+
+    # an explicit foreign scheme in the layout manifest is refused too
+    out2 = str(tmp_path / "foreign")
+    build_kg(rd.from_arrow(pages_table(list(range(20)))), out2,
+             alias_table=alias_table())
+    lpath = os.path.join(out2, "_manifests", "_layout.json")
+    with open(lpath) as f:
+        layout = json.load(f)
+    assert layout["url_hash"] == "siphash64"
+    layout["url_hash"] = "md5"
+    with open(lpath, "w") as f:
+        json.dump(layout, f)
+    with pytest.raises(ValueError, match="url hash"):
+        build_kg(inc, out2, alias_table=alias_table(), resume=True)
