@@ -178,6 +178,17 @@ def run_bench() -> dict:
     timed("ann_index_topk10",
           lambda: idx_holder["idx"].topk(qvec, 10))
 
+    # ---- whole-graph analytics over the KG built above ----
+    from temporal_knowledge_graphs_ray.pipelines.graph import (
+        connected_components,
+        pagerank,
+    )
+
+    timed("connected_components",
+          lambda: connected_components(
+              rd.read_parquet(res["edges"])).to_pandas())
+    timed("pagerank", lambda: pagerank(rd.read_parquet(res["edges"])))
+
     # ---- batch RAG over the KG built above (multi-query single pass) ----
     from temporal_knowledge_graphs_ray.pipelines.rag import (
         rag_answer_batch,
