@@ -777,36 +777,49 @@ def pagerank(edges_ds, damping: float = 0.85, max_iters: int = 30,
 
     pairs = edges_ds.select_columns(["subj_id", "obj_id"]).materialize()
 
-    # node universe + out-degree (directed: subj only)
-    def endpoints(t: pa.Table) -> pa.Table:
-        a = t["subj_id"].cast(pa.string()).combine_chunks()
-        b = t["obj_id"].cast(pa.string()).combine_chunks()
-        node = pa.concat_arrays([a, b])
-        out1 = np.zeros(len(node), dtype=np.int64)
-        out1[:len(a)] = 1
-        tbl = pa.table({"node": node, "out1": pa.array(out1)})
-        return tbl.group_by("node").aggregate([("out1", "sum")]) \
-            .rename_columns(["node", "out1"])
+    local = pairs.count() <= local_edge_cutoff
+    if local:
+        # bounded graph: node universe + out-degree straight in numpy —
+        # a distributed degree aggregate would cost a full shuffle just
+        # to feed an in-process iteration
+        etab = pairs.to_pandas()
+        if etab.empty:
+            return pd.DataFrame({"entity_id": [], "score": []})
+        names_sorted = sorted(set(etab["subj_id"]) | set(etab["obj_id"]))
+        node_ix_of = {n: i for i, n in enumerate(names_sorted)}
+        n_nodes = len(names_sorted)
+        s_ix = etab["subj_id"].map(node_ix_of).to_numpy()
+        outdeg = np.bincount(s_ix, minlength=n_nodes).astype(np.float64)
+    else:
+        # node universe + out-degree (directed: subj only), map-side
+        # combined before the one wide aggregate
+        def endpoints(t: pa.Table) -> pa.Table:
+            a = t["subj_id"].cast(pa.string()).combine_chunks()
+            b = t["obj_id"].cast(pa.string()).combine_chunks()
+            node = pa.concat_arrays([a, b])
+            out1 = np.zeros(len(node), dtype=np.int64)
+            out1[:len(a)] = 1
+            tbl = pa.table({"node": node, "out1": pa.array(out1)})
+            return tbl.group_by("node").aggregate([("out1", "sum")]) \
+                .rename_columns(["node", "out1"])
 
-    deg_df = (pairs.map_batches(endpoints, batch_format="pyarrow")
-              .groupby("node").aggregate(Sum("out1", alias_name="outdeg"))
-              .to_pandas())
-    if deg_df.empty:
-        return pd.DataFrame({"entity_id": [], "score": []})
+        deg_df = (pairs.map_batches(endpoints, batch_format="pyarrow")
+                  .groupby("node")
+                  .aggregate(Sum("out1", alias_name="outdeg"))
+                  .to_pandas())
+        if deg_df.empty:
+            return pd.DataFrame({"entity_id": [], "score": []})
+        names_sorted = sorted(deg_df["node"])
+        node_ix_of = {n: i for i, n in enumerate(names_sorted)}
+        n_nodes = len(names_sorted)
+        outdeg = np.zeros(n_nodes, dtype=np.float64)
+        outdeg[deg_df["node"].map(node_ix_of).to_numpy()] = \
+            deg_df["outdeg"].to_numpy().astype(np.float64)
 
-    names_sorted = sorted(deg_df["node"])
-    node_ix_of = {n: i for i, n in enumerate(names_sorted)}
-    n_nodes = len(names_sorted)
-    outdeg = np.zeros(n_nodes, dtype=np.float64)
-    outdeg[deg_df["node"].map(node_ix_of).to_numpy()] = \
-        deg_df["outdeg"].to_numpy().astype(np.float64)
     dangling = outdeg == 0
-
     score = np.full(n_nodes, 1.0 / n_nodes)
 
-    if pairs.count() <= local_edge_cutoff:
-        etab = pairs.to_pandas()
-        s_ix = etab["subj_id"].map(node_ix_of).to_numpy()
+    if local:
         o_ix = etab["obj_id"].map(node_ix_of).to_numpy()
         for _ in range(max_iters):
             contrib = np.zeros(n_nodes)
