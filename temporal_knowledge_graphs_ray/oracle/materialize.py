@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from collections import defaultdict
 
 import numpy as np
@@ -51,8 +52,19 @@ RAG_MAX_CONTEXT_LENGTH = 1200
 
 
 def oracle_dir(sf_dir: str) -> str:
+    """Cache directory keyed by sf path, oracle version AND an input-data
+    fingerprint (size + mtime of the source tables): regenerated testdata
+    under the same path must NOT silently reuse a stale oracle."""
     tag = sf_dir.strip("/").replace("/", "_")
-    return os.path.join("/tmp/tkg_oracle", f"{tag}_v{ORACLE_VERSION}")
+    fp = 0
+    for t in ("documents.parquet", "embeddings.parquet"):
+        path = os.path.join(sf_dir, t)
+        if os.path.exists(path):
+            st = os.stat(path)
+            fp = (fp * 1000003) ^ st.st_size ^ st.st_mtime_ns
+    fp &= (1 << 48) - 1
+    return os.path.join("/tmp/tkg_oracle",
+                        f"{tag}_v{ORACLE_VERSION}_{fp:012x}")
 
 
 def _pages_rows(sf_dir: str) -> list[dict]:
@@ -389,10 +401,16 @@ def materialize_kg_oracle(sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = oracle_dir(sf_dir)
+    final = oracle_dir(sf_dir)
+    if os.path.exists(os.path.join(final, "_COMPLETE.json")):
+        return final
+    # build in a process-private dir and RENAME into place: concurrent
+    # callers (pytest workers + bench) otherwise interleave writes and a
+    # reader can see a torn parquet file. The loser of the rename race
+    # discards its build and uses the winner's (complete) directory.
+    out = f"{final}.build.{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
     marker = os.path.join(out, "_COMPLETE.json")
-    if os.path.exists(marker):
-        return out
     os.makedirs(out, exist_ok=True)
 
     from .kg_oracle import run_oracle
@@ -524,4 +542,10 @@ def materialize_kg_oracle(sf_dir: str) -> str:
             "edges": len(res["edges"]), "nodes": len(res["nodes"]),
             "mentions": len(res["mentions"]), "chunks": len(res["chunks"]),
         }, f)
-    return out
+    try:
+        os.rename(out, final)
+    except OSError:
+        # another process completed first — its directory is complete by
+        # construction (rename-after-marker), use it
+        shutil.rmtree(out, ignore_errors=True)
+    return final

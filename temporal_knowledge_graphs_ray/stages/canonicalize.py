@@ -268,8 +268,16 @@ def canonicalize_rows(df: pd.DataFrame,
             entity_id = entity_id_for(etype, canonical_key)
             row_ix = [i for m in members for i in key_rows[m]]
             total = int(cnts_arr[row_ix].sum())
-            first_seen = first_arr[row_ix].min()
-            last_seen = last_arr[row_ix].max()
+            # null-SKIPPING min/max, matching every earlier aggregation
+            # level (Arrow group_by / pandas agg skip nulls) — plain
+            # numpy min()/max() would let one undated variant poison the
+            # whole cluster's first/last_seen to NaT
+            fsel = first_arr[row_ix]
+            fval = fsel[~np.isnat(fsel)]
+            first_seen = fval.min() if len(fval) else np.datetime64("NaT")
+            lsel = last_arr[row_ix]
+            lval = lsel[~np.isnat(lsel)]
+            last_seen = lval.max() if len(lval) else np.datetime64("NaT")
             # canonical display name: most frequent linked_name, tie smallest
             name_cnt: dict[str, int] = {}
             for i in row_ix:
@@ -303,6 +311,19 @@ def make_canonicalize_group_fn(cfg: EngineConfig = DEFAULT_CONFIG):
         return canonicalize_rows(g, cfg)
 
     return canonicalize_group
+
+
+def _type_block_bucket(type_vals, block_vals,
+                       num_buckets: int) -> "np.ndarray":
+    """THE bucket hash for (type, block) blocking groups — one definition
+    so the small-shuffle driver split and the distributed add_bucket stage
+    cannot drift (they must bucket identically for path equivalence)."""
+    joined = np.asarray(
+        [f"{t}|{b}" for t, b in zip(type_vals, block_vals)], dtype=object)
+    if joined.size == 0:
+        return np.empty(0, dtype="int32")
+    return (pd.util.hash_array(joined, categorize=False)
+            % num_buckets).astype("int32")
 
 
 def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -364,30 +385,23 @@ def canonicalize(mentions_ds, cfg: EngineConfig = DEFAULT_CONFIG,
 
         df = partial_ds.to_pandas()
         if df.empty:
-            return partial_ds.limit(0)
-        h = pd_.util.hash_array(
-            (df["type"].astype(str) + "|" + df["block"].astype(str))
-            .to_numpy(dtype=object), categorize=False) % num_buckets
-        frames = [g for _, g in df.groupby(h.astype("int32"), sort=True)]
+            # typed empty with the promised CANONICAL columns —
+            # partial_ds.limit(0) would leak PARTIAL_SCHEMA to consumers
+            return rd.from_arrow(CANONICAL_SCHEMA.empty_table())
+        h = _type_block_bucket(df["type"].astype(str),
+                               df["block"].astype(str), num_buckets)
+        frames = [g for _, g in df.groupby(h, sort=True)]
         return rd.from_pandas(frames).map_batches(
             lambda g: canonicalize_rows(g, cfg),
             batch_format="pandas", batch_size=None)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        # vectorized string hash (siphash via pandas): bucket ids are a
-        # within-run shuffle key only — a blocking group lands wholly in
-        # one bucket either way, so outputs don't depend on the function
-        import pandas as pd
-
-        import numpy as np
-        import pyarrow.compute as pcc
-
-        jk = pcc.binary_join_element_wise(
-            t["type"].cast(pa.string()), t["block"].cast(pa.string()), "|")
-        h = pd.util.hash_array(
-            np.asarray(jk.to_pylist(), dtype=object),
-            categorize=False) % num_buckets
-        return t.append_column("bucket", pa.array(h.astype("int32")))
+        # bucket ids are a within-run shuffle key only — a blocking group
+        # lands wholly in one bucket either way — but the small/large
+        # paths share _type_block_bucket so they bucket identically
+        h = _type_block_bucket(t["type"].to_pylist(),
+                               t["block"].to_pylist(), num_buckets)
+        return t.append_column("bucket", pa.array(h))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return canonicalize_rows(df, cfg)

@@ -15,12 +15,79 @@ across an ordered feed), per the architecture rules.
 Ordering assumption (documented per §2.8): batches are fed in globally
 non-decreasing ts order (the driver sorts or the log is naturally
 ordered); within a bucket actor, state transitions are sequential.
+
+All variants normalize event time to MICROSECONDS via an explicit
+timestamp("us") cast before the int64 reinterpret — a parquet written with
+pandas' historical timestamp[ns] would otherwise feed nanoseconds into
+microsecond gap arithmetic and shatter every session.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+
+
+class _SessionState:
+    """The shared gap-sessionization transition function + open/closed
+    state. Plain object, embedded by BOTH actor flavors so the session
+    semantics cannot drift between them."""
+
+    def __init__(self, gap_us: int):
+        self.gap_us = gap_us
+        # key -> (session_start_us, last_ts_us, n_events)
+        self.open: dict[int, tuple[int, int, int]] = {}
+        self.closed: list[tuple[int, int, int, int]] = []
+
+    def apply(self, k: int, t: int) -> int:
+        """One event; returns 1 if a session closed."""
+        cur = self.open.get(k)
+        if cur is None:
+            self.open[k] = (t, t, 1)
+            return 0
+        start, last, n = cur
+        if t - last > self.gap_us:
+            self.closed.append((k, start, last, n))
+            self.open[k] = (t, t, 1)
+            return 1
+        self.open[k] = (start, max(last, t), n + 1)
+        return 0
+
+    def drain(self) -> list[tuple[int, int, int, int]]:
+        for k, (start, last, n) in sorted(self.open.items()):
+            self.closed.append((k, start, last, n))
+        self.open.clear()
+        out = sorted(self.closed)
+        self.closed = []
+        return out
+
+
+def _ts_us_int64(arrow_col) -> np.ndarray:
+    """Arrow ts/int column -> int64 MICROSECONDS (unit-normalizing)."""
+    import pyarrow as pa
+
+    col = arrow_col
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _sessions_frame(flushed, key_col: str) -> pd.DataFrame:
+    """Assemble flushed (key, start_us, last_us, n) tuples into the
+    canonical output frame (shared by every variant)."""
+    rows = [
+        {
+            key_col: k,
+            "session_start": np.datetime64(start, "us"),
+            "session_end": np.datetime64(last, "us"),
+            "n_events": n,
+        }
+        for closed in flushed
+        for k, start, last, n in closed
+    ]
+    out = pd.DataFrame(rows, columns=[key_col, "session_start",
+                                      "session_end", "n_events"])
+    return out.sort_values([key_col, "session_start"], ignore_index=True)
 
 
 def _make_sessionizer_actor():
@@ -31,38 +98,33 @@ def _make_sessionizer_actor():
         """Holds open sessions for the keys hashed to this bucket."""
 
         def __init__(self, gap_us: int):
-            self.gap_us = gap_us
-            # key -> (session_start_us, last_ts_us, n_events)
-            self.open: dict[int, tuple[int, int, int]] = {}
-            self.closed: list[tuple[int, int, int, int]] = []
+            self.state = _SessionState(gap_us)
+            self.chunks_applied = 0
 
         def feed(self, keys, ts_us) -> int:
             """Consume one batch (arrays of key, ts). Returns #closed."""
-            n_closed = 0
-            for k, t in zip(keys, ts_us):
-                k = int(k)
-                t = int(t)
-                cur = self.open.get(k)
-                if cur is None:
-                    self.open[k] = (t, t, 1)
-                    continue
-                start, last, n = cur
-                if t - last > self.gap_us:
-                    self.closed.append((k, start, last, n))
-                    n_closed += 1
-                    self.open[k] = (t, t, 1)
-                else:
-                    self.open[k] = (start, max(last, t), n + 1)
-            return n_closed
+            apply = self.state.apply
+            return sum(apply(int(k), int(t)) for k, t in zip(keys, ts_us))
+
+        def feed_chunk(self, chunk_idx: int, keys, ts_us) -> int:
+            """Idempotent ordered feed for RETRYABLE feeders: a Ray Data
+            task that died after partially feeding this bucket replays its
+            chunks from 0 — already-applied chunk indices are skipped, so
+            the replay converges on exactly-once application (the chunking
+            is deterministic: the feeder sorts its bucket on a total
+            order before slicing)."""
+            if chunk_idx < self.chunks_applied:
+                return 0  # replay of an already-applied chunk
+            if chunk_idx != self.chunks_applied:
+                raise RuntimeError(
+                    f"feed_chunk out of order: got {chunk_idx}, "
+                    f"expected {self.chunks_applied}")
+            self.chunks_applied += 1
+            return self.feed(keys, ts_us)
 
         def flush(self):
             """Close all open sessions; return every closed session."""
-            for k, (start, last, n) in sorted(self.open.items()):
-                self.closed.append((k, start, last, n))
-            self.open.clear()
-            out = sorted(self.closed)
-            self.closed = []
-            return out
+            return self.state.drain()
 
     return SessionizerActor
 
@@ -88,7 +150,7 @@ def sessionize_streaming(events_ds, key_col: str = "user_id",
     for batch in ordered.iter_batches(batch_size=8192,
                                      batch_format="pyarrow"):
         keys = batch[key_col].to_numpy(zero_copy_only=False).astype("int64")
-        ts_us = batch[ts_col].cast("int64").to_numpy(zero_copy_only=False)
+        ts_us = _ts_us_int64(batch[ts_col])
         buckets = keys % num_buckets
         for b in range(num_buckets):
             mask = buckets == b
@@ -97,18 +159,8 @@ def sessionize_streaming(events_ds, key_col: str = "user_id",
                     keys[mask].tolist(), ts_us[mask].tolist()))
     ray.get(pending)  # all feeds applied before flushing
 
-    rows = []
-    for closed in ray.get([a.flush.remote() for a in actors]):
-        for k, start, last, n in closed:
-            rows.append({
-                key_col: k,
-                "session_start": np.datetime64(start, "us"),
-                "session_end": np.datetime64(last, "us"),
-                "n_events": n,
-            })
-    out = pd.DataFrame(rows, columns=[key_col, "session_start",
-                                      "session_end", "n_events"])
-    return out.sort_values([key_col, "session_start"], ignore_index=True)
+    return _sessions_frame(ray.get([a.flush.remote() for a in actors]),
+                           key_col)
 
 
 def sessionize_streaming_sourcefed(events_ds, key_col: str = "user_id",
@@ -126,6 +178,12 @@ def sessionize_streaming_sourcefed(events_ds, key_col: str = "user_id",
     ordering (all sessionization needs) is guaranteed because a key lives
     in exactly one bucket; buckets feed in parallel. Output is identical
     to ``sessionize_streaming`` and the batch aggregate (tested).
+
+    Retry safety: the feeding group task is retryable (Ray re-executes it
+    on worker death), so feeds go through the actor's idempotent
+    ``feed_chunk`` — the bucket is sorted on a TOTAL order (ts, key) so a
+    replay produces identical chunks, and already-applied chunk indices
+    are skipped instead of double-counted.
     """
     import ray
 
@@ -142,15 +200,16 @@ def sessionize_streaming_sourcefed(events_ds, key_col: str = "user_id",
 
     def feed_bucket(group: pd.DataFrame) -> pd.DataFrame:
         b = int(group["bucket"].iloc[0])
-        g = group.sort_values(ts_col, kind="mergesort")
+        # total order -> deterministic chunking under task retries
+        g = group.sort_values([ts_col, key_col], kind="mergesort")
         keys = g[key_col].to_numpy().astype("int64")
         ts_us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
         handle = actors[b]
-        for i in range(0, len(g), 8192):
+        for ci, i in enumerate(range(0, len(g), 8192)):
             # sequential per bucket (ray.get preserves in-bucket order);
             # buckets run concurrently as separate group tasks
-            ray.get(handle.feed.remote(keys[i:i + 8192].tolist(),
-                                       ts_us[i:i + 8192].tolist()))
+            ray.get(handle.feed_chunk.remote(
+                ci, keys[i:i + 8192].tolist(), ts_us[i:i + 8192].tolist()))
         return pd.DataFrame({"bucket": [b], "fed": [len(g)]})
 
     (events_ds.select_columns([key_col, ts_col])
@@ -159,18 +218,8 @@ def sessionize_streaming_sourcefed(events_ds, key_col: str = "user_id",
      .map_groups(feed_bucket, batch_format="pandas")
      .materialize())  # drives the feeds; result is per-bucket counts only
 
-    rows = []
-    for closed in ray.get([a.flush.remote() for a in actors]):
-        for k, start, last, n in closed:
-            rows.append({
-                key_col: k,
-                "session_start": np.datetime64(start, "us"),
-                "session_end": np.datetime64(last, "us"),
-                "n_events": n,
-            })
-    out = pd.DataFrame(rows, columns=[key_col, "session_start",
-                                      "session_end", "n_events"])
-    return out.sort_values([key_col, "session_start"], ignore_index=True)
+    return _sessions_frame(ray.get([a.flush.remote() for a in actors]),
+                           key_col)
 
 
 def _make_watermark_actor():
@@ -192,25 +241,11 @@ def _make_watermark_actor():
         """
 
         def __init__(self, gap_us: int, lateness_us: int):
-            self.gap_us = gap_us
+            self.state = _SessionState(gap_us)
             self.lateness_us = lateness_us
             self.buffer: list[tuple[int, int]] = []  # (ts, key) heap
             self.max_ts = -(1 << 62)
             self.n_late = 0
-            self.open: dict[int, tuple[int, int, int]] = {}
-            self.closed: list[tuple[int, int, int, int]] = []
-
-        def _apply(self, k: int, t: int) -> None:
-            cur = self.open.get(k)
-            if cur is None:
-                self.open[k] = (t, t, 1)
-                return
-            start, last, n = cur
-            if t - last > self.gap_us:
-                self.closed.append((k, start, last, n))
-                self.open[k] = (t, t, 1)
-            else:
-                self.open[k] = (start, max(last, t), n + 1)
 
         def feed(self, keys, ts_us) -> int:
             for k, t in zip(keys, ts_us):
@@ -227,20 +262,15 @@ def _make_watermark_actor():
             released = 0
             while self.buffer and self.buffer[0][0] <= wm:
                 t, k = heapq.heappop(self.buffer)
-                self._apply(k, t)
+                self.state.apply(k, t)
                 released += 1
             return released
 
         def flush(self):
             while self.buffer:
                 t, k = heapq.heappop(self.buffer)
-                self._apply(k, t)
-            for k, (start, last, n) in sorted(self.open.items()):
-                self.closed.append((k, start, last, n))
-            self.open.clear()
-            out = sorted(self.closed)
-            self.closed = []
-            return out, self.n_late
+                self.state.apply(k, t)
+            return self.state.drain(), self.n_late
 
     return WatermarkSessionizerActor
 
@@ -267,7 +297,7 @@ def sessionize_streaming_watermark(events_ds, key_col: str = "user_id",
     for batch in events_ds.select_columns([key_col, ts_col]).iter_batches(
             batch_size=8192, batch_format="pyarrow"):
         keys = batch[key_col].to_numpy(zero_copy_only=False).astype("int64")
-        ts_us = batch[ts_col].cast("int64").to_numpy(zero_copy_only=False)
+        ts_us = _ts_us_int64(batch[ts_col])
         buckets = keys % num_buckets
         for b in range(num_buckets):
             mask = buckets == b
@@ -276,17 +306,8 @@ def sessionize_streaming_watermark(events_ds, key_col: str = "user_id",
                     keys[mask].tolist(), ts_us[mask].tolist()))
     ray.get(pending)
 
-    rows, n_late = [], 0
+    flushed, n_late = [], 0
     for closed, late in ray.get([a.flush.remote() for a in actors]):
         n_late += late
-        for k, start, last, n in closed:
-            rows.append({
-                key_col: k,
-                "session_start": np.datetime64(start, "us"),
-                "session_end": np.datetime64(last, "us"),
-                "n_events": n,
-            })
-    out = pd.DataFrame(rows, columns=[key_col, "session_start",
-                                      "session_end", "n_events"])
-    return (out.sort_values([key_col, "session_start"],
-                            ignore_index=True), n_late)
+        flushed.append(closed)
+    return _sessions_frame(flushed, key_col), n_late

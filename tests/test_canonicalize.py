@@ -159,3 +159,51 @@ class TestAcceptPair:
         assert not _accept_pair(0.5, 0.5, cfg)     # auto-reject
         assert _accept_pair(0.9, 0.7, cfg)         # 0.54+0.28=0.82 >= 0.8
         assert not _accept_pair(0.8, 0.6, cfg)     # 0.48+0.24=0.72 < 0.8
+
+
+class TestNullTimestamps:
+    def test_undated_variant_does_not_poison_cluster_dates(self):
+        """One variant with NaT first/last_seen (a page without warc_ts)
+        must not propagate NaT into the merged node stats — min/max skip
+        nulls at every aggregation level."""
+        fn = make_canonicalize_group_fn()
+        out = fn(_group([
+            ("ORGANIZATION", "globex corp", "Globex Corp.", 10, T0),
+            ("ORGANIZATION", "globexx corp", "Globexx Corp.", 1, pd.NaT),
+        ]))
+        assert set(out["canonical_key"]) == {"globex corp"}
+        canon = out[out["entity_key"] == out["canonical_key"]].iloc[0]
+        assert canon["first_seen"] == T0 and canon["last_seen"] == T0
+
+    def test_all_undated_cluster_stays_nat(self):
+        fn = make_canonicalize_group_fn()
+        out = fn(_group([
+            ("ORGANIZATION", "acme", "Acme", 5, pd.NaT),
+        ]))
+        assert pd.isna(out.iloc[0]["first_seen"])
+        assert pd.isna(out.iloc[0]["last_seen"])
+
+
+def test_empty_input_returns_canonical_schema(ray_session):
+    """The small-shuffle empty path must return the promised CANONICAL
+    columns, not leak PARTIAL_SCHEMA via limit(0)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.canonicalize import (
+        CANONICAL_SCHEMA,
+        canonicalize,
+    )
+    from temporal_knowledge_graphs_ray.stages.entities import (  # noqa: F401
+        EntityExtractorStage,
+    )
+
+    empty_mentions = rd.from_arrow(pa.table({
+        "type": pa.array([], pa.string()),
+        "entity_key": pa.array([], pa.string()),
+        "linked_name": pa.array([], pa.string()),
+        "valid_from": pa.array([], pa.timestamp("us")),
+    }))
+    out = canonicalize(empty_mentions)
+    assert out.count() == 0
+    assert out.schema().names == CANONICAL_SCHEMA.names

@@ -157,3 +157,68 @@ class TestWatermarkSessionizer:
         assert n_late == 1
         u1 = got[got["user_id"] == 1]
         assert u1["n_events"].tolist() == [2]  # late event excluded
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nanosecond_timestamps_normalized():
+    """A parquet written with pandas' historical timestamp[ns] must
+    sessionize identically to the same data in timestamp[us] — the gap
+    arithmetic is in MICROSECONDS, so feeding raw ns integers would
+    shatter every session (any gap > 1.8ms)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.streaming import (
+        sessionize_streaming,
+        sessionize_streaming_watermark,
+    )
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00:00", "2024-01-01 10:10:00",  # same session
+        "2024-01-01 12:00:00",                          # new session
+        "2024-01-01 10:05:00", "2024-01-01 11:00:00",
+    ])
+    df = pd.DataFrame({"user_id": [1, 1, 1, 2, 2], "ts": ts})
+
+    def tbl(unit):
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return t.set_column(1, "ts", t["ts"].cast(pa.timestamp(unit)))
+
+    for fn in (sessionize_streaming,
+               lambda ds, **kw: sessionize_streaming_watermark(ds, **kw)[0]):
+        out_us = fn(rd.from_arrow(tbl("us")), gap_s=1800)
+        out_ns = fn(rd.from_arrow(tbl("ns")), gap_s=1800)
+        pd.testing.assert_frame_equal(out_us, out_ns)
+        # u1: 10:00-10:10 then 12:00; u2: 10:05 then 11:00 (55min > gap)
+        assert len(out_us) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_feed_chunk_replay_is_idempotent():
+    """The source-fed path feeds stateful actors from inside a RETRYABLE
+    Ray Data task: a replay after a partial feed re-sends chunks from 0
+    and must not double-count (idempotent feed_chunk protocol)."""
+    import ray
+
+    from temporal_knowledge_graphs_ray.stages.streaming import (
+        _make_sessionizer_actor,
+    )
+
+    actor = _make_sessionizer_actor().remote(1_000_000)
+    keys = [1, 1, 2]
+    ts = [0, 500_000, 10_000_000]
+    ray.get(actor.feed_chunk.remote(0, keys, ts))
+    # simulated task retry: chunk 0 replays, then the feed continues
+    assert ray.get(actor.feed_chunk.remote(0, keys, ts)) == 0
+    ray.get(actor.feed_chunk.remote(1, [1], [20_000_000]))
+    sessions = ray.get(actor.flush.remote())
+    # u1: (0, 500ms, 2 events) then (20s); u2: one event — NO duplicates
+    assert sessions == [
+        (1, 0, 500_000, 2), (1, 20_000_000, 20_000_000, 1),
+        (2, 10_000_000, 10_000_000, 1)]
+    # a chunk arriving beyond the applied frontier is a protocol error
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="out of order"):
+        ray.get(actor.feed_chunk.remote(5, [1], [1]))
