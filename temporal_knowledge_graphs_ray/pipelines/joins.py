@@ -46,6 +46,8 @@ def _role_union(left_ds, right_ds, key: str, num_buckets: int):
                 seen.add(n)
                 fields.append((n, _pa_type(t)))
 
+    key_type = dict(fields)[key]
+
     def conv(role: int):
         def fn(t: pa.Table) -> pa.Table:
             arrays, names = [], []
@@ -57,9 +59,13 @@ def _role_union(left_ds, right_ds, key: str, num_buckets: int):
                 names.append(n)
             arrays.append(pa.array([role] * len(t), pa.int8()))
             names.append("__role")
+            # hash the key AFTER the unifying cast: the raw column's
+            # repr differs across dtypes (str(1) != str(1.0)), so equal
+            # keys on int64/float64 sides would land in different
+            # buckets and silently never join
+            key_vals = t[key].cast(key_type).to_pylist() if len(t) else []
             h = pd.util.hash_array(
-                np.asarray([str(v) for v in t[key].to_pylist()],
-                           dtype=object),
+                np.asarray([str(v) for v in key_vals], dtype=object),
                 categorize=False) % num_buckets
             arrays.append(pa.array(h.astype("int32")))
             names.append("__bucket")
@@ -128,7 +134,12 @@ def range_join(left_ds, right_ds, *, on: str, by: str,
         # pd.DataFrame() would break block-schema unification)
         m = left.merge(right, on=by, suffixes=("", suffix))
         on_col = on if on in m.columns else on + suffix
-        keep = (m[start] <= m[on_col]) & (m[on_col] <= m[end])
+        # start/end are RIGHT columns: when the left side carries a
+        # same-named column, the merge suffixes the right copy — reading
+        # m[start] would then filter on the LEFT column silently
+        s_col = start + suffix if start in left.columns else start
+        e_col = end + suffix if end in left.columns else end
+        keep = (m[s_col] <= m[on_col]) & (m[on_col] <= m[e_col])
         return m[keep]
 
     return (

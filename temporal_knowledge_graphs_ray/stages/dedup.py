@@ -78,6 +78,8 @@ def minhash_rows(ds, text_col: str = "text", id_col: str = "doc_id",
         ids, bands_ix, bands_h = [], [], []
         for did, text in zip(batch[id_col].to_pylist(),
                              batch[text_col].to_pylist()):
+            if not text:  # null/empty text: no shingles
+                continue
             sig = minhash_signature(word_shingles(text, shingle_k), num_perm)
             for bi, bh in enumerate(minhash_bands(sig, num_bands)):
                 ids.append(did)
@@ -124,7 +126,8 @@ def _candidate_pairs_from_bands(band_ds, id_col: str = "doc_id",
             import logging
 
             logging.getLogger(__name__).warning(
-                "minhash-lsh: dropping %d rows in bands over %d members",
+                "lsh-bands: dropping %d rows in bands over %d members "
+                "(minhash or embedding-lsh candidate gen)",
                 int(hot.sum()), _MAX_BAND_GROUP)
             df = df[~hot]
         m = df.merge(df, on=["band_index", "band_hash"],
@@ -236,7 +239,7 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             t = t.filter(pc.is_in(t[id_col], value_set=needed))
         docs, sh = [], []
         for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            grams = word_shingles(text, shingle_k)
+            grams = word_shingles(text, shingle_k) if text else []
             if grams and len(grams[0].split(" ")) >= shingle_k:
                 docs.append(did)
                 # serialized as one NUL-joined string (shingles never
@@ -375,6 +378,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     num_blocks=9 for the standard Hamming-8 near-dup setting; the default
     4 x 16-bit blocks cover Hamming <= 3).
     """
+    if not 2 <= num_blocks <= 64:
+        raise ValueError(f"num_blocks must be in [2, 64], got {num_blocks}")
     bounds = _block_bounds(num_blocks)
     if max_hamming >= num_blocks:
         import logging
@@ -388,16 +393,20 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         ids, hashes, blocks, block_ix = [], [], [], []
         for did, text in zip(batch[id_col].to_pylist(),
                              batch[text_col].to_pylist()):
+            if not text:  # null/empty text: nothing to hash
+                continue
             h = simhash64(word_shingles(text, 2))
             for b, (off, w) in enumerate(bounds):
                 ids.append(did)
                 hashes.append(np.int64(np.uint64(h).astype(np.int64)))
                 blocks.append((h >> off) & ((1 << w) - 1))
                 block_ix.append(b)
+        # int64 blocks: num_blocks=2 gives 32-bit block values, which
+        # overflow int32
         return pa.Table.from_arrays(
             [pa.array(ids, pa.int64()),
              pa.array(hashes, pa.int64()),
-             pa.array(blocks, pa.int32()),
+             pa.array(blocks, pa.int64()),
              pa.array(block_ix, pa.int32())],
             names=[id_col, "simhash", "block", "block_index"],
         )
@@ -405,9 +414,11 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     def add_bucket(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        combined = pc.add(
+        # overflow-safe mix for any block width (the old 65536 multiplier
+        # silently assumed <= 16-bit blocks)
+        combined = pc.bit_wise_xor(
             pc.multiply(t["block_index"].cast(pa.int64()),
-                        pa.scalar(65536, pa.int64())),
+                        pa.scalar(2654435761, pa.int64())),
             t["block"].cast(pa.int64()),
         )
         return t.append_column(
@@ -417,6 +428,19 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         df = group[["block_index", "block", id_col, "simhash"]].drop_duplicates()
+        # hot-group guard (same failure mode as the MinHash bands): B
+        # boilerplate docs with identical simhash blocks would otherwise
+        # pair-expand to B^2/2 rows in ONE task. Identical docs are the
+        # exact-dedup pass's job; the drop is logged.
+        sizes = df.groupby(["block_index", "block"])[id_col].transform("size")
+        hot = sizes > _MAX_BAND_GROUP
+        if hot.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash: dropping %d rows in blocks over %d members",
+                int(hot.sum()), _MAX_BAND_GROUP)
+            df = df[~hot]
         m = df.merge(df, on=["block_index", "block"], suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         m = m.drop_duplicates(subset=[f"{id_col}_a", f"{id_col}_b"])

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import re
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -46,6 +48,8 @@ class FulltextIndex:
             terms, ids = [], []
             for cid, text in zip(t[id_col].to_pylist(),
                                  t[text_col].to_pylist()):
+                if not text:  # null/empty text: nothing to index
+                    continue
                 for term in set(_TOKEN_RE.findall(text.lower())):
                     terms.append(term)
                     ids.append(cid)
@@ -64,6 +68,7 @@ class FulltextIndex:
         )
 
     def save(self, path: str) -> None:
+        import json
         import shutil as _sh
 
         _sh.rmtree(path, ignore_errors=True)
@@ -72,13 +77,30 @@ class FulltextIndex:
 
         coalesce_blocks(self.postings).write_parquet(
             path, partition_cols=["bucket"])
+        # the bucket layout is addressable only with the num_buckets it
+        # was hashed with — persist it so load() cannot silently prune
+        # with a different modulus and drop matches
+        with open(os.path.join(path, "_index_meta.json"), "w") as f:
+            json.dump({"num_buckets": self.num_buckets,
+                       "id_col": self.id_col}, f)
 
     @classmethod
-    def load(cls, path: str, id_col: str = "chunk_id",
-             num_buckets: int = 64) -> "FulltextIndex":
+    def load(cls, path: str, id_col: str | None = None,
+             num_buckets: int | None = None) -> "FulltextIndex":
+        import json
+
         import ray.data as rd
 
-        idx = cls(None, id_col=id_col, num_buckets=num_buckets)
+        meta_path = os.path.join(path, "_index_meta.json")
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        idx = cls(None,
+                  id_col=id_col or meta.get("id_col", "chunk_id"),
+                  num_buckets=num_buckets or meta.get("num_buckets", 64))
+        # _index_meta.json is skipped by the reader (underscore-prefixed
+        # files are treated as hidden, like _SUCCESS markers)
         idx.postings = rd.read_parquet(path)
         return idx
 

@@ -84,6 +84,10 @@ def neardup_pairs_cosine(ds, threshold: float = 0.95, limit_ids: int = 500,
         .select_columns([id_col, emb_col])
         .take_all()
     )
+    if not sub:  # nothing under limit_ids (or empty input)
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
     ids = np.array([r[id_col] for r in sub])
     m = _norm_rows(np.array([r[emb_col] for r in sub], dtype=np.float64))
     order = np.argsort(ids)
@@ -283,18 +287,28 @@ def neardup_pairs_lsh(ds, threshold: float = 0.9, n_planes: int = 8,
     Same shape as the MinHash pipeline: vectors explode to (id, table,
     bucket) rows, pairs sharing any bucket become candidates (bucketed
     pair-gen with the hot-bucket cap), embeddings join the pair halves
-    worker-side (serialized float32 bytes — list columns don't survive
-    the group stages), and each pair verifies cosine >= threshold. The
-    driver only holds candidate IDs. Detection probability at cosine 0.9
-    with 8 planes x 16 tables is ~0.996 per true pair; raise n_tables for
-    tighter recall.
+    worker-side (serialized float64 bytes, bit-exact vs the all-pairs
+    oracle — list columns don't survive the group stages), and each pair
+    verifies cosine >= threshold. The driver only holds candidate IDs.
+    Detection probability at cosine 0.9 with 8 planes x 16 tables is
+    ~0.996 per true pair among SURVIVING candidates; raise n_tables for
+    tighter recall. Caveat: a dense cluster putting > _MAX_BAND_GROUP
+    rows into one (table, bucket) is dropped with a log line (the
+    bucketed pair-gen's quadratic-blowup guard) — unlike text MinHash
+    there is no exact-dedup backstop for near-identical embeddings, so
+    tune n_planes up (smaller buckets) if such clusters are expected.
     """
     import pyarrow.compute as pc
 
     from .dedup import _candidate_pairs_from_bands
 
     if dim is None:
-        dim = len(ds.take(1)[0][emb_col])
+        first = ds.take(1)
+        if not first:  # empty input: no pairs
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        dim = len(first[0][emb_col])
     stage = LshAnnIndexStage(dim, n_planes, n_tables)
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -328,7 +342,7 @@ def neardup_pairs_lsh(ds, threshold: float = 0.9, n_planes: int = 8,
 
     def vec_rows(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t[id_col], value_set=needed))
-        m = _to_matrix(t[emb_col]).astype(np.float64)
+        m = _to_matrix(t[emb_col])  # float64 already
         return pa.Table.from_arrays(
             [t[id_col].cast(pa.int64()).combine_chunks(),
              pa.array([-1] * len(t), pa.int64()),
@@ -426,6 +440,10 @@ class IvfIndex:
             self.assigned = None
             return
         sample = ds.limit(train_sample).take_all()
+        if not sample:
+            raise ValueError(
+                "IvfIndex: training dataset is empty — nothing to "
+                "quantize (filtered-out or zero-row input?)")
         m = _norm_rows(np.array([r[emb_col] for r in sample],
                                 dtype=np.float64))
         rng = np.random.RandomState(stable_hash64(f"ivf-{seed}") % (2**32))

@@ -80,3 +80,23 @@ class TestNgramJaccard:
         j = {(a, b): v for a, b, v in zip(out["a"], out["b"], out["jaccard"])}
         assert j[(0, 1)] == 1.0
         assert 0.5 < j[(0, 2)] < 1.0
+
+
+def test_simhash_two_blocks_no_overflow(ray_session):
+    """num_blocks=2 gives 32-bit block values — they must be carried as
+    int64 (int32 storage overflowed) and still find Hamming<=1 pairs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.dedup import simhash_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "the quick brown fox jumps over the lazy dog again and again",
+            "completely different content about financial markets today",
+        ],
+    })
+    out = simhash_dedup(rd.from_arrow(docs), max_hamming=1, num_blocks=2)
+    assert [(r.a, r.b) for r in out.itertuples()] == [(0, 1)]

@@ -50,3 +50,41 @@ def test_index_matches_word_scan_and_saveload(tmp_path):
     a = idx.search(["acquired", "revenue"], k=10)
     b = loaded.search(["acquired", "revenue"], k=10)
     assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_save_load_roundtrip_persists_bucket_count(tmp_path):
+    """load() must recover the num_buckets the index was HASHED with —
+    pruning with a different modulus silently drops matches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.fulltext import FulltextIndex
+
+    chunks = pa.table({
+        "chunk_id": pa.array([f"c{i}" for i in range(20)], pa.string()),
+        "text": [f"alpha beta gamma{i} delta" for i in range(20)],
+    })
+    idx = FulltextIndex(rd.from_arrow(chunks), num_buckets=128)
+    p = str(tmp_path / "ft")
+    idx.save(p)
+    loaded = FulltextIndex.load(p)  # no num_buckets passed
+    assert loaded.num_buckets == 128
+    hits = loaded.search(["alpha", "delta"], k=5)
+    assert len(hits) == 5 and set(hits["n_terms"]) == {2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_null_text_rows_are_skipped():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.fulltext import FulltextIndex
+
+    chunks = pa.table({
+        "chunk_id": pa.array(["a", "b", "c"], pa.string()),
+        "text": pa.array(["find me here", None, ""], pa.large_string()),
+    })
+    idx = FulltextIndex(rd.from_arrow(chunks))
+    hits = idx.search(["find"], k=5)
+    assert list(hits["chunk_id"]) == ["a"]

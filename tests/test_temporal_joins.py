@@ -121,3 +121,57 @@ def test_joins_survive_one_sided_buckets():
     assert set(got2.columns) == {"user_id", "ts", "value", "start",
                                  "end", "tier"}
     assert len(got2) == 3 and (got2["tier"] == 0.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_mixed_key_dtypes():
+    """Equal join keys arriving as int64 on one side and float64 on the
+    other must still meet: the bucket hash runs AFTER the schema-unifying
+    cast (str(1) != str(1.0) would otherwise split them silently)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.joins import asof_join
+
+    left = pd.DataFrame({
+        "k": pd.array([1, 2, 3], dtype="int64"),
+        "ts": pd.to_datetime(["2024-01-02", "2024-01-02", "2024-01-02"]),
+    })
+    right = pd.DataFrame({
+        "k": pd.array([1.0, 2.0, 3.0], dtype="float64"),
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-01", "2024-01-01"]),
+        "price": [10.0, 20.0, 30.0],
+    })
+    out = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="ts", by="k").to_pandas()
+           .sort_values("k", ignore_index=True))
+    assert out["price"].notna().all(), "mixed-dtype keys never joined"
+    assert list(out["price"]) == [10.0, 20.0, 30.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_start_column_collision():
+    """A left column named like the right's interval column must not be
+    read by the containment filter (the merge suffixes the right copy)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.joins import range_join
+
+    left = pd.DataFrame({
+        "k": [1, 1],
+        "ts": pd.to_datetime(["2024-01-05", "2024-03-05"]),
+        # decoy: left's own "start" column, far outside the right interval
+        "start": pd.to_datetime(["1990-01-01", "1990-01-01"]),
+    })
+    right = pd.DataFrame({
+        "k": [1],
+        "start": pd.to_datetime(["2024-01-01"]),
+        "end": pd.to_datetime(["2024-01-31"]),
+    })
+    out = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="ts", by="k", start="start", end="end").to_pandas()
+    # only the January ts is inside the RIGHT interval; with the decoy
+    # column driving the filter both (or neither) would match
+    assert len(out) == 1
+    assert out.iloc[0]["ts"] == pd.Timestamp("2024-01-05")
