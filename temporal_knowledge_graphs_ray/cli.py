@@ -127,6 +127,20 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Compact fragmented checkpoint partitions (store OPTIMIZE)."""
+    import ray
+
+    from .pipelines.compact import compact_store
+
+    _init_ray(args.num_cpus)
+    report = compact_store(args.out,
+                           target_bytes=args.target_mb << 20)
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Training-data curation funnel over a documents Parquet."""
     import ray
@@ -182,6 +196,12 @@ def main(argv=None) -> int:
                         "documents.parquet")
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("compact")
+    p.add_argument("--out", required=True, help="built KG output dir")
+    p.add_argument("--target-mb", type=int, default=256,
+                   help="target compacted file size in MiB")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("curate")
     p.add_argument("--documents", required=True,
                    help="documents Parquet path/dir (doc_id, text)")
@@ -196,6 +216,8 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.cmd == "eval":
         return cmd_eval(args)
+    if args.cmd == "compact":
+        return cmd_compact(args)
     if args.cmd == "curate":
         return cmd_curate(args)
     if args.cmd == "build":
