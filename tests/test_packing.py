@@ -1,0 +1,123 @@
+"""Sequence packing: exact equality with a DuckDB recursive-CTE oracle
+running the same next-fit scan, parallelism invariance, and the fill
+properties every packing must satisfy."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from temporal_knowledge_graphs_ray.functions.hashing import fast_hash64
+from temporal_knowledge_graphs_ray.functions.tokenize import count_tokens
+
+SF_DIR = "/root/testdata/sf0.001"
+BUDGET = 512
+BUCKETS = 16
+
+
+def _fixture_df() -> pd.DataFrame:
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    df = t.to_pandas()
+    df["n_tokens"] = df["text"].map(count_tokens)
+    df["bucket"] = df["doc_id"].map(
+        lambda v: fast_hash64(str(v)) % BUCKETS)
+    return df[["doc_id", "n_tokens", "bucket"]]
+
+
+def _oracle_pack(df: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """DuckDB recursive CTE: the same next-fit scan, one step per row
+    rank, advancing every bucket in lockstep."""
+    con = duckdb.connect()
+    con.register("docs_in", df)
+    out = con.execute(f"""
+        WITH RECURSIVE ranked AS (
+            SELECT doc_id, n_tokens, bucket,
+                   row_number() OVER (PARTITION BY bucket
+                                      ORDER BY doc_id) AS rn
+            FROM docs_in
+        ),
+        rec AS (
+            SELECT doc_id, n_tokens, bucket, rn,
+                   CAST(0 AS BIGINT) AS seq, n_tokens AS fill
+            FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT d.doc_id, d.n_tokens, d.bucket, d.rn,
+                   CASE WHEN r.fill + d.n_tokens <= {budget}
+                        THEN r.seq ELSE r.seq + 1 END,
+                   CASE WHEN r.fill + d.n_tokens <= {budget}
+                        THEN r.fill + d.n_tokens ELSE d.n_tokens END
+            FROM rec r JOIN ranked d
+              ON d.bucket = r.bucket AND d.rn = r.rn + 1
+        )
+        SELECT doc_id, bucket, seq, n_tokens FROM rec
+        ORDER BY bucket, doc_id
+    """).df()
+    return out.reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_matches_recursive_cte_oracle():
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.packing import (
+        pack_sequences,
+    )
+
+    df = _fixture_df()
+    got = (pack_sequences(
+        rd.from_pandas(df[["doc_id", "n_tokens"]]),
+        token_budget=BUDGET, buckets=BUCKETS)
+        .to_pandas()
+        .sort_values(["bucket", "doc_id"], ignore_index=True))
+    want = _oracle_pack(df, BUDGET)
+    got = got.astype({"bucket": "int64", "seq": "int64",
+                      "n_tokens": "int64"})
+    want = want.astype({"bucket": "int64", "seq": "int64",
+                        "n_tokens": "int64"})
+    pdt.assert_frame_equal(got[["doc_id", "bucket", "seq", "n_tokens"]],
+                           want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_parallelism_invariant_and_properties():
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.packing import (
+        pack_sequences,
+        packing_report,
+    )
+
+    df = _fixture_df()
+    results = []
+    for nblocks in (1, 9):
+        ds = rd.from_pandas(df[["doc_id", "n_tokens"]]).repartition(
+            nblocks)
+        results.append(
+            pack_sequences(ds, token_budget=BUDGET, buckets=BUCKETS)
+            .to_pandas()
+            .sort_values(["bucket", "doc_id"], ignore_index=True))
+    pdt.assert_frame_equal(results[0], results[1])
+
+    packed = results[0]
+    fills = packed.groupby(["bucket", "seq"])["n_tokens"].sum()
+    single = packed.groupby(["bucket", "seq"])["n_tokens"].count()
+    # a sequence over budget must be a single oversized doc
+    over = fills[fills > BUDGET]
+    assert (single.loc[over.index] == 1).all()
+    # next-fit density: within a bucket, seq ids are contiguous from 0
+    for b, g in packed.groupby("bucket"):
+        seqs = np.sort(g["seq"].unique())
+        assert seqs[0] == 0 and (np.diff(seqs) == 1).all()
+    # and every doc joined the earliest seq next-fit allows: replaying
+    # the scan over the assignment reproduces it (covered by the oracle
+    # test; here assert the report is coherent)
+    rep = packing_report(packed, BUDGET)
+    assert rep["docs"] == len(df)
+    assert rep["sequences"] == len(fills)
+    assert 0.5 < rep["fill_efficiency"] <= 1.0
