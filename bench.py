@@ -178,6 +178,26 @@ def run_bench() -> dict:
     timed("ann_index_topk10",
           lambda: idx_holder["idx"].topk(qvec, 10))
 
+    # ---- training-data ops: packing + quantiles ----
+    from temporal_knowledge_graphs_ray.stages.packing import (
+        pack_sequences,
+    )
+    from temporal_knowledge_graphs_ray.stages.quantiles import (
+        exact_quantiles,
+    )
+    from temporal_knowledge_graphs_ray.stages.textstats import (
+        token_stats_stage,
+    )
+
+    timed("pack_sequences",
+          lambda: pack_sequences(token_stats_stage(docs),
+                                 token_budget=2048).to_pandas())
+    timed("exact_quantiles",
+          lambda: exact_quantiles(
+              rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_quantity"]),
+              "l_quantity", [0.25, 0.5, 0.75, 0.9, 0.99]))
+
     # ---- whole-graph analytics over the KG built above ----
     from temporal_knowledge_graphs_ray.pipelines.graph import (
         connected_components,
@@ -201,6 +221,13 @@ def run_bench() -> dict:
                                    rd.read_parquet(res["mentions"]),
                                    synth_rag_queries(nodes_rows),
                                    max_context_length=1200))
+
+    # ---- store maintenance: partition compaction (OPTIMIZE) ----
+    from temporal_knowledge_graphs_ray.pipelines.compact import (
+        compact_store,
+    )
+
+    timed("compact_store", lambda: compact_store(out_dir))
 
     result = {
         "metric": "kg_pipeline_sec",
