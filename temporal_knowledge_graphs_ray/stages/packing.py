@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..functions.hashing import fast_hash64
+from ..functions.hashing import hash64_vec
 
 
 def _pack_bucket(df: pd.DataFrame, id_col: str, tokens_col: str,
@@ -61,8 +61,9 @@ def pack_sequences(ds, token_budget: int, id_col: str = "doc_id",
     import pyarrow as pa
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pa.array([fast_hash64(str(v)) % buckets
-                      for v in t[id_col].to_pylist()], pa.int64())
+        h = hash64_vec(t[id_col].to_pylist())
+        b = pa.array((h % np.uint64(buckets)).astype(np.int64),
+                     pa.int64())
         return t.select([id_col, tokens_col]).append_column("bucket", b)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:

@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 from ray.data.aggregate import AggregateFnV2
 
-from ..functions.hashing import fast_hash64
+from ..functions.hashing import hash64_vec
 
 
 def _disc_rank(q: float, n: int) -> int:
@@ -124,9 +124,9 @@ class ApproxQuantile(AggregateFnV2):
         else:
             vals = block[col].tolist()
             keys = block[self._key].tolist()
+        hs = hash64_vec(keys, self._seed)
         pairs = sorted(
-            (fast_hash64(str(kv), self._seed), v)
-            for kv, v in zip(keys, vals) if v is not None)
+            (int(h), v) for h, v in zip(hs, vals) if v is not None)
         return pairs[:self._k]
 
     def combine(self, a, b):

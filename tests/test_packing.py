@@ -10,7 +10,7 @@ import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
-from temporal_knowledge_graphs_ray.functions.hashing import fast_hash64
+from temporal_knowledge_graphs_ray.functions.hashing import hash64_vec
 from temporal_knowledge_graphs_ray.functions.tokenize import count_tokens
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -23,8 +23,8 @@ def _fixture_df() -> pd.DataFrame:
                       columns=["doc_id", "text"])
     df = t.to_pandas()
     df["n_tokens"] = df["text"].map(count_tokens)
-    df["bucket"] = df["doc_id"].map(
-        lambda v: fast_hash64(str(v)) % BUCKETS)
+    df["bucket"] = (hash64_vec(df["doc_id"].tolist())
+                    % np.uint64(BUCKETS)).astype(np.int64)
     return df[["doc_id", "n_tokens", "bucket"]]
 
 
