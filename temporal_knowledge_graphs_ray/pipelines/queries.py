@@ -69,10 +69,14 @@ def q_pricing_summary(sf_dir: str):
 
 
 def q_topk_orders(sf_dir: str, k: int = 10):
-    """Global top-k (T1): sort + limit with deterministic tiebreak."""
+    """Global top-k (T1): per-block partial top-k shrinks the sort input
+    to k x blocks candidates, then sort + limit (deterministic tiebreak).
+    """
+    from ..stages.topk import topk_rows
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"],
-                   descending=[True, False]).limit(k)
+    return topk_rows(ds, ["o_totalprice", "o_orderkey"],
+                     [True, False], k)
 
 
 def q_revenue_by_brand(sf_dir: str):
@@ -371,15 +375,13 @@ def q_rrf_fusion(sf_dir: str, k: int = 100, top: int = 20, c: int = 60):
     """Reciprocal-rank fusion (T4) of two ranked lists over events:
     by value desc and by recency desc — the reference's hybrid-search
     fusion (hybrid_search.py:106-163) over small top-k lists."""
+    from ..stages.topk import topk_rows
+
     ds = _read(sf_dir, "events", ["event_id", "ts", "value"]).materialize()
-    by_value = (
-        ds.sort(["value", "event_id"], descending=[True, False])
-        .limit(k).to_pandas()
-    )
-    by_recency = (
-        ds.sort(["ts", "event_id"], descending=[True, False])
-        .limit(k).to_pandas()
-    )
+    by_value = topk_rows(ds, ["value", "event_id"],
+                         [True, False], k).to_pandas()
+    by_recency = topk_rows(ds, ["ts", "event_id"],
+                           [True, False], k).to_pandas()
     scores: dict[int, float] = {}
     for rank, eid in enumerate(by_value["event_id"], start=1):
         scores[eid] = scores.get(eid, 0.0) + 1.0 / (c + rank)

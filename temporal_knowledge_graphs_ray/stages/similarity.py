@@ -64,9 +64,12 @@ def cosine_scores(ds, query_vec: np.ndarray, id_col: str = "vec_id",
 
 def knn_brute_force(ds, query_vec: np.ndarray, k: int = 10,
                     id_col: str = "vec_id", emb_col: str = "embedding"):
-    """Global top-k by cosine (desc), deterministic id tiebreak."""
+    """Global top-k by cosine (desc), deterministic id tiebreak; the
+    per-block partial top-k keeps the wide sort at k x blocks rows."""
+    from .topk import topk_rows
+
     scored = cosine_scores(ds, query_vec, id_col, emb_col)
-    return scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
+    return topk_rows(scored, ["cosine", id_col], [True, False], k)
 
 
 def neardup_pairs_cosine(ds, threshold: float = 0.95, limit_ids: int = 500,

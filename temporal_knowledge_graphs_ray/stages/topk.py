@@ -1,0 +1,35 @@
+"""Distributed top-k without a full sort shuffle.
+
+``Dataset.sort().limit(k)`` moves EVERY row through an all-to-all range
+shuffle just to keep k of them.  Any row in the global top-k is
+necessarily in its own block's top-k, so a per-block partial top-k
+(vectorized ``pc.sort_indices`` + ``take``) first shrinks the sorted
+data to at most k x num_blocks candidate rows — at 100 TB that turns the
+wide sort into a trivial one while returning bit-identical results
+(every sort site here already carries a deterministic tiebreak column).
+
+Assumes sort-key columns are non-null (all in-repo callers satisfy
+this); null ordering between Arrow block sort and Ray's range sort is
+not reconciled.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def topk_rows(ds, keys: list[str], descending: list[bool], k: int):
+    """Global top-k rows by ``keys``: partial per-block top-k, then the
+    standard sort+limit over the surviving candidates."""
+    sort_keys = [(c, "descending" if d else "ascending")
+                 for c, d in zip(keys, descending)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        return t.take(idx[:k])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .sort(keys, descending=descending).limit(k))
