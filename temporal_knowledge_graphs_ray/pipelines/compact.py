@@ -35,8 +35,6 @@ from __future__ import annotations
 import os
 import shutil
 
-from ..config import DEFAULT_CONFIG, EngineConfig
-
 # tables that accumulate appended files across increments; edges/nodes are
 # rewritten wholesale by every global phase and never fragment
 CHECKPOINT_TABLES = ("chunk_ents", "mentions", "edges_raw")
@@ -148,8 +146,7 @@ def compact_table(out_dir: str, table: str,
     return report
 
 
-def compact_store(out_dir: str, cfg: EngineConfig = DEFAULT_CONFIG,
-                  target_bytes: int = 256 << 20) -> dict:
+def compact_store(out_dir: str, target_bytes: int = 256 << 20) -> dict:
     """Compact all checkpoint tables of a built KG store."""
     reports = [compact_table(out_dir, t, target_bytes)
                for t in CHECKPOINT_TABLES]

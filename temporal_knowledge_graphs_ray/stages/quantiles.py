@@ -52,7 +52,6 @@ def exact_quantiles(ds, col: str, qs: list[float],
     choosing this path (use ``ApproxQuantile`` otherwise).
     """
     import pandas as pd
-    import pyarrow.compute as pc  # noqa: F401 (kept for kernel parity)
 
     keys = ([by] if by else []) + [col]
 
