@@ -198,7 +198,9 @@ class _MultiQueryCosineStage:
 
 def hybrid_search_many(chunks_ds, mentions_ds, qlist: list[dict],
                        k: int = RAG_TOP_K, rrf_c: int = 60,
-                       pool: int = RAG_VEC_POOL) -> dict[int, pd.DataFrame]:
+                       pool: int = RAG_VEC_POOL,
+                       distributed_reduce: bool = False,
+                       ) -> dict[int, pd.DataFrame]:
     """Multi-query hybrid retrieval: one chunks pass (vector leg for every
     query), one mentions pass (entity legs), RRF per query — per-query
     results identical to ``graph.hybrid_search`` (hybrid_search.py:34-163).
@@ -206,6 +208,15 @@ def hybrid_search_many(chunks_ds, mentions_ds, qlist: list[dict],
     ``qlist`` rows need ``query_id``, ``query`` and ``entities_detected``.
     Returns {query_id: DataFrame(chunk_id, rrf_score)} sorted by
     (rrf_score desc, chunk_id asc), k rows each.
+
+    ``distributed_reduce``: the scoring pass emits top-``pool`` rows per
+    query PER BATCH, so the collected candidate set grows with corpus
+    size (batches x n_q x pool). False (default) collects it on the
+    driver — right up to millions of pages.  True inserts a per-query
+    ``groupby("qi")`` truncation first, so the driver only ever holds
+    n_q x pool rows — the 100 TB setting (same output bit-for-bit: the
+    per-batch truncation already preserves each query's global
+    top-pool; output-identity tested in tests/test_rag.py).
     """
     from ..functions.embed import embed_text
     from ..functions.normalize import surface_key
@@ -216,12 +227,20 @@ def hybrid_search_many(chunks_ds, mentions_ds, qlist: list[dict],
     # batch_size 512 (not larger): the hash embedder dominates this pass,
     # and small batches keep all cores busy even on a few-thousand-chunk
     # corpus; per-batch output is bounded (n_q x pool rows)
-    scored = (
+    scored_ds = (
         chunks_ds.select_columns(["chunk_id", "text"])
         .map_batches(_MultiQueryCosineStage(qmat, pool),
                      batch_format="pyarrow", batch_size=512)
-        .to_pandas()
     )
+    if distributed_reduce:
+        def _top_pool(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["cosine", "chunk_id"],
+                                ascending=[False, True], kind="mergesort")
+            return df.head(pool)
+
+        scored_ds = scored_ds.groupby("qi").map_groups(
+            _top_pool, batch_format="pandas")
+    scored = scored_ds.to_pandas()
     vec_ranks: dict[int, list[str]] = {}
     if scored.empty:  # empty corpus: no columns to group on
         scored = pd.DataFrame({"qi": [], "chunk_id": [], "cosine": []})
@@ -470,6 +489,7 @@ RAG_OUTPUT_COLUMNS = [
 def rag_answer_batch(chunks_ds, mentions_ds, queries: list[dict],
                      client_factory=None, k: int = RAG_TOP_K,
                      max_context_length: int = DEFAULT_MAX_CONTEXT_LENGTH,
+                     distributed_reduce: bool = False,
                      ) -> pd.DataFrame:
     """Run understand -> retrieve -> build_context -> generate -> verify
     over a batch of ``{"query_id", "query"}`` rows; one result row per
@@ -478,7 +498,8 @@ def rag_answer_batch(chunks_ds, mentions_ds, queries: list[dict],
     import ray.data as rd
 
     understood = understand_queries(queries)
-    retrieved = hybrid_search_many(chunks_ds, mentions_ds, understood, k=k)
+    retrieved = hybrid_search_many(chunks_ds, mentions_ds, understood, k=k,
+                                   distributed_reduce=distributed_reduce)
 
     all_ids = [cid for df in retrieved.values() for cid in df["chunk_id"]]
     chunk_info = hydrate_chunks(chunks_ds, all_ids)

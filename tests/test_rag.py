@@ -276,6 +276,31 @@ def test_rag_answer_batch_end_to_end(tiny_kg):
     pd.testing.assert_frame_equal(df, df2)
 
 
+def test_rag_distributed_reduce_output_identity(tiny_kg):
+    """distributed_reduce=True (the 100 TB driver-state bound) must be
+    bit-identical to the driver-collect path: the per-batch truncation
+    already preserves each query's global top-pool, the groupby reduce
+    only changes WHERE the final truncation happens."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.rag import (
+        rag_answer_batch,
+    )
+
+    nodes = rd.read_parquet(tiny_kg["nodes"]).to_pandas().to_dict("records")
+    queries = synth_rag_queries(nodes)
+    frames = [
+        rag_answer_batch(
+            rd.read_parquet(tiny_kg["chunk_ents"]),
+            rd.read_parquet(tiny_kg["mentions"]),
+            queries, max_context_length=1200,
+            distributed_reduce=flag,
+        )
+        for flag in (False, True)
+    ]
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
 def test_rag_no_hits_yields_sentinels(tiny_kg):
     import ray.data as rd
 
