@@ -58,8 +58,11 @@ def exact_quantiles(ds, col: str, qs: list[float],
     def partial_counts(t: pa.Table) -> pa.Table:
         return t.select(keys).group_by(keys).aggregate([([], "count_all")])
 
+    # large batches: the partial is a single-column-ish Arrow group_by —
+    # cheap per row, so fewer/bigger tasks beat scheduling overhead
     counts = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
+        ds.map_batches(partial_counts, batch_format="pyarrow",
+                       batch_size=65536)
         .groupby(keys).sum("count_all")
     )
     # one row per distinct value — small by contract; sorted walk on the
