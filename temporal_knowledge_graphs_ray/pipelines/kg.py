@@ -552,6 +552,13 @@ def build_kg(
         _t = now
 
     os.makedirs(out_dir, exist_ok=True)
+    # finish (or discard) any parked purge/compaction swap BEFORE anything
+    # reads the checkpoint tables: a kill between a swap's two renames
+    # leaves the live part dir missing while its manifest still claims
+    # the partition complete — readers/resume/increment would otherwise
+    # silently skip the parked-but-complete partition
+    for _table in ("chunk_ents", "mentions", "edges_raw"):
+        _recover_purge_swaps(out_dir, _table)
     cfg = _resolve_partitions(pages_ds, out_dir, cfg,
                               existing=(resume or increment))
     # size actor pools to the cluster unless pinned in cfg
@@ -1013,6 +1020,14 @@ def ingest_increment(
     if not os.path.isdir(chunk_ents_dir):
         return build_kg(pages_ds, out_dir, cfg, alias_table=alias_table)
 
+    # the existing-url read below must see a fully-swapped store (a kill
+    # between a purge/compaction swap's renames parks a complete part
+    # under .purge_new/.purge_old; reading past it would re-ingest its
+    # urls and the recreated live dir would make recovery DISCARD the
+    # parked copy — permanent loss)
+    for _table in ("chunk_ents", "mentions", "edges_raw"):
+        _recover_purge_swaps(out_dir, _table)
+
     existing_urls = (
         rd.read_parquet(chunk_ents_dir, columns=["url"])
         .groupby("url").count().select_columns(["url"])
@@ -1204,8 +1219,9 @@ def ingest_increment_supersede(
     if not os.path.isdir(chunk_ents_dir):
         return build_kg(pages_ds, out_dir, cfg, alias_table=alias_table)
 
-    # finish any partition swap a killed previous supersede left behind
-    for table in ("chunk_ents", "mentions"):
+    # finish any partition swap a killed previous supersede OR compaction
+    # left behind (edges_raw included: compaction swaps it too)
+    for table in ("chunk_ents", "mentions", "edges_raw"):
         _recover_purge_swaps(out_dir, table)
     # CROSS-TABLE recovery: the journal written before any purge makes the
     # whole multi-table operation idempotent. Without it, a kill between

@@ -238,9 +238,20 @@ def hybrid_search_many(chunks_ds, mentions_ds, qlist: list[dict],
                                 ascending=[False, True], kind="mergesort")
             return df.head(pool)
 
-        scored_ds = scored_ds.groupby("qi").map_groups(
-            _top_pool, batch_format="pandas")
-    scored = scored_ds.to_pandas()
+        # the groupby shuffle needs a materialization anyway; count() on
+        # the materialized set is metadata-cheap and guards the empty
+        # corpus (a schema-less dataset would make groupby("qi") raise
+        # where the driver path below degrades gracefully)
+        mat = scored_ds.materialize()
+        if mat.count() == 0:
+            scored = pd.DataFrame({"qi": [], "chunk_id": [],
+                                   "cosine": []})
+        else:
+            scored = (mat.groupby("qi")
+                      .map_groups(_top_pool, batch_format="pandas")
+                      .to_pandas())
+    else:
+        scored = scored_ds.to_pandas()
     vec_ranks: dict[int, list[str]] = {}
     if scored.empty:  # empty corpus: no columns to group on
         scored = pd.DataFrame({"qi": [], "chunk_id": [], "cosine": []})

@@ -52,11 +52,16 @@ def exact_quantiles(ds, col: str, qs: list[float],
     choosing this path (use ``ApproxQuantile`` otherwise).
     """
     import pandas as pd
+    import pyarrow.compute as pc
 
     keys = ([by] if by else []) + [col]
 
     def partial_counts(t: pa.Table) -> pa.Table:
-        return t.select(keys).group_by(keys).aggregate([([], "count_all")])
+        t = t.select(keys)
+        # DuckDB quantile_disc ignores NULL values (while GROUP BY keeps
+        # NULL groups — handled at the walk below with dropna=False)
+        t = t.filter(pc.is_valid(t[col]))
+        return t.group_by(keys).aggregate([([], "count_all")])
 
     # large batches: the partial is a single-column-ish Arrow group_by —
     # cheap per row, so fewer/bigger tasks beat scheduling overhead
@@ -67,9 +72,14 @@ def exact_quantiles(ds, col: str, qs: list[float],
     )
     # one row per distinct value — small by contract; sorted walk on the
     # driver (the only driver-resident state is the distinct-value table)
-    df = counts.to_pandas().rename(
-        columns={"sum(count_all)": "cnt"}).sort_values(
-        keys, ignore_index=True)
+    df = counts.to_pandas().rename(columns={"sum(count_all)": "cnt"})
+    if df.empty:  # empty/all-null input: the aggregate yields no columns
+        empty = {"q": pd.Series([], dtype="float64"),
+                 "value": pd.Series([], dtype="object")}
+        if by:
+            empty = {by: pd.Series([], dtype="object"), **empty}
+        return pd.DataFrame(empty)
+    df = df.sort_values(keys, ignore_index=True)
 
     def walk(g: pd.DataFrame) -> pd.DataFrame:
         cum = g["cnt"].cumsum().to_numpy()
@@ -82,7 +92,9 @@ def exact_quantiles(ds, col: str, qs: list[float],
         return pd.DataFrame(rows, columns=["q", "value"])
 
     if by:
-        out = (df.groupby(by, sort=True)
+        # dropna=False: DuckDB GROUP BY keeps the NULL group (only the
+        # quantile VALUES ignore nulls)
+        out = (df.groupby(by, sort=True, dropna=False)
                .apply(walk, include_groups=False)
                .reset_index(level=0).reset_index(drop=True))
         return out[[by, "q", "value"]]
@@ -93,9 +105,13 @@ class ApproxQuantile(AggregateFnV2):
     """Approximate quantiles via a deterministic bottom-k row sample.
 
     ``key`` must be a row-unique column (doc_id, url, a composite id):
-    the k rows with the smallest ``fast_hash64(key)`` form a uniform
-    simple random sample of the table, independent of blocking.  State
-    is a sorted list of (hash, value) pairs, capped at k.
+    the k rows with the smallest ``hash64_vec(key)`` (vectorized SipHash,
+    functions/hashing.py) form a uniform simple random sample of the
+    table, independent of blocking.  State is a sorted list of
+    (hash, value) pairs, capped at k.  Null AND NaN values are excluded
+    (NaN explicitly: pandas blocks deliver float nulls as NaN, which
+    would otherwise sort last and corrupt high quantiles — and NaN != NaN
+    defeats the combine()-side tuple dedup).
 
     Usage::
 
@@ -128,7 +144,8 @@ class ApproxQuantile(AggregateFnV2):
             keys = block[self._key].tolist()
         hs = hash64_vec(keys, self._seed)
         pairs = sorted(
-            (int(h), v) for h, v in zip(hs, vals) if v is not None)
+            (int(h), v) for h, v in zip(hs, vals)
+            if v is not None and v == v)  # v == v filters NaN
         return pairs[:self._k]
 
     def combine(self, a, b):

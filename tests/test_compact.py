@@ -193,3 +193,21 @@ def test_compact_crash_windows_recover(tmp_path):
         assert len(fs) == 1
     assert completed_parts(out, table) == marked
     _assert_same(want, _canon_table(out, table))
+
+    # window 3: kill between the renames, then the user runs a plain
+    # ingest_increment WITHOUT any manual recovery — the entry point must
+    # finish the swap BEFORE reading existing urls, or it would re-ingest
+    # the parked part's urls and the recreated live dir would make
+    # recovery discard the parked complete copy (permanent loss)
+    some = sorted(_files_per_part(out, table))[0]
+    _compact_part_files(os.path.join(tdir, some),
+                        os.path.join(tdir, ".purge_new", some), 1 << 30)
+    os.makedirs(os.path.join(tdir, ".purge_old"), exist_ok=True)
+    os.rename(os.path.join(tdir, some),
+              os.path.join(tdir, ".purge_old", some))
+    res = ingest_increment(
+        rd.from_arrow(pages_table(list(range(60)))), out,
+        alias_table=alias_table())  # pure re-submit: must be a no-op
+    assert os.path.isdir(os.path.join(tdir, some))
+    _assert_same(want, _canon_table(out, table))
+    assert res["edge_rows"] > 0

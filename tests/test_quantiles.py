@@ -60,6 +60,71 @@ def test_exact_quantiles_grouped_matches_duckdb():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_exact_quantiles_null_semantics_match_duckdb():
+    """NULL values are ignored (DuckDB quantile_disc), NULL groups are
+    kept (DuckDB GROUP BY); empty input returns an empty typed frame."""
+    import pandas as pd
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.quantiles import (
+        exact_quantiles,
+    )
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", None, None, "b"],
+        "x": [1.0, 2.0, None, 5.0, None, None],
+    })
+    con = duckdb.connect()
+    con.register("t", df)
+
+    got = exact_quantiles(rd.from_pandas(df), "x", [0.5, 0.9])
+    want = con.execute(
+        "SELECT quantile_disc(x, [0.5, 0.9]) FROM t").fetchone()[0]
+    assert [float(v) for v in got["value"]] == [float(v) for v in want]
+
+    got_g = exact_quantiles(rd.from_pandas(df), "x", [0.5], by="g")
+    want_g = con.execute(
+        "SELECT g, quantile_disc(x, 0.5) AS v FROM t "
+        "WHERE x IS NOT NULL GROUP BY g ORDER BY g NULLS LAST"
+    ).fetchall()
+    got_rows = [(None if pd.isna(r.g) else r.g, float(r.value))
+                for r in got_g.itertuples()]
+    assert got_rows == [(g, float(v)) for g, v in want_g]
+
+    # all-null / empty inputs -> empty frame, not IndexError
+    empty = exact_quantiles(
+        rd.from_pandas(pd.DataFrame({"x": [None, None]})), "x", [0.5])
+    assert len(empty) == 0 and list(empty.columns) == ["q", "value"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantile_ignores_nan_in_pandas_blocks():
+    """NaN (pandas-block null spelling) must be excluded like None, so
+    the estimate stays block-format independent."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.quantiles import (
+        ApproxQuantile,
+    )
+
+    n = 500
+    vals = [float(i) for i in range(n)]
+    df_clean = pa.table({"id": [f"r{i}" for i in range(n)], "x": vals})
+    import pandas as pd
+    df_nan = pd.DataFrame({
+        "id": [f"r{i}" for i in range(2 * n)],
+        "x": vals + [np.nan] * n,
+    })
+    agg = ApproxQuantile(on="x", key="id", qs=[0.9, 1.0], k=2 * n)
+    got_clean = rd.from_arrow(df_clean).aggregate(agg)["approx_quantile(x)"]
+    got_nan = rd.from_pandas(df_nan).aggregate(
+        ApproxQuantile(on="x", key="id", qs=[0.9, 1.0],
+                       k=2 * n))["approx_quantile(x)"]
+    assert got_nan[1.0] == got_clean[1.0] == float(n - 1)
+    assert not np.isnan(got_nan[0.9])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_approx_quantile_exact_when_k_covers_n():
     import ray.data as rd
 

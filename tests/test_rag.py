@@ -301,6 +301,23 @@ def test_rag_distributed_reduce_output_identity(tiny_kg):
     pd.testing.assert_frame_equal(frames[0], frames[1])
 
 
+def test_rag_distributed_reduce_empty_corpus(tiny_kg):
+    """The 100 TB reduce path must degrade to the no-hit sentinels on an
+    empty corpus exactly like the driver path (the groupby would raise
+    on the schema-less scored dataset without the count guard)."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.rag import rag_answer_batch
+
+    chunks = rd.read_parquet(tiny_kg["chunk_ents"]).filter(lambda r: False)
+    mentions = rd.read_parquet(tiny_kg["mentions"]).filter(lambda r: False)
+    df = rag_answer_batch(chunks, mentions,
+                          [{"query_id": 0, "query": "What about Acme?"}],
+                          distributed_reduce=True)
+    assert df["formatted_context"].iloc[0] == NO_CONTEXT_SENTINEL
+    assert df["num_results"].iloc[0] == 0
+
+
 def test_rag_no_hits_yields_sentinels(tiny_kg):
     import ray.data as rd
 
