@@ -216,11 +216,10 @@ def _vec_bucket64(strings: pa.Array, modulus: int) -> np.ndarray:
     match ``url_parts_vec`` (the URL-partition hash the resume manifests
     depend on — its scheme is recorded in the layout manifest and
     enforced by ``_require_current_url_hash``)."""
-    import pandas as pd
+    from ..functions.hashing import hash64_vec
 
-    return (pd.util.hash_array(np.asarray(strings.to_pylist(), dtype=object),
-                               categorize=False)
-            % modulus).astype(np.int64)
+    return (hash64_vec(strings.to_pylist())
+            % np.uint64(modulus)).astype(np.int64)
 
 
 def merge_edges_vectorized(tbl: pa.Table, cfg: EngineConfig,
@@ -238,6 +237,14 @@ def merge_edges_vectorized(tbl: pa.Table, cfg: EngineConfig,
     same order the dict kernel's insertion-ordered dict produces.
     """
     names = _MERGED_NAMES + (["ekey_bucket"] if with_bucket else [])
+    # guard for pluggable extractors: an edge with a null endpoint or
+    # predicate is meaningless, and null group keys would poison the
+    # dictionary-encode below (null indices break the zero-copy to_numpy)
+    key_valid = pc.and_(
+        pc.and_(pc.is_valid(tbl["subj_id"]), pc.is_valid(tbl["obj_id"])),
+        pc.is_valid(tbl["pred"]))
+    if not pc.all(key_valid).as_py():
+        tbl = tbl.filter(key_valid)
     n = tbl.num_rows
     if n == 0:
         empty = {
@@ -271,11 +278,12 @@ def merge_edges_vectorized(tbl: pa.Table, cfg: EngineConfig,
     np.minimum.at(first, codes, np.arange(n, dtype=np.int64))
     first_ix = pa.array(first)
 
-    # confidence = max
+    # confidence = max; fmax ignores NaN/null from pluggable extractors
+    # (np.maximum would propagate a single NaN into the group's merge)
     conf = tbl["confidence"].cast(pa.float32()).to_numpy(
         zero_copy_only=False)
     conf_out = np.full(num_groups, -np.inf, dtype=np.float32)
-    np.maximum.at(conf_out, codes, conf)
+    np.fmax.at(conf_out, codes, conf)
 
     # valid_from = min, nulls ignored (all-null group stays null)
     vf_np = tbl["valid_from"].cast(pa.timestamp("us")).to_numpy(
@@ -442,9 +450,12 @@ def rewrite_edges_distributed(edges_raw_ds, canonical_tbl,
 
     if isinstance(canonical_tbl, pa.Table):
         resolve_ds = rd.from_arrow(_resolve_project(canonical_tbl))
-    else:  # a Dataset: the canonical map never touches the driver
-        resolve_ds = canonical_tbl.map_batches(_resolve_project,
-                                               batch_format="pyarrow")
+    else:  # a Dataset: the canonical map never touches the driver.
+        # materialize: resolve_ds feeds BOTH the subj and obj joins below;
+        # unmaterialized, the projection (and everything upstream of the
+        # canonical dataset) would re-execute for the second join
+        resolve_ds = canonical_tbl.map_batches(
+            _resolve_project, batch_format="pyarrow").materialize()
 
     def _add_jk(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -552,13 +563,15 @@ def build_kg(
         _t = now
 
     os.makedirs(out_dir, exist_ok=True)
-    # finish (or discard) any parked purge/compaction swap BEFORE anything
-    # reads the checkpoint tables: a kill between a swap's two renames
-    # leaves the live part dir missing while its manifest still claims
-    # the partition complete — readers/resume/increment would otherwise
-    # silently skip the parked-but-complete partition
-    for _table in ("chunk_ents", "mentions", "edges_raw"):
-        _recover_purge_swaps(out_dir, _table)
+    if resume:
+        # make an interrupted purge/compaction/supersede/increment whole
+        # BEFORE anything reads the checkpoint tables or the orphan
+        # cleanup below inspects manifests. Fresh builds wipe the dir
+        # (recovery would be wasted work); increments recover at the
+        # ingest_increment entrance — which then writes ITS journal for
+        # the appends this call performs, so re-consuming it here would
+        # destroy that crash protection
+        _recover_pending_journals(out_dir, cfg, alias_table)
     cfg = _resolve_partitions(pages_ds, out_dir, cfg,
                               existing=(resume or increment))
     # size actor pools to the cluster unless pinned in cfg
@@ -699,22 +712,39 @@ def build_kg(
         """Durable chunk_ents rows for ``want_parts`` (None = all parts),
         schema-aligned to the in-memory materialization (hive reads type
         partition columns and strings differently) so a union is
-        well-typed."""
-        arr = (pa.array(sorted(want_parts), pa.int32())
-               if want_parts is not None else None)
+        well-typed.  With ``want_parts`` given, only those part dirs are
+        READ (partition pruning at the file listing): repairing a
+        one-partition resume hole must not scan the whole store."""
         from ..stages.entities import CHUNK_ENTS_SCHEMA
 
         target = CHUNK_ENTS_SCHEMA
 
-        def conv(t: pa.Table) -> pa.Table:
-            if arr is not None:
-                t = t.filter(pc.is_in(t["part"].cast(pa.int32()),
-                                      value_set=arr))
-            cols = [t[f.name].cast(f.type).combine_chunks() for f in target]
-            return pa.Table.from_arrays(cols, schema=target)
+        def conv_for(part: int | None):
+            def conv(t: pa.Table) -> pa.Table:
+                if part is not None and "part" not in t.column_names:
+                    # reading a part=K dir directly loses the hive column
+                    t = t.append_column(
+                        "part", pa.array(
+                            np.full(t.num_rows, part, np.int32)))
+                cols = [t[f.name].cast(f.type).combine_chunks()
+                        for f in target]
+                return pa.Table.from_arrays(cols, schema=target)
 
-        return rd.read_parquet(chunk_ents_dir).map_batches(
-            conv, batch_format="pyarrow")
+            return conv
+
+        if want_parts is None:
+            return rd.read_parquet(chunk_ents_dir).map_batches(
+                conv_for(None), batch_format="pyarrow")
+        pieces = []
+        for p in sorted(want_parts):
+            pdir = os.path.join(chunk_ents_dir, f"part={p}")
+            if os.path.isdir(pdir):
+                pieces.append(rd.read_parquet(pdir).map_batches(
+                    conv_for(p), batch_format="pyarrow"))
+        if not pieces:
+            return rd.from_arrow(target.empty_table())
+        ds0 = pieces[0]
+        return ds0.union(*pieces[1:]) if len(pieces) > 1 else ds0
 
     done_b = completed_parts(out_dir, "mentions") if resume else set()
     # disk mode: the durable Parquet just written IS the phase-B source —
@@ -995,6 +1025,7 @@ def ingest_increment(
     out_dir: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
     alias_table: pa.Table | None = None,
+    dedup_recrawls: bool = False,
 ) -> dict:
     """Add new pages to an EXISTING graph — the reference's primary
     lifecycle (ingest more documents later, operations.py / scripts/
@@ -1012,21 +1043,28 @@ def ingest_increment(
 
     The expensive work (extraction) is proportional to the INCREMENT;
     only the entity/triple-grain global phases touch history.
+
+    Within-batch recrawls (the SAME url twice in one increment) follow
+    fresh-build semantics: both versions are kept unless
+    ``dedup_recrawls=True`` (keep only the latest warc_ts per url, like
+    build_kg's flag) or ``ingest_increment_supersede`` is used — this is
+    what keeps increments bit-identical to a fresh union build.
     """
     import ray
     import ray.data as rd
 
     chunk_ents_dir = os.path.join(out_dir, "chunk_ents")
     if not os.path.isdir(chunk_ents_dir):
-        return build_kg(pages_ds, out_dir, cfg, alias_table=alias_table)
+        return build_kg(pages_ds, out_dir, cfg, alias_table=alias_table,
+                        dedup_recrawls=dedup_recrawls)
+    if dedup_recrawls:
+        pages_ds = dedup_recrawls_keep_latest(pages_ds)
 
-    # the existing-url read below must see a fully-swapped store (a kill
-    # between a purge/compaction swap's renames parks a complete part
-    # under .purge_new/.purge_old; reading past it would re-ingest its
-    # urls and the recreated live dir would make recovery DISCARD the
-    # parked copy — permanent loss)
-    for _table in ("chunk_ents", "mentions", "edges_raw"):
-        _recover_purge_swaps(out_dir, _table)
+    # the existing-url read below must see a WHOLE store: finished swaps
+    # (a parked part dir would otherwise be invisible — its urls would
+    # re-ingest and recovery would then discard the parked copy), no
+    # half-applied supersede, no half-landed previous increment
+    _recover_pending_journals(out_dir, cfg, alias_table)
 
     existing_urls = (
         rd.read_parquet(chunk_ents_dir, columns=["url"])
@@ -1034,10 +1072,26 @@ def ingest_increment(
     )
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nparts = max(2, min(64, ncpu // 2))
+    # materialize: the new-page set is increment-bounded and is consumed
+    # twice (journal urls + the build); re-executing the anti-join would
+    # scan the store's url column a second time
     new_pages = pages_ds.join(existing_urls, "left_anti", nparts,
-                              on=("url",))
-    return build_kg(new_pages, out_dir, cfg, alias_table=alias_table,
-                    increment=True)
+                              on=("url",)).materialize()
+    url_df = new_pages.select_columns(["url"]).to_pandas()
+    new_urls = (sorted(set(url_df["url"]))
+                if "url" in url_df.columns else [])
+    journal = _increment_journal_path(out_dir)
+    if new_urls:
+        # journal FIRST: the appends below land in three tables with no
+        # atomicity between them; a kill mid-append is re-applied from
+        # this journal (purge journaled urls + recompute touched
+        # edges_raw partitions) before the next store read
+        _write_url_journal(journal, new_urls)
+    res = build_kg(new_pages, out_dir, cfg, alias_table=alias_table,
+                   increment=True)
+    if new_urls:
+        os.remove(journal)
+    return res
 
 
 def _recover_purge_swaps(out_dir: str, table: str) -> None:
@@ -1067,11 +1121,15 @@ def _purge_part_files(pdir: str, tmp_dir: str, url_arr: pa.Array) -> None:
     part of a 100 TB corpus is many bounded-size files)."""
     import pyarrow.parquet as pq
 
+    names = sorted(n for n in os.listdir(pdir) if n.endswith(".parquet"))
+    if not names:
+        # a killed write can leave a part dir with no files at all —
+        # nothing to purge, and no schema to synthesize an empty file
+        # from; leave the dir untouched (hive discovery ignores it)
+        return
     os.makedirs(tmp_dir, exist_ok=True)
     i = 0
-    for name in sorted(os.listdir(pdir)):
-        if not name.endswith(".parquet"):
-            continue
+    for name in names:
         t = pq.read_table(os.path.join(pdir, name))
         t = t.filter(pc.invert(pc.is_in(t["url"], value_set=url_arr)))
         if t.num_rows:
@@ -1080,8 +1138,7 @@ def _purge_part_files(pdir: str, tmp_dir: str, url_arr: pa.Array) -> None:
     if i == 0:
         # keep the part dir non-empty so hive discovery still sees the
         # partition (typed empty file)
-        first = sorted(n for n in os.listdir(pdir) if n.endswith(".parquet"))
-        schema = pq.read_schema(os.path.join(pdir, first[0]))
+        schema = pq.read_schema(os.path.join(pdir, names[0]))
         pq.write_table(schema.empty_table(),
                        os.path.join(tmp_dir, "purged-0.parquet"))
 
@@ -1135,6 +1192,61 @@ def _purge_urls_from_table(out_dir: str, table: str, urls_ref,
 
 def _supersede_journal_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifests", "supersede_pending.json")
+
+
+def _increment_journal_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifests", "increment_pending.json")
+
+
+def _write_url_journal(path: str, urls) -> None:
+    import json
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"urls": sorted(urls)}, f)
+    os.replace(tmp, path)
+
+
+def _recover_pending_journals(out_dir: str, cfg: EngineConfig,
+                              alias_table: pa.Table | None) -> None:
+    """Make an interrupted multi-table operation whole BEFORE anything
+    reads the checkpoint tables. Three layers, in order:
+
+    1. parked purge/compaction swap dirs are finished or discarded
+       (a kill between a swap's two renames),
+    2. a pending SUPERSEDE journal is re-applied (kill between the
+       chunk_ents purge and the mentions purge would otherwise leave the
+       two tables disagreeing about a url — and the purge path deletes
+       part manifests that only ``_apply_supersede`` restores, so
+       entering via resume/increment without this re-apply would let the
+       orphan cleanup delete complete-but-manifest-less partitions),
+    3. a pending INCREMENT journal is re-applied: an increment appends
+       to chunk_ents on a background thread and to mentions/edges_raw
+       synchronously, so a kill can land a url's rows in SOME tables
+       only. Purging the journaled (increment-bounded) url set from the
+       url-grain tables and recomputing the touched partitions'
+       edges_raw — exactly ``_apply_supersede`` — returns the store to
+       its pre-increment state; the retried increment then re-ingests
+       those urls from scratch.
+
+    Every store entry point (build_kg resume/increment,
+    ingest_increment, ingest_increment_supersede) calls this first.
+    Idempotent: re-running any layer is a no-op once the store is whole.
+    """
+    import json
+
+    for table in ("chunk_ents", "mentions", "edges_raw"):
+        _recover_purge_swaps(out_dir, table)
+    for journal in (_supersede_journal_path(out_dir),
+                    _increment_journal_path(out_dir)):
+        if not os.path.exists(journal):
+            continue
+        with open(journal) as f:
+            pending = set(json.load(f)["urls"])
+        if pending:
+            _apply_supersede(out_dir, cfg, alias_table, pending)
+        os.remove(journal)
 
 
 def _apply_supersede(out_dir: str, cfg: EngineConfig,
@@ -1219,25 +1331,14 @@ def ingest_increment_supersede(
     if not os.path.isdir(chunk_ents_dir):
         return build_kg(pages_ds, out_dir, cfg, alias_table=alias_table)
 
-    # finish any partition swap a killed previous supersede OR compaction
-    # left behind (edges_raw included: compaction swaps it too)
-    for table in ("chunk_ents", "mentions", "edges_raw"):
-        _recover_purge_swaps(out_dir, table)
-    # CROSS-TABLE recovery: the journal written before any purge makes the
-    # whole multi-table operation idempotent. Without it, a kill between
-    # the chunk_ents purge and the mentions purge would be unrecoverable —
+    # swap + journal recovery (see _recover_pending_journals): without the
+    # supersede-journal re-apply in particular, a kill between the
+    # chunk_ents purge and the mentions purge would be unrecoverable —
     # the superseded urls are already gone from chunk_ents, so recomputing
     # the supersede set from it yields an EMPTY set and the stale
     # mentions/edges_raw rows persist forever.
+    _recover_pending_journals(out_dir, cfg, alias_table)
     journal = _supersede_journal_path(out_dir)
-    if os.path.exists(journal):
-        import json
-
-        with open(journal) as f:
-            pending = set(json.load(f)["urls"])
-        if pending:
-            _apply_supersede(out_dir, cfg, alias_table, pending)
-        os.remove(journal)
 
     # latest crawl per incoming url
     pages_latest = dedup_recrawls_keep_latest(pages_ds).materialize()
@@ -1267,16 +1368,9 @@ def ingest_increment_supersede(
                       else set())
 
     if supersede_urls:
-        import json
-
         # journal FIRST (atomic tmp+rename): any kill during the purge /
         # recompute below is re-applied from the journal on the next run
-        os.makedirs(os.path.dirname(journal), exist_ok=True)
-        tmp = journal + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"urls": sorted(supersede_urls)}, f)
-        os.replace(tmp, journal)
-
+        _write_url_journal(journal, supersede_urls)
         _apply_supersede(out_dir, cfg, alias_table, supersede_urls)
         os.remove(journal)
 

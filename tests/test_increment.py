@@ -331,3 +331,133 @@ def test_supersede_recovers_from_kill_between_table_purges(tmp_path):
     assert not any("Oldcorp" in n for n in names)
     assert any("Newcorp" in n for n in names)
     assert not os.path.exists(journal)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_killed_increment_recovers_from_journal(tmp_path):
+    """A kill mid-increment can land a url's rows in SOME checkpoint
+    tables only (chunk_ents is appended on a background thread,
+    mentions/edges_raw synchronously). The increment journal written
+    before the appends must make the retry whole: the journaled urls are
+    purged and re-ingested, and the final graph is bit-identical to a
+    fresh union build. Covers BOTH half-landed orders."""
+    import shutil as _sh
+
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.kg import (
+        _increment_journal_path,
+        _write_url_journal,
+        build_kg,
+        ingest_increment,
+    )
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        alias_table,
+        pages_table,
+    )
+
+    fresh = build_kg(rd.from_arrow(pages_table(list(range(60)))),
+                     str(tmp_path / "fresh"), alias_table=alias_table())
+    fe, fn = _graph_key(fresh)
+
+    def half_landed(tables_with_rows):
+        """Store with pages 0..29 complete and pages 30..59 landed ONLY
+        in ``tables_with_rows`` (+ the increment journal)."""
+        out = str(tmp_path / ("kg_" + "_".join(tables_with_rows)))
+        build_kg(rd.from_arrow(pages_table(list(range(30)))), out,
+                 alias_table=alias_table())
+        # a scratch full build of the increment provides realistic rows
+        scratch = str(tmp_path / ("scratch_" + "_".join(tables_with_rows)))
+        build_kg(rd.from_arrow(pages_table(list(range(30, 60)))), scratch,
+                 alias_table=alias_table())
+        import os as _os
+        for table in tables_with_rows:
+            sdir = _os.path.join(scratch, table)
+            for entry in _os.listdir(sdir):
+                if not entry.startswith("part="):
+                    continue
+                dst = _os.path.join(out, table, entry)
+                _os.makedirs(dst, exist_ok=True)
+                for i, name in enumerate(sorted(_os.listdir(
+                        _os.path.join(sdir, entry)))):
+                    _sh.copy(_os.path.join(sdir, entry, name),
+                             _os.path.join(dst, f"halfland-{i}.parquet"))
+        urls = pages_table(list(range(30, 60)))["url"].to_pylist()
+        _write_url_journal(_increment_journal_path(out), urls)
+        _sh.rmtree(scratch)
+        return out
+
+    for landed in (["chunk_ents"], ["mentions", "edges_raw"]):
+        out = half_landed(landed)
+        res = ingest_increment(
+            rd.from_arrow(pages_table(list(range(30, 60)))), out,
+            alias_table=alias_table())
+        ie, inn = _graph_key(res)
+        pdt.assert_frame_equal(fe, ie)
+        pdt.assert_frame_equal(fn, inn)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_killed_purge_manifests_survive_plain_increment(tmp_path):
+    """A killed supersede purge deletes part manifests that only the
+    journal re-apply restores. Entering via PLAIN ingest_increment (not
+    the supersede entry) must re-apply the journal before the orphan
+    cleanup, or the cleanup would rmtree complete-but-manifest-less
+    partitions (permanent data loss)."""
+    import json
+    import os as _os
+
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.kg import (
+        _supersede_journal_path,
+        build_kg,
+        ingest_increment,
+        ingest_increment_supersede,
+    )
+    from temporal_knowledge_graphs_ray.sources.synth import (
+        alias_table,
+        pages_table,
+    )
+
+    # expected end state: proper supersede of nothing + increment 60..79
+    want_dir = str(tmp_path / "want")
+    build_kg(rd.from_arrow(pages_table(list(range(60)))), want_dir,
+             alias_table=alias_table())
+    ingest_increment(rd.from_arrow(pages_table(list(range(60, 80)))),
+                     want_dir, alias_table=alias_table())
+    we, wn = _graph_key({
+        "edges": _os.path.join(want_dir, "edges"),
+        "nodes": _os.path.join(want_dir, "nodes")})
+
+    # damaged store: same base, a pending (empty-effect) supersede journal
+    # whose kill window also removed two part manifests
+    out = str(tmp_path / "damaged")
+    build_kg(rd.from_arrow(pages_table(list(range(60)))), out,
+             alias_table=alias_table())
+    urls = pages_table([0, 1])["url"].to_pylist()
+    # recovery will purge the journaled urls' rows (purged rows stay
+    # purged — that is the supersede semantics), so the increment below
+    # re-submits those two pages to restore them; the end state is then
+    # comparable to the clean store
+    with open(_supersede_journal_path(out), "w") as f:
+        json.dump({"urls": urls}, f)
+    # the kill window: purge deleted these manifests before rewriting
+    for part in (0, 1, 2):
+        for table in ("chunk_ents", "mentions"):
+            mp = _os.path.join(out, "_manifests",
+                               f"{table}-part-{part}.json")
+            if _os.path.exists(mp):
+                _os.remove(mp)
+
+    # plain increment: re-ingests the journaled urls (purged by recovery)
+    # plus the new pages; must end bit-identical to the clean store
+    ingest_increment(
+        rd.from_arrow(pages_table([0, 1] + list(range(60, 80)))), out,
+        alias_table=alias_table())
+    ge, gn = _graph_key({"edges": _os.path.join(out, "edges"),
+                         "nodes": _os.path.join(out, "nodes")})
+    pdt.assert_frame_equal(we, ge)
+    pdt.assert_frame_equal(wn, gn)
