@@ -13,6 +13,7 @@ from ..functions.textstats import (
     detect_language,
     fingerprint,
     quality_signals,
+    repetition_signals,
     stopword_counts,
 )
 from ..functions.tokenize import count_tokens, estimate_chunks
@@ -155,6 +156,34 @@ def text_stats_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.Table.from_arrays(arrays, names=names)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+_REP_COLS = [
+    ("n_lines", pa.int64()), ("dup_line_frac", pa.float64()),
+    ("dup_line_char_frac", pa.float64()),
+    ("n_paras", pa.int64()), ("dup_para_frac", pa.float64()),
+    ("dup_para_char_frac", pa.float64()),
+    ("top_2gram_char_frac", pa.float64()),
+    ("top_3gram_char_frac", pa.float64()),
+    ("top_4gram_char_frac", pa.float64()),
+]
+
+
+def repetition_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition filter signals per document (duplicate
+    line/paragraph fractions, top n-gram char fractions) — a pure
+    streaming map, exact DuckDB oracle in tests/test_repetition.py."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sigs = [repetition_signals(t) for t in batch[text_col].to_pylist()]
+        arrays = [batch[id_col]]
+        names = [id_col]
+        for key, typ in _REP_COLS:
+            arrays.append(pa.array([s[key] for s in sigs], typ))
+            names.append(key)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
 
 
 def fingerprint_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
