@@ -741,6 +741,13 @@ def connected_components(edges_ds, num_partitions: int = 64,
         labels = (msgs.groupby("bucket")
                   .map_groups(reduce_min, batch_format="pandas")
                   .materialize())
+        # union+groupby emits ~(input blocks) output blocks, so labels
+        # would gain ~adj.num_blocks() tiny blocks EVERY round (linear
+        # block growth → quadratic total scheduling cost over the loop,
+        # the same failure class graph_analytics.k_core caps). Coalesce
+        # back to the bucket grain whenever the round's output exceeds it.
+        if labels.num_blocks() > num_partitions:
+            labels = labels.repartition(num_partitions).materialize()
         if labels.sum(on="changed") == 0:
             break
 
