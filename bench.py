@@ -198,16 +198,35 @@ def run_bench() -> dict:
                               columns=["l_quantity"]),
               "l_quantity", [0.25, 0.5, 0.75, 0.9, 0.99]))
 
+    # ---- training-data ops: semantic dedup over the embeddings table ----
+    from temporal_knowledge_graphs_ray.stages.kmeans import semantic_dedup
+
+    timed("semantic_dedup",
+          lambda: semantic_dedup(emb, k=16, threshold=0.95,
+                                 iters=5).to_pandas())
+
     # ---- whole-graph analytics over the KG built above ----
     from temporal_knowledge_graphs_ray.pipelines.graph import (
         connected_components,
         pagerank,
+    )
+    from temporal_knowledge_graphs_ray.pipelines.graph_analytics import (
+        degree_distribution,
+        k_core,
+        triangle_count,
     )
 
     timed("connected_components",
           lambda: connected_components(
               rd.read_parquet(res["edges"])).to_pandas())
     timed("pagerank", lambda: pagerank(rd.read_parquet(res["edges"])))
+    timed("degree_distribution",
+          lambda: degree_distribution(
+              rd.read_parquet(res["edges"])).to_pandas())
+    timed("triangle_count",
+          lambda: triangle_count(rd.read_parquet(res["edges"])))
+    timed("k_core3",
+          lambda: k_core(rd.read_parquet(res["edges"]), 3).to_pandas())
 
     # ---- batch RAG over the KG built above (multi-query single pass) ----
     from temporal_knowledge_graphs_ray.pipelines.rag import (
