@@ -205,6 +205,23 @@ def run_bench() -> dict:
           lambda: semantic_dedup(emb, k=16, threshold=0.95,
                                  iters=5).to_pandas())
 
+    # ---- training-data ops: sampling + DSIR selection ----
+    from temporal_knowledge_graphs_ray.stages.dsir import dsir_select
+    from temporal_knowledge_graphs_ray.stages.sampling import (
+        stratified_sample,
+    )
+
+    docs_src = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    timed("stratified_sample",
+          lambda: stratified_sample(docs_src, "source", 20,
+                                    "doc_id").to_pandas())
+    timed("dsir_select",
+          lambda: dsir_select(
+              docs_src,
+              docs_src.filter(expr="source == 'src0'"),
+              k=100, num_buckets=16384).to_pandas())
+
     # ---- whole-graph analytics over the KG built above ----
     from temporal_knowledge_graphs_ray.pipelines.graph import (
         connected_components,

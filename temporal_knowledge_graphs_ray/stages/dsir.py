@@ -1,0 +1,144 @@
+"""DSIR-style data selection via importance resampling (scale addition
+following the public recipe of Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling": hashed-n-gram bag-of-words
+models of a TARGET corpus and the RAW corpus give each raw document an
+importance log-weight sum_f c_f * (log p_target(f) - log p_raw(f));
+select the top-k by weight, or Gumbel-top-k to sample proportionally.
+The reference has no selection surface — this is a training-data
+curation primitive for webtext at scale).
+
+Dataflow: fitting each LM is ONE streaming pass (per-batch hashed
+feature counts combined map-side into (bucket, n) rows) plus a
+``num_buckets``-bounded groupby-sum; the raw corpus then streams through
+ONE weighting pass against the broadcast log-ratio vector, and selection
+is the house partial-top-k (stages/topk.py) — nothing corpus-sized ever
+sits on the driver or shuffles. Everything is deterministic: feature
+hashing is ``fast_hash64``, integer counts are exact under any block
+layout, and the Gumbel noise is a pure function of (id, seed).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import fast_hash64, stable_hash64
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def doc_feature_counts(text: str, num_buckets: int,
+                       seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed word uni+bigram counts: (sorted bucket ids, counts)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    if not feats:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    b = np.fromiter((fast_hash64(f, seed) % num_buckets for f in feats),
+                    dtype=np.int64, count=len(feats))
+    uniq, counts = np.unique(b, return_counts=True)
+    return uniq, counts.astype(np.int64)
+
+
+def fit_hashed_lm(ds, text_col: str = "text", num_buckets: int = 65536,
+                  seed: int = 0) -> np.ndarray:
+    """Bucket counts (int64, ``num_buckets``-long) of the corpus — one
+    streaming pass with map-side combine; exact (integer) under any
+    block layout."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict[int, int] = {}
+        for text in t[text_col].to_pylist():
+            u, c = doc_feature_counts(text or "", num_buckets, seed)
+            for b, n in zip(u.tolist(), c.tolist()):
+                acc[b] = acc.get(b, 0) + n
+        return pa.table({
+            "bucket": pa.array(list(acc.keys()), pa.int64()),
+            "n": pa.array(list(acc.values()), pa.int64()),
+        })
+
+    agg = (ds.select_columns([text_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    counts = np.zeros(num_buckets, dtype=np.int64)
+    if len(agg):
+        counts[agg["bucket"].to_numpy()] = agg["n"].to_numpy()
+    return counts
+
+
+def log_ratio(target_counts: np.ndarray, raw_counts: np.ndarray,
+              smoothing: float = 1.0) -> np.ndarray:
+    """log p_target(b) - log p_raw(b) with add-``smoothing`` estimates."""
+    t = target_counts + smoothing
+    r = raw_counts + smoothing
+    return (np.log(t) - np.log(t.sum())) - (np.log(r) - np.log(r.sum()))
+
+
+def dsir_log_weights(ds, ratio: np.ndarray, text_col: str = "text",
+                     id_col: str = "doc_id", seed: int = 0):
+    """Dataset of (id, log_weight): one streaming pass against the
+    broadcast log-ratio vector."""
+    import ray
+
+    num_buckets = len(ratio)
+    ratio_ref = ray.put(ratio)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lr = _ray.get(ratio_ref)
+        ws = []
+        for text in t[text_col].to_pylist():
+            u, c = doc_feature_counts(text or "", num_buckets, seed)
+            ws.append(float(c @ lr[u]) if len(u) else 0.0)
+        return pa.table({id_col: t[id_col],
+                         "log_weight": pa.array(ws, pa.float64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        weigh, batch_format="pyarrow")
+
+
+def _gumbel_of_ids(ids, seed: int) -> np.ndarray:
+    """Deterministic per-id standard Gumbel noise: u from the id's
+    63-bit hash, g = -log(-log(u)). Pure function of (id, seed), so the
+    Gumbel-top-k sample is reproducible and layout-invariant."""
+    h = np.fromiter((stable_hash64(f"{seed}|{i}") for i in ids),
+                    dtype=np.uint64, count=len(ids))
+    u = (h.astype(np.float64) + 0.5) / float(2**63)
+    return -np.log(-np.log(u))
+
+
+def dsir_select(raw_ds, target_ds, k: int, text_col: str = "text",
+                id_col: str = "doc_id", num_buckets: int = 65536,
+                smoothing: float = 1.0, seed: int = 0,
+                mode: str = "topk", gumbel_seed: int = 1):
+    """Select k raw docs by DSIR importance: Dataset of (id, log_weight
+    [, sample_key]) — ``mode="topk"`` takes the k largest weights
+    (deterministic tiebreak by id); ``mode="gumbel"`` is Gumbel-top-k,
+    i.e. sampling w/o replacement proportional to the importance weights
+    but still fully deterministic given ``gumbel_seed``."""
+    from .topk import topk_rows
+
+    tc = fit_hashed_lm(target_ds, text_col, num_buckets, seed)
+    rc = fit_hashed_lm(raw_ds, text_col, num_buckets, seed)
+    ratio = log_ratio(tc, rc, smoothing)
+    weights = dsir_log_weights(raw_ds, ratio, text_col, id_col, seed)
+
+    if mode == "topk":
+        return topk_rows(weights, keys=["log_weight", id_col],
+                         descending=[True, False], k=k)
+    if mode != "gumbel":
+        raise ValueError(f"mode must be 'topk' or 'gumbel', got {mode!r}")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        g = _gumbel_of_ids(t[id_col].to_pylist(), gumbel_seed)
+        key = t["log_weight"].to_numpy(zero_copy_only=False) + g
+        return t.append_column("sample_key", pa.array(key, pa.float64()))
+
+    return topk_rows(weights.map_batches(add_key, batch_format="pyarrow"),
+                     keys=["sample_key", id_col],
+                     descending=[True, False], k=k)

@@ -1,0 +1,137 @@
+"""DSIR importance resampling: the streaming LM fits + weighting pass
+must match an independent sequential oracle, prefer target-like docs,
+and be exactly layout-invariant (integer counts, per-doc weights)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from temporal_knowledge_graphs_ray.functions.hashing import fast_hash64
+
+B = 4096
+
+
+def _corpora():
+    """Target: feline prose. Raw: a few feline docs buried in noise."""
+    target = [f"the cat sat on the mat and the cat purred softly {i}"
+              for i in range(20)]
+    feline = [f"a cat and another cat sat near the warm mat today {i}"
+              for i in range(5)]
+    noise = [f"quarterly revenue grew {i} percent amid strong demand "
+             f"for industrial machinery and logistics services"
+             for i in range(40)]
+    raw_texts = noise[:20] + feline + noise[20:]
+    raw_ids = list(range(len(raw_texts)))
+    return target, raw_ids, raw_texts
+
+
+def _ds(ids, texts, blocks=None):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    return ds.repartition(blocks) if blocks else ds
+
+
+def _seq_counts(texts, num_buckets, seed=0):
+    import re
+
+    counts = np.zeros(num_buckets, dtype=np.int64)
+    tok = re.compile(r"[a-z0-9]+")
+    for t in texts:
+        ws = tok.findall(t.lower())
+        for f in ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]:
+            counts[fast_hash64(f, seed) % num_buckets] += 1
+    return counts
+
+
+def _seq_weights(texts, ratio, seed=0):
+    import re
+
+    tok = re.compile(r"[a-z0-9]+")
+    out = []
+    for t in texts:
+        ws = tok.findall(t.lower())
+        feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        b = np.array([fast_hash64(f, seed) % len(ratio) for f in feats],
+                     dtype=np.int64)
+        u, c = np.unique(b, return_counts=True)
+        out.append(float(c @ ratio[u]) if len(u) else 0.0)
+    return np.array(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lm_fit_matches_sequential_and_layout_invariant():
+    from temporal_knowledge_graphs_ray.stages.dsir import fit_hashed_lm
+
+    target, raw_ids, raw_texts = _corpora()
+    want = _seq_counts(raw_texts, B)
+    got1 = fit_hashed_lm(_ds(raw_ids, raw_texts, blocks=1),
+                         num_buckets=B)
+    got9 = fit_hashed_lm(_ds(raw_ids, raw_texts, blocks=9),
+                         num_buckets=B)
+    assert (got1 == want).all()
+    assert (got9 == want).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_select_topk_matches_oracle_and_prefers_target():
+    from temporal_knowledge_graphs_ray.stages.dsir import (
+        dsir_select, fit_hashed_lm, log_ratio,
+    )
+
+    target, raw_ids, raw_texts = _corpora()
+    got = (dsir_select(_ds(raw_ids, raw_texts, blocks=7),
+                       _ds(list(range(len(target))), target),
+                       k=5, num_buckets=B)
+           .to_pandas())
+
+    ratio = log_ratio(_seq_counts(target, B), _seq_counts(raw_texts, B))
+    w = _seq_weights(raw_texts, ratio)
+    order = np.lexsort((raw_ids, -w))
+    assert list(got["doc_id"]) == [raw_ids[i] for i in order[:5]]
+    assert np.allclose(got["log_weight"].to_numpy(),
+                       w[order[:5]], atol=1e-9)
+    # the 5 feline docs (ids 20..24) outrank all machinery noise
+    assert set(got["doc_id"]) == {20, 21, 22, 23, 24}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gumbel_mode_deterministic_and_seeded():
+    from temporal_knowledge_graphs_ray.stages.dsir import dsir_select
+
+    target, raw_ids, raw_texts = _corpora()
+    t_ds = lambda: _ds(list(range(len(target))), target)  # noqa: E731
+    a = dsir_select(_ds(raw_ids, raw_texts), t_ds(), k=10,
+                    num_buckets=B, mode="gumbel",
+                    gumbel_seed=5).to_pandas()
+    b = dsir_select(_ds(raw_ids, raw_texts, blocks=11), t_ds(), k=10,
+                    num_buckets=B, mode="gumbel",
+                    gumbel_seed=5).to_pandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    c = dsir_select(_ds(raw_ids, raw_texts), t_ds(), k=10,
+                    num_buckets=B, mode="gumbel",
+                    gumbel_seed=6).to_pandas()
+    assert list(a["doc_id"]) != list(c["doc_id"])
+    # proportional sampling still concentrates on target-like docs
+    assert len(set(a["doc_id"]) & {20, 21, 22, 23, 24}) >= 3
+
+    with pytest.raises(ValueError):
+        dsir_select(_ds(raw_ids, raw_texts), t_ds(), k=3,
+                    num_buckets=B, mode="bogus")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_text_rows_get_zero_weight():
+    from temporal_knowledge_graphs_ray.stages.dsir import (
+        dsir_log_weights,
+    )
+
+    ratio = np.zeros(B)
+    ratio[:10] = 1.0
+    got = (dsir_log_weights(_ds([1, 2], ["", "   "]), ratio)
+           .to_pandas())
+    assert list(got["log_weight"]) == [0.0, 0.0]
