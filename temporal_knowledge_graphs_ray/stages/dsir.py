@@ -102,6 +102,41 @@ def dsir_log_weights(ds, ratio: np.ndarray, text_col: str = "text",
         weigh, batch_format="pyarrow")
 
 
+def lm_cross_entropy(ds, counts: np.ndarray, smoothing: float = 1.0,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     seed: int = 0):
+    """CCNet-style LM quality score: per-doc cross-entropy (bits per
+    hashed feature) under the reference LM ``counts`` (from
+    ``fit_hashed_lm`` over a trusted corpus). Low bits ⇒ target-like
+    text, high bits ⇒ out-of-domain/noise — the standard public recipe
+    (Wenzek et al. 2020) with a hashed bag-of-features model instead of
+    KenLM (not in this container). One streaming pass against the
+    broadcast log-prob vector; Dataset of (id, n_features, bits)."""
+    import ray
+
+    num_buckets = len(counts)
+    logp = np.log2(counts + smoothing) - np.log2(
+        counts.sum() + smoothing * num_buckets)
+    logp_ref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lp = _ray.get(logp_ref)
+        ns, bits = [], []
+        for text in t[text_col].to_pylist():
+            u, c = doc_feature_counts(text or "", num_buckets, seed)
+            n = int(c.sum())
+            ns.append(n)
+            bits.append(float(-(c @ lp[u]) / n) if n else 0.0)
+        return pa.table({id_col: t[id_col],
+                         "n_features": pa.array(ns, pa.int64()),
+                         "bits": pa.array(bits, pa.float64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
+
+
 def _gumbel_of_ids(ids, seed: int) -> np.ndarray:
     """Deterministic per-id standard Gumbel noise: u from the id's
     63-bit hash, g = -log(-log(u)). Pure function of (id, seed), so the

@@ -75,7 +75,8 @@ def stratified_sample(ds, group_col: str, n_per_group: int, key_col: str,
         df = t.to_pandas()
         df["_rank"] = _md5_rank(t[key_col].to_pylist(), seed)
         df = (df.sort_values(["_rank", key_col], kind="mergesort")
-              .groupby(group_col, sort=False).head(n_per_group))
+              .groupby(group_col, sort=False, dropna=False)
+              .head(n_per_group))
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:

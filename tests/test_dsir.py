@@ -125,6 +125,38 @@ def test_gumbel_mode_deterministic_and_seeded():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_lm_cross_entropy_matches_oracle_and_orders_quality():
+    from temporal_knowledge_graphs_ray.stages.dsir import (
+        fit_hashed_lm, lm_cross_entropy,
+    )
+
+    target, raw_ids, raw_texts = _corpora()
+    counts = fit_hashed_lm(_ds(list(range(len(target))), target),
+                           num_buckets=B)
+    got = (lm_cross_entropy(_ds(raw_ids, raw_texts, blocks=5), counts)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+
+    # independent sequential oracle
+    want_counts = _seq_counts(target, B)
+    logp = np.log2(want_counts + 1.0) - np.log2(want_counts.sum() + B)
+    import re
+
+    tok = re.compile(r"[a-z0-9]+")
+    for i, text in enumerate(raw_texts):
+        ws = tok.findall(text.lower())
+        feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        b = np.array([fast_hash64(f) % B for f in feats])
+        u, c = np.unique(b, return_counts=True)
+        bits = float(-(c @ logp[u]) / c.sum())
+        assert abs(got["bits"].iloc[i] - bits) < 1e-9, i
+        assert got["n_features"].iloc[i] == len(feats)
+    # feline docs (target-like) score fewer bits than machinery noise
+    feline = got[got["doc_id"].isin(range(20, 25))]["bits"].max()
+    noise = got[~got["doc_id"].isin(range(20, 25))]["bits"].min()
+    assert feline < noise
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_empty_text_rows_get_zero_weight():
     from temporal_knowledge_graphs_ray.stages.dsir import (
         dsir_log_weights,

@@ -112,6 +112,27 @@ class TestStratified:
              .to_pandas().sort_values("doc_id", ignore_index=True))
         assert list(a["doc_id"]) == list(b["doc_id"])
 
+    def test_null_group_forms_its_own_partition(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.sampling import (
+            stratified_sample,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(20)), pa.int64()),
+            "lang": pa.array((["en"] * 8 + [None] * 8 + ["de"] * 4),
+                             pa.string())}))
+        got = (stratified_sample(ds, "lang", 3, "doc_id", seed=1)
+               .to_pandas())
+        sizes = got.groupby("lang", dropna=False).size()
+        assert sizes.get("en") == 3
+        assert sizes.get("de") == 3
+        # NULL-lang rows are a partition of their own, like DuckDB's
+        # PARTITION BY — never silently dropped
+        assert int(sizes[sizes.index.isna()].iloc[0]) == 3
+
     def test_quota_exceeds_group(self):
         import ray.data as rd
 
