@@ -36,6 +36,10 @@ def _norm_pairs(edges_ds):
     copies of a pair share min-endpoint, hence bucket)."""
 
     def norm(t: pa.Table) -> pa.Table:
+        # null endpoints (pluggable extractors can emit them; the store's
+        # edge merge drops them, raw edge feeds may not) are dropped, not
+        # crashed on
+        t = t.drop_null()
         a = t["subj_id"].cast(pa.string()).to_pandas()
         b = t["obj_id"].cast(pa.string()).to_pandas()
         u = np.minimum(a, b)
@@ -51,10 +55,9 @@ def _norm_pairs(edges_ds):
         norm, batch_format="pyarrow")
 
 
-def _adjacency(pairs_ds, num_partitions: int):
-    """Distinct directed adjacency (node, nbr) bucketed by node — both
-    directions of each undirected pair; globally distinct within each
-    node-bucket group."""
+def _both_directions(num_partitions: int):
+    """Batch fn: (u, v) pairs -> both (node, nbr) directions, bucketed
+    by node — the shared expansion under adjacency and degree counting."""
 
     def both(t: pa.Table) -> pa.Table:
         u = t["u"].to_pandas()
@@ -67,10 +70,19 @@ def _adjacency(pairs_ds, num_partitions: int):
             "bucket": pa.array(_bucket_np(node, num_partitions),
                                pa.int32())})
 
+    return both
+
+
+def _adjacency(pairs_ds, num_partitions: int):
+    """Distinct directed adjacency (node, nbr) bucketed by node — both
+    directions of each undirected pair; globally distinct within each
+    node-bucket group."""
+
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["node", "nbr"])
 
-    return (pairs_ds.map_batches(both, batch_format="pyarrow")
+    return (pairs_ds.map_batches(_both_directions(num_partitions),
+                                 batch_format="pyarrow")
             .groupby("bucket").map_groups(dedup, batch_format="pandas"))
 
 
@@ -81,17 +93,6 @@ def _degree_from_pairs(pairs_ds, num_partitions: int):
     endpoint's bucket, the group task dedups and counts — distinct
     neighbors per node, never per-key groups."""
 
-    def both(t: pa.Table) -> pa.Table:
-        u = t["u"].to_pandas()
-        v = t["v"].to_pandas()
-        node = pd.concat([u, v], ignore_index=True)
-        nbr = pd.concat([v, u], ignore_index=True)
-        return pa.table({
-            "node": pa.array(node, pa.string()),
-            "nbr": pa.array(nbr, pa.string()),
-            "bucket": pa.array(_bucket_np(node, num_partitions),
-                               pa.int32())})
-
     def count_deg(g: pd.DataFrame) -> pd.DataFrame:
         d = (g.drop_duplicates(subset=["node", "nbr"])
              .groupby("node", as_index=False).size()
@@ -99,7 +100,8 @@ def _degree_from_pairs(pairs_ds, num_partitions: int):
         d["degree"] = d["degree"].astype(np.int64)
         return d[["node", "degree"]]
 
-    return (pairs_ds.map_batches(both, batch_format="pyarrow")
+    return (pairs_ds.map_batches(_both_directions(num_partitions),
+                                 batch_format="pyarrow")
             .groupby("bucket").map_groups(count_deg, batch_format="pandas"))
 
 

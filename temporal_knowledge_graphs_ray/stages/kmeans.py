@@ -72,10 +72,15 @@ def kmeans_fit(ds, k: int, id_col: str = "vec_id",
     """
     import ray
 
-    cent = _init_centroids(ds, k, id_col, emb_col, seed)
+    # materialize the projection ONCE: _init_centroids plus every Lloyd
+    # iteration consumes it, and a lazy plan would re-execute the whole
+    # upstream lineage per pass (the waste class connected_components'
+    # pairs materialize exists to avoid)
+    proj = ds.select_columns([id_col, emb_col]).materialize()
+    cent = _init_centroids(proj, k, id_col, emb_col, seed)
     k_eff = len(cent)
     dim = cent.shape[1]
-    emb = ds.select_columns([emb_col])
+    emb = proj.select_columns([emb_col])
 
     for it in range(iters):
         cent_ref = ray.put(cent)
@@ -192,13 +197,12 @@ def semantic_dedup(ds, k: int = 64, threshold: float = 0.95,
     through exactly two passes (assign + grouped sweep); only the
     (k x dim) centroid matrix ever sits on the driver.
     """
+    proj = ds.select_columns([id_col, emb_col]).materialize()
     if centroids is None:
-        centroids = kmeans_fit(ds, k, id_col=id_col, emb_col=emb_col,
+        centroids = kmeans_fit(proj, k, id_col=id_col, emb_col=emb_col,
                                iters=iters, seed=seed)
 
-    assigned = kmeans_assign(
-        ds.select_columns([id_col, emb_col]), centroids,
-        emb_col=emb_col)
+    assigned = kmeans_assign(proj, centroids, emb_col=emb_col)
 
     def sweep(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()

@@ -30,7 +30,16 @@ from ..functions.hashing import md5_hex
 
 
 def _md5_rank(keys, seed: int) -> list[str]:
-    return [md5_hex(f"{seed}|{k}") for k in keys]
+    out = []
+    for k in keys:
+        if k is None:
+            # a NULL key would hash as the literal string 'None' here
+            # while the SQL oracle's md5(concat(...)) yields NULL and
+            # excludes the row — refuse rather than silently diverge
+            # from the advertised exact-membership contract
+            raise ValueError("sampling key column contains NULL")
+        out.append(md5_hex(f"{seed}|{k}"))
+    return out
 
 
 def fraction_threshold_hex(frac: float) -> str:
