@@ -222,6 +222,13 @@ def run_bench() -> dict:
               docs_src.filter(expr="source == 'src0'"),
               k=100, num_buckets=16384).to_pandas())
 
+    from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+        substring_dup_stats,
+    )
+
+    timed("substring_dup_stats",
+          lambda: substring_dup_stats(docs, window_tokens=20).to_pandas())
+
     # ---- whole-graph analytics over the KG built above ----
     from temporal_knowledge_graphs_ray.pipelines.graph import (
         connected_components,

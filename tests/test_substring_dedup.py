@@ -1,0 +1,162 @@
+"""Exact substring-duplication detection: the distributed window ->
+count -> mark-back -> span dataflow must equal an independent
+sequential oracle (dict-counted windows, python span merge) and flag
+planted copied passages precisely."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from temporal_knowledge_graphs_ray.functions.hashing import hash64_vec
+
+TOK = re.compile(r"[a-z0-9]+")
+W = 8  # small window so tests stay tiny
+
+
+def _ds(ids, texts, blocks=None):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    return ds.repartition(blocks) if blocks else ds
+
+
+def _seq_window_hashes(text, w, seed=7):
+    toks = TOK.findall(text.lower())
+    if len(toks) < w:
+        return []
+    h = hash64_vec(toks, seed=seed)
+    B = np.uint64(0x9E3779B97F4A7C15)
+    out = []
+    for i in range(len(toks) - w + 1):
+        acc = np.uint64(0)
+        for j in range(w):
+            acc = acc * B + h[i + j]
+        out.append(int(acc >> np.uint64(1)))
+    return out
+
+
+def _seq_spans(ids, texts, w):
+    """Independent oracle: global count dict, per-doc span merge."""
+    from collections import Counter
+
+    per_doc = {i: _seq_window_hashes(t, w) for i, t in zip(ids, texts)}
+    counts = Counter(h for hs in per_doc.values() for h in hs)
+    spans = {}
+    for i, hs in per_doc.items():
+        pos = [p for p, h in enumerate(hs) if counts[h] > 1]
+        if not pos:
+            continue
+        merged = []
+        start = prev = pos[0]
+        n = 1
+        for p in pos[1:]:
+            if p <= prev + w:
+                prev = p
+                n += 1
+            else:
+                merged.append((start, prev + w, n))
+                start = prev = p
+                n = 1
+        merged.append((start, prev + w, n))
+        spans[str(i)] = merged
+    return spans
+
+
+def _corpus():
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu").split()
+    rng = np.random.default_rng(17)
+    texts = [" ".join(rng.choice(words, size=60)) for _ in range(12)]
+    # plant one copied 20-token passage into docs 0 and 1 (cross-doc dup)
+    passage = " ".join(rng.choice(words, size=20))
+    texts[0] = texts[0] + " " + passage
+    texts[1] = passage + " " + texts[1]
+    # doc 2 repeats its own first 10 tokens at the end (within-doc dup)
+    t2 = texts[2].split()
+    texts[2] = " ".join(t2 + t2[:10])
+    # doc 11 is too short to produce any window
+    texts[11] = "short doc"
+    return list(range(len(texts))), texts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_spans_matches_oracle():
+    from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+        duplicate_spans,
+    )
+
+    ids, texts = _corpus()
+    got = (duplicate_spans(_ds(ids, texts, blocks=5), window_tokens=W)
+           .to_pandas())
+    got_spans = {
+        did: sorted(zip(g["span_start"], g["span_end"], g["n_windows"]))
+        for did, g in got.groupby("doc_id")
+    }
+    want = {k: sorted(v) for k, v in _seq_spans(ids, texts, W).items()}
+    assert got_spans == want
+    # the planted cross-doc passage was found in both docs
+    assert "0" in want and "1" in want
+    # the within-doc repeat was found
+    assert "2" in want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_no_duplicates_yields_empty():
+    from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+        duplicate_spans,
+    )
+
+    # every doc a disjoint token vocabulary: no shared window anywhere
+    texts = [" ".join(f"w{d}x{i}" for i in range(20)) for d in range(4)]
+    got = duplicate_spans(_ds(list(range(4)), texts), window_tokens=W)
+    assert got.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stats_cover_every_doc_and_match_spans():
+    from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+        substring_dup_stats,
+    )
+
+    ids, texts = _corpus()
+    got = (substring_dup_stats(_ds(ids, texts, blocks=3),
+                               window_tokens=W)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert len(got) == len(ids)  # every doc, including span-free ones
+
+    want = _seq_spans(ids, texts, W)
+    for _, row in got.iterrows():
+        spans = want.get(row["doc_id"], [])
+        dup = sum(e - s for s, e, _ in spans)
+        assert row["dup_tokens"] == dup, row["doc_id"]
+        n_tok = len(TOK.findall(texts[int(row["doc_id"])].lower()))
+        assert row["n_tokens"] == n_tok
+        assert row["dup_fraction"] == pytest.approx(
+            dup / n_tok if n_tok else 0.0)
+    # the planted-dup docs score > 0, untouched docs score 0
+    frac = dict(zip(got["doc_id"], got["dup_fraction"]))
+    assert frac["0"] > 0 and frac["1"] > 0 and frac["2"] > 0
+    assert frac["5"] == 0.0 and frac["11"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partition_invariance():
+    from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+        duplicate_spans,
+    )
+
+    ids, texts = _corpus()
+    a = (duplicate_spans(_ds(ids, texts, blocks=1), window_tokens=W)
+         .to_pandas().sort_values(["doc_id", "span_start"],
+                                  ignore_index=True))
+    b = (duplicate_spans(_ds(ids, texts, blocks=9), window_tokens=W)
+         .to_pandas().sort_values(["doc_id", "span_start"],
+                                  ignore_index=True))
+    assert a.equals(b)
