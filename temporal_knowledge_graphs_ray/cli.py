@@ -9,7 +9,12 @@ analog:
     python -m temporal_knowledge_graphs_ray.cli resume --pages ... --out <dir>
     python -m temporal_knowledge_graphs_ray.cli stats --out <dir>
 
-Owns its Ray session (scripts are allowed to init; the library is not).
+plus curation/maintenance subcommands: curate, compact, ingest, eval,
+sample (md5-keyed fraction/stratified), dsir (importance selection),
+semdedup (embedding near-dup verdicts), dupspans (exact substring-dup
+stats), analytics (degrees/triangles/k-core/components/pagerank over a
+built KG). Owns its Ray session (scripts are allowed to init; the
+library is not).
 """
 
 from __future__ import annotations
@@ -162,6 +167,130 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Deterministic sampling over a documents Parquet (md5-keyed:
+    exact SQL-checkable membership, layout/retry-invariant)."""
+    import ray
+    import ray.data as rd
+
+    from .stages.blocks import coalesce_blocks
+    from .stages.sampling import sample_fraction, stratified_sample
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.documents)
+    if args.per_group:
+        out = stratified_sample(ds, args.group_col, args.per_group,
+                                args.key_col, seed=args.seed)
+    else:
+        out = sample_fraction(ds, args.frac, args.key_col, seed=args.seed)
+    coalesce_blocks(out).write_parquet(args.out)
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_dsir(args) -> int:
+    """DSIR importance selection: pick k raw docs most target-like."""
+    import ray
+    import ray.data as rd
+
+    from .stages.blocks import coalesce_blocks
+    from .stages.dsir import dsir_select
+
+    _init_ray(args.num_cpus)
+    out = dsir_select(
+        rd.read_parquet(args.documents),
+        rd.read_parquet(args.target),
+        k=args.k, num_buckets=args.num_buckets, mode=args.mode)
+    coalesce_blocks(out).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "k": args.k, "mode": args.mode}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_semdedup(args) -> int:
+    """SemDeDup verdicts over an embeddings Parquet."""
+    import ray
+    import ray.data as rd
+
+    from .stages.blocks import coalesce_blocks
+    from .stages.kmeans import semantic_dedup
+
+    _init_ray(args.num_cpus)
+    out = semantic_dedup(
+        rd.read_parquet(args.embeddings), k=args.k,
+        threshold=args.threshold, id_col=args.id_col).materialize()
+    coalesce_blocks(out).write_parquet(args.out)
+    kept = out.sum(on="keep") or 0
+    print(json.dumps({"out": args.out, "rows": out.count(),
+                      "kept": int(kept)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_dupspans(args) -> int:
+    """Per-doc exact substring-duplication stats (Lee et al. windows)."""
+    import ray
+    import ray.data as rd
+
+    from .stages.blocks import coalesce_blocks
+    from .stages.substring_dedup import substring_dup_stats
+
+    _init_ray(args.num_cpus)
+    out = substring_dup_stats(
+        rd.read_parquet(args.documents),
+        window_tokens=args.window_tokens).materialize()
+    coalesce_blocks(out).write_parquet(args.out)
+    import pyarrow.compute as pc
+
+    n_dup = out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["dup_tokens"], 0)),
+        batch_format="pyarrow").count()
+    print(json.dumps({"out": args.out, "rows": out.count(),
+                      "docs_with_dup_spans": n_dup}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_analytics(args) -> int:
+    """Whole-graph analytics over a built KG's edge table."""
+    import ray
+    import ray.data as rd
+
+    from .pipelines.graph import connected_components, pagerank
+    from .pipelines.graph_analytics import (
+        degree_distribution,
+        k_core,
+        triangle_count,
+    )
+
+    _init_ray(args.num_cpus)
+    edges = rd.read_parquet(f"{args.kg}/edges",
+                            columns=["subj_id", "obj_id"])
+    report: dict = {"kg": args.kg}
+    which = set(args.metrics.split(","))
+    if "degrees" in which:
+        dd = degree_distribution(edges).to_pandas()
+        report["degree_distribution"] = dict(
+            zip((int(x) for x in dd["degree"]),
+                (int(x) for x in dd["n_nodes"])))
+    if "triangles" in which:
+        report["triangles"] = triangle_count(edges)
+    if "kcore" in which:
+        report["k_core_nodes"] = k_core(edges, args.k).count()
+        report["k"] = args.k
+    if "components" in which:
+        comp = connected_components(edges)
+        report["components"] = comp.to_pandas()["component"].nunique()
+    if "pagerank" in which:
+        pr = pagerank(edges)
+        report["pagerank_top5"] = pr.head(5)["entity_id"].tolist()
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="temporal_knowledge_graphs_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -213,7 +342,59 @@ def main(argv=None) -> int:
     p.add_argument("--jaccard-threshold", type=float, default=0.8)
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("sample")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--frac", type=float, default=0.1)
+    p.add_argument("--per-group", type=int, default=None,
+                   help="stratified quota per group (overrides --frac)")
+    p.add_argument("--group-col", default="lang")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser("dsir")
+    p.add_argument("--documents", required=True, help="raw corpus Parquet")
+    p.add_argument("--target", required=True, help="target corpus Parquet")
+    p.add_argument("--out", required=True)
+    p.add_argument("--k", type=int, required=True)
+    p.add_argument("--num-buckets", type=int, default=65536)
+    p.add_argument("--mode", choices=("topk", "gumbel"), default="topk")
+    p.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser("semdedup")
+    p.add_argument("--embeddings", required=True,
+                   help="Parquet with (id, embedding list<float>)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--k", type=int, default=64, help="n clusters")
+    p.add_argument("--threshold", type=float, default=0.95)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser("dupspans")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--window-tokens", type=int, default=50)
+    p.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser("analytics")
+    p.add_argument("--kg", required=True, help="built KG output dir")
+    p.add_argument("--metrics",
+                   default="degrees,triangles,kcore,components,pagerank")
+    p.add_argument("--k", type=int, default=3, help="k for k-core")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
+    if args.cmd == "sample":
+        return cmd_sample(args)
+    if args.cmd == "dsir":
+        return cmd_dsir(args)
+    if args.cmd == "semdedup":
+        return cmd_semdedup(args)
+    if args.cmd == "dupspans":
+        return cmd_dupspans(args)
+    if args.cmd == "analytics":
+        return cmd_analytics(args)
     if args.cmd == "eval":
         return cmd_eval(args)
     if args.cmd == "compact":
