@@ -59,16 +59,26 @@ def _window_hashes(text: str, w: int, seed: int) -> np.ndarray:
 
 def duplicate_spans(ds, window_tokens: int = 50, id_col: str = "doc_id",
                     text_col: str = "text", seed: int = 7,
-                    num_partitions: int = 64):
+                    num_partitions: int = 64,
+                    cache_windows: bool = True):
     """Dataset of (id, span_start, span_end, n_windows): maximal token
     spans covered by windows whose exact w-token content occurs >1 time
     in the corpus. Documents shorter than ``window_tokens`` tokens never
     produce windows (matching Lee et al.'s granularity floor). Touching
     spans merge (overlap OR exact adjacency); ``id`` is returned as
-    string (the marker-union schema normalizes it)."""
+    string (the marker-union schema normalizes it).
+
+    ``cache_windows``: the window table feeds BOTH the count pass and
+    the mark-back. True (default) materializes it once — right when it
+    fits the object store (it is ~8 bytes x corpus tokens + ids). At
+    100 TB prefer False: both consumers recompute the hashing pass
+    (2x CPU on a cheap vectorized kernel) and everything streams with
+    no corpus-sized object-store residency."""
     windows = ds.select_columns([id_col, text_col]).map_batches(
         _window_rows(window_tokens, id_col, text_col, seed),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow")
+    if cache_windows:
+        windows = windows.materialize()
 
     # ---- count pass: map-side combined partial counts, tiny rows ----
     def partial_counts(t: pa.Table) -> pa.Table:
@@ -178,12 +188,13 @@ def _window_rows(w: int, id_col: str, text_col: str, seed: int):
 
 def substring_dup_stats(ds, window_tokens: int = 50,
                         id_col: str = "doc_id", text_col: str = "text",
-                        seed: int = 7, num_partitions: int = 64):
+                        seed: int = 7, num_partitions: int = 64,
+                        cache_windows: bool = True):
     """Per-doc duplicated-token accounting: (id, n_tokens, dup_tokens,
     dup_fraction) for EVERY input doc (docs with no duplicate spans get
     0.0) — the thresholdable curation signal."""
     spans = duplicate_spans(ds, window_tokens, id_col, text_col, seed,
-                            num_partitions)
+                            num_partitions, cache_windows=cache_windows)
 
     def tok_counts(t: pa.Table) -> pa.Table:
         ns = [len(_TOKEN_RE.findall((x or "").lower()))

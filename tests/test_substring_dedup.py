@@ -147,6 +147,25 @@ def test_stats_cover_every_doc_and_match_spans():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_streaming_mode_identical():
+    """cache_windows=False (the 100 TB layout: recompute instead of
+    materialize) must produce bit-identical spans."""
+    from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+        duplicate_spans,
+    )
+
+    ids, texts = _corpus()
+    a = (duplicate_spans(_ds(ids, texts), window_tokens=W)
+         .to_pandas().sort_values(["doc_id", "span_start"],
+                                  ignore_index=True))
+    b = (duplicate_spans(_ds(ids, texts), window_tokens=W,
+                         cache_windows=False)
+         .to_pandas().sort_values(["doc_id", "span_start"],
+                                  ignore_index=True))
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_partition_invariance():
     from temporal_knowledge_graphs_ray.stages.substring_dedup import (
         duplicate_spans,
