@@ -161,6 +161,7 @@ def cmd_curate(args) -> int:
         min_words=args.min_words,
         max_punct_ratio=args.max_punct_ratio,
         jaccard_threshold=args.jaccard_threshold,
+        max_dup_fraction=args.max_dup_fraction,
     )
     print(json.dumps(report))
     ray.shutdown()
@@ -340,6 +341,9 @@ def main(argv=None) -> int:
     p.add_argument("--min-words", type=int, default=5)
     p.add_argument("--max-punct-ratio", type=float, default=0.3)
     p.add_argument("--jaccard-threshold", type=float, default=0.8)
+    p.add_argument("--max-dup-fraction", type=float, default=None,
+                   help="drop docs whose exact substring-duplicated "
+                        "token fraction exceeds this cap")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("sample")

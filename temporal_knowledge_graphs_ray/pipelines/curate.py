@@ -15,6 +15,9 @@ call):
       -> near-dup removal: MinHash-LSH candidates + distributed exact
          Jaccard verify; for each verified pair the larger doc_id drops
          (union-find cluster representative = min id)
+      -> optional substring-duplication cap (``max_dup_fraction``): docs
+         whose exact w-token duplicated-span fraction exceeds the cap
+         drop (stages/substring_dedup.py — boilerplate/template filter)
       -> write curated Parquet (+ a JSON funnel report)
 
 Scale notes: the only driver-side state is the near-dup DROP set (ids of
@@ -70,6 +73,8 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     num_bands: int = 32,
     join_partitions: int | None = None,
+    max_dup_fraction: float | None = None,
+    dup_window_tokens: int = 50,
 ) -> dict:
     """documents Dataset -> curated Parquet under ``out_dir``; returns the
     funnel report (counts per stage)."""
@@ -137,6 +142,33 @@ def curate_corpus(
         )
     else:
         curated = exact_unique
+
+    # optional substring-duplication leg (Lee et al. window spans):
+    # docs whose exact-duplicated-token fraction exceeds the cap drop.
+    # Driver state is the flagged-id set only — like the near-dup drop
+    # set, a small fraction of the corpus by construction (the cap
+    # targets boilerplate/template outliers).
+    if max_dup_fraction is not None:
+        from ..stages.substring_dedup import substring_dup_stats
+
+        stats = substring_dup_stats(
+            curated, window_tokens=dup_window_tokens,
+            text_col=text_col, id_col=id_col)
+        flagged = stats.map_batches(
+            lambda t: t.filter(pc.greater(
+                t["dup_fraction"], pa.scalar(max_dup_fraction)))
+            .select([id_col]),
+            batch_format="pyarrow").to_pandas()
+        report["substring_dup_dropped"] = len(flagged)
+        if len(flagged):
+            # stats normalizes ids to string; compare in string space
+            flag_arr = pa.array(sorted(flagged[id_col]), pa.string())
+            curated = curated.map_batches(
+                lambda t: t.filter(
+                    pc.invert(pc.is_in(t[id_col].cast(pa.string()),
+                                       value_set=flag_arr))),
+                batch_format="pyarrow",
+            )
 
     shutil.rmtree(out_dir, ignore_errors=True)
     from ..stages.blocks import coalesce_blocks

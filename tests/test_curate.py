@@ -53,3 +53,33 @@ def test_curation_funnel(tmp_path):
         assert orig in kept_ids and plant not in kept_ids
     assert nxt + 4 not in kept_ids and nxt + 5 not in kept_ids
     assert set(kept.columns) == {"doc_id", "text", "lang_pred", "n_words"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_substring_dup_cap(tmp_path):
+    import numpy as np
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.default_rng(23)
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa").split()
+    texts = [" ".join(rng.choice(words, size=40)) for _ in range(10)]
+    # doc 10 is ~all boilerplate: one 12-token phrase repeated 5x (its
+    # windows repeat within the doc -> dup_fraction ~ 1); docs 0-9 are
+    # random and share no 8-token window
+    phrase = " ".join(rng.choice(words, size=12))
+    texts.append(" ".join([phrase] * 5))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(11)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    out = str(tmp_path / "curated")
+    report = curate_corpus(ds, out, min_words=5, max_punct_ratio=1.0,
+                           max_dup_fraction=0.5, dup_window_tokens=8)
+    assert report["substring_dup_dropped"] == 1
+    kept = set(rd.read_parquet(out).to_pandas()["doc_id"])
+    assert 10 not in kept
+    assert kept == set(range(10))
+    assert report["curated_docs"] == 10
