@@ -237,6 +237,7 @@ def run_bench() -> dict:
     from temporal_knowledge_graphs_ray.pipelines.graph_analytics import (
         degree_distribution,
         k_core,
+        local_clustering,
         triangle_count,
     )
 
@@ -251,6 +252,9 @@ def run_bench() -> dict:
           lambda: triangle_count(rd.read_parquet(res["edges"])))
     timed("k_core3",
           lambda: k_core(rd.read_parquet(res["edges"]), 3).to_pandas())
+    timed("local_clustering",
+          lambda: local_clustering(
+              rd.read_parquet(res["edges"])).to_pandas())
 
     # ---- batch RAG over the KG built above (multi-query single pass) ----
     from temporal_knowledge_graphs_ray.pipelines.rag import (

@@ -263,6 +263,7 @@ def cmd_analytics(args) -> int:
     from .pipelines.graph_analytics import (
         degree_distribution,
         k_core,
+        local_clustering,
         triangle_count,
     )
 
@@ -278,6 +279,10 @@ def cmd_analytics(args) -> int:
                 (int(x) for x in dd["n_nodes"])))
     if "triangles" in which:
         report["triangles"] = triangle_count(edges)
+    if "clustering" in which:
+        lc = local_clustering(edges).to_pandas()
+        report["avg_clustering"] = round(
+            float(lc["clustering"].mean()), 6) if len(lc) else 0.0
     if "kcore" in which:
         report["k_core_nodes"] = k_core(edges, args.k).count()
         report["k"] = args.k
@@ -384,7 +389,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("analytics")
     p.add_argument("--kg", required=True, help="built KG output dir")
     p.add_argument("--metrics",
-                   default="degrees,triangles,kcore,components,pagerank")
+                   default="degrees,triangles,clustering,kcore,"
+                           "components,pagerank")
     p.add_argument("--k", type=int, default=3, help="k for k-core")
     p.add_argument("--num-cpus", type=int, default=None)
 

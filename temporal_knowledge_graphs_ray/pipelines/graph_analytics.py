@@ -136,48 +136,14 @@ def degree_distribution(edges_ds, num_partitions: int = 64):
     return out.map_batches(typed, batch_format="pyarrow").sort("degree")
 
 
-def triangle_count(edges_ds, num_partitions: int = 64,
-                   local_edge_cutoff: int = 500_000) -> int:
-    """Total triangles in the undirected simple graph.
+def _oriented_edges(pairs, deg, num_partitions: int):
+    """Each distinct (u, v) pair oriented from its lower (degree, id)
+    endpoint: (src, dst, bucket-by-src) Dataset. Two mixed-union
+    co-location shuffles (house pattern: edge rows + degree rows share a
+    schema; degree rows have null "other") attach both endpoint degrees
+    without a Dataset.join. Orienting by (deg, id) rank caps oriented
+    out-degree at O(sqrt(2m)) — no hub explodes the wedge step."""
 
-    Distributed plan (all bucketed map_groups, 5 shuffles total):
-
-    1. distinct degree per node (``degree_table``'s adjacency),
-    2. attach deg to each edge's u endpoint (u-bucket co-location),
-    3. attach deg to v and ORIENT each edge from its lower (deg, id)
-       endpoint — caps oriented out-degree at O(sqrt(2m)), so no hub
-       explodes the wedge step,
-    4. wedges: per src, all out-neighbor pairs (id-ordered),
-    5. match wedges against the distinct edge set on the (a, b) pair key;
-       every triangle is counted exactly once (at its min-rank vertex).
-    """
-    pairs = _norm_pairs(edges_ds).materialize()
-    n_edges = pairs.count()
-    if n_edges == 0:
-        return 0
-
-    if n_edges <= local_edge_cutoff:
-        tab = pairs.take_all()
-        edge_set = {(r["u"], r["v"]) for r in tab}
-        adj: dict = {}
-        for a, b in edge_set:
-            adj.setdefault(a, set()).add(b)
-            adj.setdefault(b, set()).add(a)
-        rank = {n: (len(s), n) for n, s in adj.items()}
-        total = 0
-        for a, nbrs in adj.items():
-            out = sorted(n for n in nbrs if rank[n] > rank[a])
-            for i in range(len(out)):
-                for j in range(i + 1, len(out)):
-                    x, y = out[i], out[j]
-                    if (min(x, y), max(x, y)) in edge_set:
-                        total += 1
-        return total
-
-    deg = _degree_from_pairs(pairs, num_partitions).materialize()
-
-    # mixed-union co-location (house pattern): edge rows + deg rows share
-    # a schema (node, other, degree); deg rows have null "other"
     def edge_rows_u(t: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame({"node": t["u"].astype(object),
                            "other": t["v"].astype(object)})
@@ -244,8 +210,50 @@ def triangle_count(edges_ds, num_partitions: int = 64,
 
     mixed_v = (with_u.map_batches(edge_rows_v, batch_format="pandas")
                .union(deg.map_batches(deg_rows_v, batch_format="pandas")))
-    oriented = mixed_v.groupby("bucket").map_groups(
+    return mixed_v.groupby("bucket").map_groups(
         orient, batch_format="pandas")
+
+
+def triangle_count(edges_ds, num_partitions: int = 64,
+                   local_edge_cutoff: int = 500_000) -> int:
+    """Total triangles in the undirected simple graph.
+
+    Distributed plan (all bucketed map_groups, 5 shuffles total):
+
+    1. distinct degree per node (``degree_table``'s adjacency),
+    2. attach deg to each edge's u endpoint (u-bucket co-location),
+    3. attach deg to v and ORIENT each edge from its lower (deg, id)
+       endpoint — caps oriented out-degree at O(sqrt(2m)), so no hub
+       explodes the wedge step,
+    4. wedges: per src, all out-neighbor pairs (id-ordered),
+    5. match wedges against the distinct edge set on the (a, b) pair key;
+       every triangle is counted exactly once (at its min-rank vertex).
+    """
+    pairs = _norm_pairs(edges_ds).materialize()
+    n_edges = pairs.count()
+    if n_edges == 0:
+        return 0
+
+    if n_edges <= local_edge_cutoff:
+        tab = pairs.take_all()
+        edge_set = {(r["u"], r["v"]) for r in tab}
+        adj: dict = {}
+        for a, b in edge_set:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        rank = {n: (len(s), n) for n, s in adj.items()}
+        total = 0
+        for a, nbrs in adj.items():
+            out = sorted(n for n in nbrs if rank[n] > rank[a])
+            for i in range(len(out)):
+                for j in range(i + 1, len(out)):
+                    x, y = out[i], out[j]
+                    if (min(x, y), max(x, y)) in edge_set:
+                        total += 1
+        return total
+
+    deg = _degree_from_pairs(pairs, num_partitions).materialize()
+    oriented = _oriented_edges(pairs, deg, num_partitions)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         outs: list[pd.DataFrame] = []
@@ -289,6 +297,147 @@ def triangle_count(edges_ds, num_partitions: int = 64,
         pairs.map_batches(edge_keys, batch_format="pandas"))
         .groupby("bucket").map_groups(match, batch_format="pandas"))
     return int(matched.sum(on="n") or 0)
+
+
+def local_clustering(edges_ds, num_partitions: int = 64,
+                     local_edge_cutoff: int = 500_000):
+    """Per-node triangle count and local clustering coefficient:
+    Dataset of (node, degree, triangles, clustering) for EVERY node,
+    clustering = 2T / (d(d-1)) (0.0 when d < 2).
+
+    Same oriented-wedge plan as ``triangle_count``, but each matched
+    wedge (src, a, b) credits ALL THREE vertices (one credit row each —
+    a triangle credits each corner exactly once since it is generated
+    only at its min-rank vertex), then a bucketed groupby sums credits
+    and a mixed-union co-location attaches the degree table for the
+    coefficient — no Dataset.join anywhere."""
+    import ray.data as rd
+
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "degree": pa.array([], pa.int64()),
+                      "triangles": pa.array([], pa.int64()),
+                      "clustering": pa.array([], pa.float64())})
+    pairs = _norm_pairs(edges_ds).materialize()
+    n_edges = pairs.count()
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    if n_edges <= local_edge_cutoff:
+        tab = pairs.take_all()
+        edge_set = {(r["u"], r["v"]) for r in tab}
+        adj: dict = {}
+        for a, b in edge_set:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        rank = {n: (len(s), n) for n, s in adj.items()}
+        tri = {n: 0 for n in adj}
+        for a, nbrs in adj.items():
+            out = sorted(n for n in nbrs if rank[n] > rank[a])
+            for i in range(len(out)):
+                for j in range(i + 1, len(out)):
+                    x, y = out[i], out[j]
+                    if (min(x, y), max(x, y)) in edge_set:
+                        tri[a] += 1
+                        tri[x] += 1
+                        tri[y] += 1
+        nodes = sorted(adj)
+        degs = np.array([len(adj[n]) for n in nodes], dtype=np.int64)
+        tris = np.array([tri[n] for n in nodes], dtype=np.int64)
+        denom = degs * (degs - 1)
+        coef = np.where(denom > 0, 2.0 * tris / np.maximum(denom, 1), 0.0)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.string()),
+            "degree": pa.array(degs),
+            "triangles": pa.array(tris),
+            "clustering": pa.array(coef, pa.float64())}))
+
+    deg = _degree_from_pairs(pairs, num_partitions).materialize()
+    oriented = _oriented_edges(pairs, deg, num_partitions)
+
+    def wedges_src(g: pd.DataFrame) -> pd.DataFrame:
+        outs: list[pd.DataFrame] = []
+        for src, grp in g.groupby("src", sort=False):
+            d = np.sort(grp["dst"].to_numpy(dtype=object))
+            n = len(d)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            outs.append(pd.DataFrame({"a": d[i], "b": d[j],
+                                      "src": src}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "src": pd.Series(dtype=object),
+                                 "is_edge": pd.Series(dtype=np.int8),
+                                 "bucket": pd.Series(dtype=np.int32)})
+        out = pd.concat(outs, ignore_index=True)
+        out["is_edge"] = np.int8(0)
+        out["bucket"] = _bucket_np(out["a"] + "\x00" + out["b"],
+                                   num_partitions)
+        return out
+
+    def edge_keys(t: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"a": t["u"].astype(object),
+                           "b": t["v"].astype(object)})
+        df["src"] = pd.Series([None] * len(df), dtype=object)
+        df["is_edge"] = np.int8(1)
+        df["bucket"] = _bucket_np(df["a"] + "\x00" + df["b"],
+                                  num_partitions)
+        return df
+
+    def credit(g: pd.DataFrame) -> pd.DataFrame:
+        edges = g[g["is_edge"] == 1].drop_duplicates(subset=["a", "b"])
+        wed = g[g["is_edge"] == 0]
+        key_e = set(edges["a"] + "\x00" + edges["b"])
+        hit = wed[(wed["a"] + "\x00" + wed["b"]).isin(key_e)]
+        if not len(hit):
+            return pd.DataFrame({"node": pd.Series(dtype=object),
+                                 "t": pd.Series(dtype=np.int64),
+                                 "bucket": pd.Series(dtype=np.int32)})
+        nodes = pd.concat([hit["src"], hit["a"], hit["b"]],
+                          ignore_index=True)
+        out = (pd.DataFrame({"node": nodes})
+               .groupby("node", as_index=False).size()
+               .rename(columns={"size": "t"}))
+        out["t"] = out["t"].astype(np.int64)
+        out["bucket"] = _bucket_np(out["node"], num_partitions)
+        return out
+
+    credits = (oriented.groupby("bucket")
+               .map_groups(wedges_src, batch_format="pandas")
+               .union(pairs.map_batches(edge_keys, batch_format="pandas"))
+               .groupby("bucket")
+               .map_groups(credit, batch_format="pandas"))
+
+    # coefficient: co-locate per-node credit partials with the degree
+    # rows (shared schema; degree rows carry t = -1 marker)
+    def deg_side(t: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"node": t["node"].astype(object),
+                           "t": np.int64(-1),
+                           "degree": t["degree"].astype(np.int64)})
+        df["bucket"] = _bucket_np(df["node"], num_partitions)
+        return df
+
+    def credit_side(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["node", "t", "bucket"]].copy()
+        out["degree"] = np.int64(-1)
+        return out[["node", "t", "degree", "bucket"]]
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        degs = g[g["t"] < 0].set_index("node")["degree"]
+        tris = (g[g["t"] >= 0].groupby("node")["t"].sum())
+        nodes = degs.index.to_numpy(dtype=object)
+        d = degs.to_numpy(dtype=np.int64)
+        t = tris.reindex(degs.index).fillna(0).to_numpy(dtype=np.int64)
+        denom = d * (d - 1)
+        coef = np.where(denom > 0, 2.0 * t / np.maximum(denom, 1), 0.0)
+        return pd.DataFrame({"node": nodes, "degree": d,
+                             "triangles": t, "clustering": coef})
+
+    return (credits.map_batches(credit_side, batch_format="pandas")
+            .union(deg.map_batches(deg_side, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(finish, batch_format="pandas"))
 
 
 def k_core(edges_ds, k: int, num_partitions: int = 64,

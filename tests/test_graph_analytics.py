@@ -139,6 +139,66 @@ class TestTriangles:
                               num_partitions=4) == 1
 
 
+def _duckdb_node_triangles(pairs):
+    con = duckdb.connect()
+    _register(con, pairs)
+    return dict(con.execute(_UND + """
+        , tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM und e1
+          JOIN und e2 ON e2.u = e1.v
+          JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT node, count(*) FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY node
+    """).fetchall())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLocalClustering:
+    def _check(self, pairs, **kw):
+        from temporal_knowledge_graphs_ray.pipelines.graph_analytics import (
+            local_clustering,
+        )
+
+        got = local_clustering(_edge_ds(pairs), **kw).to_pandas()
+        want_tri = _duckdb_node_triangles(pairs)
+        con = duckdb.connect()
+        _register(con, pairs)
+        want_deg = dict(con.execute(_UND + """
+            SELECT node, count(*) FROM (
+              SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY node
+        """).fetchall())
+        assert len(got) == len(want_deg)
+        for _, r in got.iterrows():
+            assert r["degree"] == want_deg[r["node"]], r["node"]
+            assert r["triangles"] == want_tri.get(r["node"], 0), r["node"]
+            d, t = r["degree"], r["triangles"]
+            want_c = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+            assert r["clustering"] == pytest.approx(want_c)
+
+    def test_local_matches_duckdb(self):
+        self._check(_messy_graph())
+
+    def test_distributed_matches_duckdb(self):
+        self._check(_messy_graph(seed=13), num_partitions=8,
+                    local_edge_cutoff=0)
+
+    def test_clique_coefficient_is_one(self):
+        from temporal_knowledge_graphs_ray.pipelines.graph_analytics import (
+            local_clustering,
+        )
+
+        clique = [(f"c{i}", f"c{j}")
+                  for i in range(5) for j in range(i + 1, 5)]
+        for kw in ({}, {"local_edge_cutoff": 0, "num_partitions": 4}):
+            got = local_clustering(_edge_ds(clique), **kw).to_pandas()
+            assert (got["clustering"] == 1.0).all()
+            assert (got["triangles"] == 6).all()
+
+
 def _peel_oracle(pairs, k):
     """Independent sequential k-core peel (one node at a time, queue
     based — different order than the engine's drop-all-per-round)."""
