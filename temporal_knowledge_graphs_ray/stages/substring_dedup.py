@@ -45,16 +45,17 @@ def _window_hashes(text: str, w: int, seed: int) -> np.ndarray:
     if len(toks) < w:
         return np.empty(0, dtype=np.uint64)
     h = hash64_vec(toks, seed=seed or 1)  # seed=0 would skip finalizer
-    powers = np.empty(w, dtype=np.uint64)
-    powers[-1] = np.uint64(1)
-    for j in range(w - 2, -1, -1):
-        powers[j] = powers[j + 1] * _B
-    sw = np.lib.stride_tricks.sliding_window_view(h, w)
-    # >>1 keeps hashes in int64 range: Ray's groupby re-infers key
-    # column types and full-range uint64 keys fall back to pickled
-    # object blocks (breaking every downstream vectorized kernel)
-    return ((sw * powers).sum(axis=1, dtype=np.uint64)
-            >> np.uint64(1)).astype(np.int64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the design
+        powers = np.empty(w, dtype=np.uint64)
+        powers[-1] = np.uint64(1)
+        for j in range(w - 2, -1, -1):
+            powers[j] = powers[j + 1] * _B
+        sw = np.lib.stride_tricks.sliding_window_view(h, w)
+        # >>1 keeps hashes in int64 range: Ray's groupby re-infers key
+        # column types and full-range uint64 keys fall back to pickled
+        # object blocks (breaking every downstream vectorized kernel)
+        return ((sw * powers).sum(axis=1, dtype=np.uint64)
+                >> np.uint64(1)).astype(np.int64)
 
 
 def duplicate_spans(ds, window_tokens: int = 50, id_col: str = "doc_id",
