@@ -166,14 +166,36 @@ def duplicate_spans(ds, window_tokens: int = 50, id_col: str = "doc_id",
 
 def _window_rows(w: int, id_col: str, text_col: str, seed: int):
     def fn(t: pa.Table) -> pa.Table:
+        # ONE hash64_vec call over every token in the batch (the
+        # per-call pandas hash_array overhead dwarfs 50-token docs),
+        # then per-doc slides over slices — value-exact, so output is
+        # identical to the per-doc _window_hashes kernel (tested)
+        doc_ids = t[id_col].to_pylist()
+        toks_per = [_TOKEN_RE.findall((x or "").lower())
+                    for x in t[text_col].to_pylist()]
+        all_toks = [tok for toks in toks_per for tok in toks]
+        h_all = (hash64_vec(all_toks, seed=seed or 1)
+                 if all_toks else np.empty(0, dtype=np.uint64))
+        powers = np.empty(w, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            powers[-1] = np.uint64(1)
+            for j in range(w - 2, -1, -1):
+                powers[j] = powers[j + 1] * _B
+
         ids, poss, hs = [], [], []
-        for did, text in zip(t[id_col].to_pylist(),
-                             t[text_col].to_pylist()):
-            wh = _window_hashes(text, w, seed)
-            if len(wh):
-                ids.extend([did] * len(wh))
-                poss.append(np.arange(len(wh), dtype=np.int64))
-                hs.append(wh)
+        off = 0
+        for did, toks in zip(doc_ids, toks_per):
+            h = h_all[off:off + len(toks)]
+            off += len(toks)
+            if len(toks) < w:
+                continue
+            with np.errstate(over="ignore"):
+                sw = np.lib.stride_tricks.sliding_window_view(h, w)
+                wh = ((sw * powers).sum(axis=1, dtype=np.uint64)
+                      >> np.uint64(1)).astype(np.int64)
+            ids.extend([did] * len(wh))
+            poss.append(np.arange(len(wh), dtype=np.int64))
+            hs.append(wh)
         if not hs:
             return pa.table({
                 "whash": pa.array([], pa.int64()),
