@@ -15,10 +15,17 @@ must meet its global count):
 1. window pass: per doc, token hashes -> vectorized polynomial rolling
    window hashes (numpy uint64 wraparound arithmetic, no Python loop);
 2. count pass: per-batch map-side combine (unique window hash ->
-   partial count) -> ``groupby(hash).sum`` -> hashes with count > 1;
-3. mark-back: duplicate hashes co-located with the (hash, doc, pos)
-   window rows via the house mixed-union bucketed groupby (no
-   Dataset.join), emitting flagged positions;
+   partial count) -> bucketed ``groupby(bucket).map_groups`` with ONE
+   vectorized np.unique/bincount kernel per bucket -> hashes with
+   count > 1 (a ``groupby(hash).aggregate`` here pays Ray's per-group
+   overhead on ~one-group-per-row cardinality — measured ~220us/row,
+   two orders of magnitude over the bucketed kernel);
+3. mark-back: when the duplicate-hash set is small (most corpora:
+   duplicated windows are the tail), broadcast it once via ``ray.put``
+   and filter the window rows with a vectorized searchsorted — no
+   shuffle; above ``broadcast_max`` fall back to co-locating dup
+   hashes with the (hash, doc, pos) window rows via the house
+   mixed-union bucketed groupby (no Dataset.join);
 4. span pass: per-doc bucket groupby merges overlapping flagged windows
    into maximal [start, end) token spans.
 
@@ -61,7 +68,8 @@ def _window_hashes(text: str, w: int, seed: int) -> np.ndarray:
 def duplicate_spans(ds, window_tokens: int = 50, id_col: str = "doc_id",
                     text_col: str = "text", seed: int = 7,
                     num_partitions: int = 64,
-                    cache_windows: bool = True):
+                    cache_windows: bool = True,
+                    broadcast_max: int = 4_000_000):
     """Dataset of (id, span_start, span_end, n_windows): maximal token
     spans covered by windows whose exact w-token content occurs >1 time
     in the corpus. Documents shorter than ``window_tokens`` tokens never
@@ -74,7 +82,17 @@ def duplicate_spans(ds, window_tokens: int = 50, id_col: str = "doc_id",
     fits the object store (it is ~8 bytes x corpus tokens + ids). At
     100 TB prefer False: both consumers recompute the hashing pass
     (2x CPU on a cheap vectorized kernel) and everything streams with
-    no corpus-sized object-store residency."""
+    no corpus-sized object-store residency.
+
+    ``broadcast_max``: duplicate-hash sets up to this many int64s
+    (default 4M = 32 MB) are broadcast once and the mark-back is a
+    shuffle-free vectorized filter; larger sets take the bucketed
+    union-groupby path. Counting the dup set costs one execution of
+    the count pass either way (with ``cache_windows=False`` the losing
+    union path would re-run it, so the gate also decides how often the
+    window hashing recomputes)."""
+    import ray
+
     windows = ds.select_columns([id_col, text_col]).map_batches(
         _window_rows(window_tokens, id_col, text_col, seed),
         batch_format="pyarrow")
@@ -85,50 +103,110 @@ def duplicate_spans(ds, window_tokens: int = 50, id_col: str = "doc_id",
     def partial_counts(t: pa.Table) -> pa.Table:
         u, c = np.unique(t["whash"].to_numpy(zero_copy_only=False),
                          return_counts=True)
-        return pa.table({"whash": pa.array(u, pa.int64()),
-                         "n": pa.array(c.astype(np.int64))})
-
-    from ray.data.aggregate import Sum
-
-    dup_hashes = (windows.map_batches(partial_counts,
-                                      batch_format="pyarrow")
-                  .groupby("whash").aggregate(Sum("n", alias_name="n"))
-                  .map_batches(
-                      lambda t: t.filter(
-                          pa.compute.greater(t["n"], pa.scalar(1))
-                      ).select(["whash"]),
-                      batch_format="pyarrow"))
-
-    # ---- mark-back: co-locate dup hashes with window rows ----
-    def bucket_w(t: pa.Table) -> pa.Table:
-        b = (t["whash"].to_numpy(zero_copy_only=False)
-             % num_partitions).astype(np.int32)
-        return t.append_column("bucket", pa.array(b))
-
-    def as_marker(t: pa.Table) -> pa.Table:
-        n = t.num_rows
         return pa.table({
-            "whash": t["whash"],
-            id_col: pa.nulls(n, pa.string()),
-            "pos": pa.nulls(n, pa.int64()),
-        })
+            "whash": pa.array(u, pa.int64()),
+            "n": pa.array(c.astype(np.int64)),
+            "bucket": pa.array((u % num_partitions).astype(np.int32))})
 
-    def keep_marked(g: pd.DataFrame) -> pd.DataFrame:
-        marked = set(g.loc[g["pos"].isna(), "whash"])
-        rows = g[g["pos"].notna()]
-        out = rows[rows["whash"].isin(marked)]
-        return out[[id_col, "pos"]]
+    def dup_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["whash"].to_numpy()
+        u, inv = np.unique(h, return_inverse=True)
+        # counts are ints; float64 bincount is exact below 2^53
+        tot = np.bincount(inv, weights=g["n"].to_numpy())
+        return pd.DataFrame({"whash": u[tot >= 2]})
+
+    partials = windows.map_batches(partial_counts,
+                                   batch_format="pyarrow")
+    # Driver-merge gate: when the windows table is small (known for
+    # free in cache mode), the per-block partial counts fit the driver
+    # (<= 24 bytes/row) and one np.unique/bincount replaces the whole
+    # grouped shuffle. Above the gate — or when streaming — take the
+    # distributed bucketed path.
+    hs_small: np.ndarray | None = None
+    if cache_windows and windows.count() <= 4_000_000:
+        pdf = partials.to_pandas()
+        if len(pdf):
+            u, inv = np.unique(pdf["whash"].to_numpy(),
+                               return_inverse=True)
+            tot = np.bincount(inv, weights=pdf["n"].to_numpy())
+            hs_small = u[tot >= 2].astype(np.int64)
+        else:
+            hs_small = np.empty(0, dtype=np.int64)
+        n_dup = len(hs_small)
+        dup_hashes = None
+    else:
+        dup_hashes = (partials.groupby("bucket")
+                      .map_groups(dup_in_bucket, batch_format="pandas"))
+        if cache_windows:
+            # bounded by distinct duplicated windows; lets count() +
+            # the chosen mark-back reuse one execution
+            dup_hashes = dup_hashes.materialize()
+        n_dup = dup_hashes.count()
 
     def id_str(t: pa.Table) -> pa.Table:
         return t.set_column(t.schema.get_field_index(id_col), id_col,
                             t[id_col].cast(pa.string()))
 
-    flagged = (windows.map_batches(id_str, batch_format="pyarrow")
-               .union(dup_hashes.map_batches(as_marker,
-                                             batch_format="pyarrow"))
-               .map_batches(bucket_w, batch_format="pyarrow")
-               .groupby("bucket")
-               .map_groups(keep_marked, batch_format="pandas"))
+    if n_dup <= broadcast_max:
+        # ---- mark-back, small side: broadcast + vectorized filter ----
+        # (n_dup == 0 yields a schema-less empty frame — skip the column)
+        if hs_small is not None:
+            hs = np.sort(hs_small)
+        else:
+            hs = (np.sort(dup_hashes.to_pandas()["whash"]
+                          .to_numpy(dtype=np.int64))
+                  if n_dup else np.empty(0, dtype=np.int64))
+        hs_ref = ray.put(hs)
+
+        def keep_flagged(t: pa.Table) -> pa.Table:
+            marked = ray.get(hs_ref)  # zero-copy from the object store
+            w = t["whash"].to_numpy(zero_copy_only=False)
+            if len(marked):
+                idx = np.clip(np.searchsorted(marked, w), 0,
+                              len(marked) - 1)
+                mask = marked[idx] == w
+            else:
+                mask = np.zeros(len(w), dtype=bool)
+            flt = t.filter(pa.array(mask))
+            return pa.table({
+                id_col: flt[id_col].cast(pa.string()),
+                "pos": flt["pos"]})
+
+        flagged = windows.map_batches(keep_flagged,
+                                      batch_format="pyarrow")
+    else:
+        # ---- mark-back, big side: co-locate via mixed-union groupby --
+        if dup_hashes is None:  # driver-merged set, forced distributed
+            import ray.data as rd
+
+            dup_hashes = rd.from_arrow(
+                pa.table({"whash": pa.array(hs_small, pa.int64())}))
+
+        def bucket_w(t: pa.Table) -> pa.Table:
+            b = (t["whash"].to_numpy(zero_copy_only=False)
+                 % num_partitions).astype(np.int32)
+            return t.append_column("bucket", pa.array(b))
+
+        def as_marker(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "whash": t["whash"],
+                id_col: pa.nulls(n, pa.string()),
+                "pos": pa.nulls(n, pa.int64()),
+            })
+
+        def keep_marked(g: pd.DataFrame) -> pd.DataFrame:
+            marked = set(g.loc[g["pos"].isna(), "whash"])
+            rows = g[g["pos"].notna()]
+            out = rows[rows["whash"].isin(marked)]
+            return out[[id_col, "pos"]]
+
+        flagged = (windows.map_batches(id_str, batch_format="pyarrow")
+                   .union(dup_hashes.map_batches(as_marker,
+                                                 batch_format="pyarrow"))
+                   .map_batches(bucket_w, batch_format="pyarrow")
+                   .groupby("bucket")
+                   .map_groups(keep_marked, batch_format="pandas"))
 
     # ---- span pass: merge overlapping flagged windows per doc ----
     def bucket_doc(df: pd.DataFrame) -> pd.DataFrame:
@@ -138,26 +216,25 @@ def duplicate_spans(ds, window_tokens: int = 50, id_col: str = "doc_id",
         return df
 
     def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
-        out: list[dict] = []
-        for did, grp in g.groupby(id_col, sort=False):
-            pos = np.sort(grp["pos"].to_numpy(dtype=np.int64))
-            start = prev = pos[0]
-            n_win = 1
-            for p in pos[1:]:
-                if p <= prev + window_tokens:  # overlap or adjacency
-                    prev = p
-                    n_win += 1
-                else:
-                    out.append({id_col: did, "span_start": int(start),
-                                "span_end": int(prev + window_tokens),
-                                "n_windows": n_win})
-                    start = prev = p
-                    n_win = 1
-            out.append({id_col: did, "span_start": int(start),
-                        "span_end": int(prev + window_tokens),
-                        "n_windows": n_win})
-        return pd.DataFrame(
-            out, columns=[id_col, "span_start", "span_end", "n_windows"])
+        cols = [id_col, "span_start", "span_end", "n_windows"]
+        if not len(g):
+            return pd.DataFrame({c: pd.Series(dtype="int64" if c != id_col
+                                              else "object")
+                                 for c in cols})
+        g = g.sort_values([id_col, "pos"])
+        ids = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy(dtype=np.int64)
+        # span boundary: new doc, or gap beyond window width; cumulative
+        # chain rule (each pos compares to its predecessor) == the
+        # sequential prev-pointer merge
+        b = np.flatnonzero(np.r_[True, (ids[1:] != ids[:-1])
+                                 | (pos[1:] > pos[:-1] + window_tokens)])
+        e = np.r_[b[1:], len(pos)]
+        return pd.DataFrame({
+            id_col: ids[b],
+            "span_start": pos[b],
+            "span_end": pos[e - 1] + window_tokens,
+            "n_windows": (e - b).astype(np.int64)})
 
     return (flagged.map_batches(bucket_doc, batch_format="pandas")
             .groupby("bucket")
@@ -182,9 +259,10 @@ def _window_rows(w: int, id_col: str, text_col: str, seed: int):
             for j in range(w - 2, -1, -1):
                 powers[j] = powers[j + 1] * _B
 
-        ids, poss, hs = [], [], []
+        n_win = np.zeros(len(doc_ids), dtype=np.int64)
+        poss, hs = [], []
         off = 0
-        for did, toks in zip(doc_ids, toks_per):
+        for i, toks in enumerate(toks_per):
             h = h_all[off:off + len(toks)]
             off += len(toks)
             if len(toks) < w:
@@ -193,7 +271,7 @@ def _window_rows(w: int, id_col: str, text_col: str, seed: int):
                 sw = np.lib.stride_tricks.sliding_window_view(h, w)
                 wh = ((sw * powers).sum(axis=1, dtype=np.uint64)
                       >> np.uint64(1)).astype(np.int64)
-            ids.extend([did] * len(wh))
+            n_win[i] = len(wh)
             poss.append(np.arange(len(wh), dtype=np.int64))
             hs.append(wh)
         if not hs:
@@ -201,9 +279,12 @@ def _window_rows(w: int, id_col: str, text_col: str, seed: int):
                 "whash": pa.array([], pa.int64()),
                 id_col: pa.array([], t.schema.field(id_col).type),
                 "pos": pa.array([], pa.int64())})
+        # repeat ids zero-copy via Arrow take instead of Python lists
+        row_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64),
+                            n_win)
         return pa.table({
             "whash": pa.array(np.concatenate(hs), pa.int64()),
-            id_col: pa.array(ids, t.schema.field(id_col).type),
+            id_col: t[id_col].take(pa.array(row_idx)),
             "pos": pa.array(np.concatenate(poss))})
 
     return fn
@@ -212,12 +293,14 @@ def _window_rows(w: int, id_col: str, text_col: str, seed: int):
 def substring_dup_stats(ds, window_tokens: int = 50,
                         id_col: str = "doc_id", text_col: str = "text",
                         seed: int = 7, num_partitions: int = 64,
-                        cache_windows: bool = True):
+                        cache_windows: bool = True,
+                        broadcast_max: int = 4_000_000):
     """Per-doc duplicated-token accounting: (id, n_tokens, dup_tokens,
     dup_fraction) for EVERY input doc (docs with no duplicate spans get
     0.0) — the thresholdable curation signal."""
     spans = duplicate_spans(ds, window_tokens, id_col, text_col, seed,
-                            num_partitions, cache_windows=cache_windows)
+                            num_partitions, cache_windows=cache_windows,
+                            broadcast_max=broadcast_max)
 
     def tok_counts(t: pa.Table) -> pa.Table:
         ns = [len(_TOKEN_RE.findall((x or "").lower()))

@@ -179,3 +179,24 @@ def test_partition_invariance():
          .to_pandas().sort_values(["doc_id", "span_start"],
                                   ignore_index=True))
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_union_markback_path_identical():
+    """broadcast_max=0 forces the bucketed union-groupby mark-back (the
+    huge-dup-set fallback); spans must be bit-identical to the default
+    broadcast filter path."""
+    from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+        duplicate_spans,
+    )
+
+    ids, texts = _corpus()
+    a = (duplicate_spans(_ds(ids, texts, blocks=4), window_tokens=W)
+         .to_pandas().sort_values(["doc_id", "span_start"],
+                                  ignore_index=True))
+    b = (duplicate_spans(_ds(ids, texts, blocks=4), window_tokens=W,
+                         broadcast_max=0)
+         .to_pandas().sort_values(["doc_id", "span_start"],
+                                  ignore_index=True))
+    assert len(a) > 0
+    assert a.equals(b)
