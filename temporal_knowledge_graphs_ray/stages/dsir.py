@@ -8,12 +8,15 @@ The reference has no selection surface — this is a training-data
 curation primitive for webtext at scale).
 
 Dataflow: fitting each LM is ONE streaming pass (per-batch hashed
-feature counts combined map-side into (bucket, n) rows) plus a
-``num_buckets``-bounded groupby-sum; the raw corpus then streams through
-ONE weighting pass against the broadcast log-ratio vector, and selection
-is the house partial-top-k (stages/topk.py) — nothing corpus-sized ever
-sits on the driver or shuffles. Everything is deterministic: feature
-hashing is ``fast_hash64``, integer counts are exact under any block
+feature counts combined map-side into (bucket, n) rows) whose sparse
+partials merge into the fixed-size counts vector (driver stream by
+default, bucketed distributed reduce past mega-block scale); the raw
+corpus then streams through ONE weighting pass against the broadcast
+log-ratio vector, and selection is the house partial-top-k
+(stages/topk.py) — nothing corpus-sized ever sits on the driver or
+shuffles. Everything is deterministic: feature hashing is
+``hash64_vec`` (vectorized SipHash — one call per document, not one
+Python hash per n-gram), integer counts are exact under any block
 layout, and the Gumbel noise is a pure function of (id, seed).
 """
 
@@ -22,9 +25,10 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import fast_hash64, stable_hash64
+from ..functions.hashing import hash64_vec, stable_hash64
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -36,35 +40,67 @@ def doc_feature_counts(text: str, num_buckets: int,
     feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     if not feats:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    b = np.fromiter((fast_hash64(f, seed) % num_buckets for f in feats),
-                    dtype=np.int64, count=len(feats))
+    b = (hash64_vec(feats, seed)
+         % np.uint64(num_buckets)).astype(np.int64)
     uniq, counts = np.unique(b, return_counts=True)
     return uniq, counts.astype(np.int64)
 
 
 def fit_hashed_lm(ds, text_col: str = "text", num_buckets: int = 65536,
-                  seed: int = 0) -> np.ndarray:
+                  seed: int = 0, driver_merge: bool = True,
+                  num_partitions: int = 64) -> np.ndarray:
     """Bucket counts (int64, ``num_buckets``-long) of the corpus — one
     streaming pass with map-side combine; exact (integer) under any
-    block layout."""
-    from ray.data.aggregate import Sum
+    block layout.
+
+    The final vector is fixed-size, so with ``driver_merge=True``
+    (default) the per-block sparse partials stream through the driver
+    into one dense accumulator — bounded memory (one partial block +
+    the vector), no shuffle, no per-group aggregate overhead. At
+    mega-block scale (partial volume ~ blocks x buckets becomes
+    driver-bound) set ``driver_merge=False`` for a bucketed distributed
+    reduce with one vectorized bincount per coarse group; both paths
+    are integer-exact and tested equal."""
 
     def partial(t: pa.Table) -> pa.Table:
-        acc: dict[int, int] = {}
+        us, cs = [], []
         for text in t[text_col].to_pylist():
             u, c = doc_feature_counts(text or "", num_buckets, seed)
-            for b, n in zip(u.tolist(), c.tolist()):
-                acc[b] = acc.get(b, 0) + n
-        return pa.table({
-            "bucket": pa.array(list(acc.keys()), pa.int64()),
-            "n": pa.array(list(acc.values()), pa.int64()),
-        })
+            if len(u):
+                us.append(u)
+                cs.append(c)
+        if not us:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        uu, inv = np.unique(np.concatenate(us), return_inverse=True)
+        nn = np.bincount(inv, weights=np.concatenate(cs))
+        return pa.table({"bucket": pa.array(uu, pa.int64()),
+                         "n": pa.array(nn.astype(np.int64))})
 
-    agg = (ds.select_columns([text_col])
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby("bucket").aggregate(Sum("n", alias_name="n"))
-           .to_pandas())
+    partials = (ds.select_columns([text_col])
+                .map_batches(partial, batch_format="pyarrow"))
     counts = np.zeros(num_buckets, dtype=np.int64)
+    if driver_merge:
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            np.add.at(counts, b["bucket"].to_numpy(zero_copy_only=False),
+                      b["n"].to_numpy(zero_copy_only=False))
+        return counts
+
+    def coarse(t: pa.Table) -> pa.Table:
+        c = (t["bucket"].to_numpy(zero_copy_only=False)
+             % num_partitions).astype(np.int32)
+        return t.append_column("coarse", pa.array(c))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u, inv = np.unique(g["bucket"].to_numpy(), return_inverse=True)
+        nn = np.bincount(inv, weights=g["n"].to_numpy())
+        return pd.DataFrame({"bucket": u,
+                             "n": nn.astype(np.int64)})
+
+    agg = (partials.map_batches(coarse, batch_format="pyarrow")
+           .groupby("coarse")
+           .map_groups(reduce_bucket, batch_format="pandas")
+           .to_pandas())
     if len(agg):
         counts[agg["bucket"].to_numpy()] = agg["n"].to_numpy()
     return counts

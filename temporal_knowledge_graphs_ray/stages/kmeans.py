@@ -82,6 +82,15 @@ def kmeans_fit(ds, k: int, id_col: str = "vec_id",
     dim = cent.shape[1]
     emb = proj.select_columns([emb_col])
 
+    # Per-iteration reduce strategy: the map side emits at most
+    # blocks x k_eff partial rows of dim floats. When that fits the
+    # driver comfortably (<= ~256 MB), skip the grouped shuffle and
+    # np.add.at the partials on the driver — five shuffle barriers
+    # collapse into five map-only passes. Past the gate (many blocks x
+    # large k x wide embeddings) keep the distributed groupby reduce.
+    n_blocks = max(proj.num_blocks(), 1)
+    driver_reduce = n_blocks * k_eff * dim * 8 <= 256 * 2**20
+
     for it in range(iters):
         cent_ref = ray.put(cent)
 
@@ -101,26 +110,37 @@ def kmeans_fit(ds, k: int, id_col: str = "vec_id",
                 "n": pa.array(n),
             })
 
-        def reduce_sum(g: pd.DataFrame) -> pd.DataFrame:
-            s = np.sum(np.stack([np.asarray(v, dtype=np.float64)
-                                 for v in g["psum"]]), axis=0)
-            return pd.DataFrame({
-                "cluster": [np.int32(g["cluster"].iloc[0])],
-                "psum": [s.tolist()],
-                "n": [np.int64(g["n"].sum())],
-            })
-
-        agg = (emb.map_batches(partial, batch_format="pyarrow")
-               .groupby("cluster")
-               .map_groups(reduce_sum, batch_format="pandas")
-               .take_all())
-
+        partials = emb.map_batches(partial, batch_format="pyarrow")
         new = cent.copy()
-        for r in agg:
-            s = np.asarray(r["psum"], dtype=np.float64)
-            norm = np.linalg.norm(s)
-            if norm > 0:
-                new[int(r["cluster"])] = s / norm
+        if driver_reduce:
+            pdf = partials.to_pandas()
+            if len(pdf):
+                cl = pdf["cluster"].to_numpy(dtype=np.int64)
+                ps = np.stack([np.asarray(v, dtype=np.float64)
+                               for v in pdf["psum"]])
+                sums = np.zeros((k_eff, dim))
+                np.add.at(sums, cl, ps)
+                norms = np.linalg.norm(sums, axis=1)
+                nz = norms > 0
+                new[nz] = sums[nz] / norms[nz, None]
+        else:
+            def reduce_sum(g: pd.DataFrame) -> pd.DataFrame:
+                s = np.sum(np.stack([np.asarray(v, dtype=np.float64)
+                                     for v in g["psum"]]), axis=0)
+                return pd.DataFrame({
+                    "cluster": [np.int32(g["cluster"].iloc[0])],
+                    "psum": [s.tolist()],
+                    "n": [np.int64(g["n"].sum())],
+                })
+
+            agg = (partials.groupby("cluster")
+                   .map_groups(reduce_sum, batch_format="pandas")
+                   .take_all())
+            for r in agg:
+                s = np.asarray(r["psum"], dtype=np.float64)
+                norm = np.linalg.norm(s)
+                if norm > 0:
+                    new[int(r["cluster"])] = s / norm
         shift = float(np.abs(new - cent).max())
         cent = new
         if shift <= tol:

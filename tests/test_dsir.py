@@ -8,7 +8,13 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from temporal_knowledge_graphs_ray.functions.hashing import fast_hash64
+from temporal_knowledge_graphs_ray.functions.hashing import hash64_vec
+
+
+def _h1(f, seed=0):
+    """Per-feature singleton hash — independent of the module's one
+    batched hash64_vec call per document."""
+    return int(hash64_vec([f], seed)[0])
 
 B = 4096
 
@@ -44,7 +50,7 @@ def _seq_counts(texts, num_buckets, seed=0):
     for t in texts:
         ws = tok.findall(t.lower())
         for f in ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]:
-            counts[fast_hash64(f, seed) % num_buckets] += 1
+            counts[_h1(f, seed) % num_buckets] += 1
     return counts
 
 
@@ -56,7 +62,7 @@ def _seq_weights(texts, ratio, seed=0):
     for t in texts:
         ws = tok.findall(t.lower())
         feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
-        b = np.array([fast_hash64(f, seed) % len(ratio) for f in feats],
+        b = np.array([_h1(f, seed) % len(ratio) for f in feats],
                      dtype=np.int64)
         u, c = np.unique(b, return_counts=True)
         out.append(float(c @ ratio[u]) if len(u) else 0.0)
@@ -145,7 +151,7 @@ def test_lm_cross_entropy_matches_oracle_and_orders_quality():
     for i, text in enumerate(raw_texts):
         ws = tok.findall(text.lower())
         feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
-        b = np.array([fast_hash64(f) % B for f in feats])
+        b = np.array([_h1(f) % B for f in feats])
         u, c = np.unique(b, return_counts=True)
         bits = float(-(c @ logp[u]) / c.sum())
         assert abs(got["bits"].iloc[i] - bits) < 1e-9, i
@@ -167,3 +173,19 @@ def test_empty_text_rows_get_zero_weight():
     got = (dsir_log_weights(_ds([1, 2], ["", "   "]), ratio)
            .to_pandas())
     assert list(got["log_weight"]) == [0.0, 0.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fit_hashed_lm_distributed_path_equal():
+    """driver_merge=False (the mega-block distributed reduce) must give
+    the same integer counts as the streaming driver merge."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.dsir import fit_hashed_lm
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["text"]).repartition(5)
+    a = fit_hashed_lm(docs, "text", num_buckets=512)
+    b = fit_hashed_lm(docs, "text", num_buckets=512, driver_merge=False)
+    assert (a == b).all()
+    assert a.sum() > 0
