@@ -13,8 +13,10 @@ plus curation/maintenance subcommands: curate, compact, ingest, eval,
 sample (md5-keyed fraction/stratified), dsir (importance selection),
 semdedup (embedding near-dup verdicts), dupspans (exact substring-dup
 stats), analytics (degrees/triangles/k-core/components/pagerank over a
-built KG). Owns its Ray session (scripts are allowed to init; the
-library is not).
+built KG), bm25 (build/query a ranked keyword index), hybrid (BM25 +
+dense RRF retrieval), shuffle (deterministic md5-keyed global shuffle
+into ordered shard files). Owns its Ray session (scripts are allowed
+to init; the library is not).
 """
 
 from __future__ import annotations
@@ -254,6 +256,79 @@ def cmd_dupspans(args) -> int:
     return 0
 
 
+def cmd_bm25(args) -> int:
+    """Build (or load) a BM25 index and rank a query against it."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from .stages.bm25 import Bm25Index
+
+    _init_ray(args.num_cpus)
+    meta = os.path.join(args.index, "_index_meta.json")
+    if os.path.exists(meta) and not args.rebuild:
+        idx = Bm25Index.load(args.index)
+    else:
+        docs = rd.read_parquet(args.documents,
+                               columns=[args.id_col, args.text_col])
+        idx = Bm25Index(docs, text_col=args.text_col, id_col=args.id_col,
+                        num_buckets=args.num_buckets)
+        idx.save(args.index)
+    report = {"index": args.index, "n_docs": idx.n_docs,
+              "avgdl": round(idx.avgdl, 3)}
+    if args.query:
+        top = idx.score([args.query], k=args.k)
+        report["query"] = args.query
+        report["topk"] = [
+            {"id": i, "score": round(float(s), 6)}
+            for i, s in zip(top[args.id_col], top["score"])]
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
+def cmd_hybrid(args) -> int:
+    """Hybrid BM25+dense retrieval with RRF fusion over documents."""
+    import ray
+    import ray.data as rd
+
+    from .stages.hybrid import hybrid_search
+
+    _init_ray(args.num_cpus)
+    docs = rd.read_parquet(args.documents,
+                           columns=[args.id_col, args.text_col])
+    top = hybrid_search(docs, args.query, k=args.k, n_each=args.n_each,
+                        id_col=args.id_col, text_col=args.text_col)
+    print(json.dumps({
+        "query": args.query,
+        "topk": [{"id": i, "rrf_score": float(s),
+                  "rank_bm25": int(rb), "rank_dense": int(rd_)}
+                 for i, s, rb, rd_ in zip(
+                     top[args.id_col], top["rrf_score"],
+                     top["rank_bm25"], top["rank_dense"])]}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_shuffle(args) -> int:
+    """Deterministic md5-keyed global shuffle into ordered shard files."""
+    import ray
+    import ray.data as rd
+
+    from .stages.shuffle import write_shuffled_shards
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.documents)
+    write_shuffled_shards(ds, args.out, args.key_col, seed=args.seed,
+                          num_shards=args.num_shards)
+    print(json.dumps({"out": args.out, "num_shards": args.num_shards,
+                      "seed": args.seed,
+                      "rows": rd.read_parquet(args.out).count()}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_analytics(args) -> int:
     """Whole-graph analytics over a built KG's edge table."""
     import ray
@@ -386,6 +461,35 @@ def main(argv=None) -> int:
     p.add_argument("--window-tokens", type=int, default=50)
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("bm25")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--index", required=True,
+                   help="index dir (loaded if it exists, else built)")
+    p.add_argument("--query", default=None)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--rebuild", action="store_true")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser("hybrid")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-each", type=int, default=50)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser("shuffle")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-shards", type=int, default=64)
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("analytics")
     p.add_argument("--kg", required=True, help="built KG output dir")
     p.add_argument("--metrics",
@@ -405,6 +509,12 @@ def main(argv=None) -> int:
         return cmd_dupspans(args)
     if args.cmd == "analytics":
         return cmd_analytics(args)
+    if args.cmd == "bm25":
+        return cmd_bm25(args)
+    if args.cmd == "hybrid":
+        return cmd_hybrid(args)
+    if args.cmd == "shuffle":
+        return cmd_shuffle(args)
     if args.cmd == "eval":
         return cmd_eval(args)
     if args.cmd == "compact":

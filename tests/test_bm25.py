@@ -64,14 +64,16 @@ def _got_all(index, terms):
 
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("terms", [
-    ["the", "revenue"],
-    ["acquisition", "merger", "quarterly"],
+    ["the", "scan"],
+    ["merge", "join", "window"],
     ["zzzznotaterm"],
 ])
 def test_scores_match_duckdb(index, terms):
     got = index.score(terms, k=10_000).rename(columns={"doc_id": "id"})
     got["score"] = got["score"].round(6)
     want = _oracle(terms)
+    if terms != ["zzzznotaterm"]:
+        assert len(want) > 0  # non-vacuous: these terms exist in corpus
     got = got.sort_values("id", ignore_index=True)
     want = want.sort_values("id", ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
@@ -79,7 +81,7 @@ def test_scores_match_duckdb(index, terms):
 
 @pytest.mark.usefixtures("ray_session")
 def test_topk_ranking_matches_oracle(index):
-    terms = ["company", "announced"]
+    terms = ["query", "group"]
     got = index.score(terms, k=5).rename(columns={"doc_id": "id"})
     want = _oracle(terms).sort_values(
         ["score", "id"], ascending=[False, True], ignore_index=True)
@@ -98,7 +100,7 @@ def test_save_load_roundtrip(index, tmp_path):
     loaded = Bm25Index.load(path)
     assert loaded.n_docs == index.n_docs
     assert loaded.avgdl == pytest.approx(index.avgdl)
-    terms = ["the", "revenue"]
+    terms = ["the", "scan"]
     a = index.score(terms, k=20)
     b = loaded.score(terms, k=20)
     pd.testing.assert_frame_equal(a, b)
@@ -112,7 +114,7 @@ def test_layout_invariance(ray_session):
 
     docs = rd.read_parquet(SF, columns=["doc_id", "text"])
     a = Bm25Index(docs.repartition(1), id_col="doc_id",
-                  num_buckets=8).score(["revenue", "growth"], k=50)
+                  num_buckets=8).score(["scan", "sort"], k=50)
     b = Bm25Index(docs.repartition(13), id_col="doc_id",
-                  num_buckets=32).score(["revenue", "growth"], k=50)
+                  num_buckets=32).score(["scan", "sort"], k=50)
     pd.testing.assert_frame_equal(a, b)

@@ -52,3 +52,43 @@ def test_dupspans_subcommand(tmp_path):
                 "--out", out_dir, "--window-tokens", "20"], tmp_path)
     assert rep["rows"] == 500
     assert 0 < rep["docs_with_dup_spans"] < 500
+
+
+def test_bm25_subcommand_build_then_load(tmp_path):
+    idx = str(tmp_path / "bm25_idx")
+    rep = _run(["bm25", "--documents", f"{SF}/documents.parquet",
+                "--index", idx, "--query", "sort merge join",
+                "--k", "5", "--num-buckets", "16"], tmp_path)
+    assert rep["n_docs"] == 500 and len(rep["topk"]) == 5
+    # second run loads the persisted index and must rank identically
+    rep2 = _run(["bm25", "--documents", f"{SF}/documents.parquet",
+                 "--index", idx, "--query", "sort merge join",
+                 "--k", "5"], tmp_path)
+    assert rep2["topk"] == rep["topk"]
+
+
+def test_shuffle_subcommand_matches_md5_order(tmp_path):
+    out = str(tmp_path / "shards")
+    rep = _run(["shuffle", "--documents", f"{SF}/documents.parquet",
+                "--out", out, "--seed", "5", "--num-shards", "8"],
+               tmp_path)
+    assert rep["rows"] == 500
+    got = duckdb.sql(f"""
+        SELECT doc_id FROM read_parquet('{out}/*/*.parquet',
+                                        hive_partitioning=true)
+        ORDER BY shard, pos
+    """).df()["doc_id"].tolist()
+    want = duckdb.sql(f"""
+        SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
+        ORDER BY md5(concat('5', '|', doc_id)), doc_id
+    """).df()["doc_id"].tolist()
+    assert got == want
+
+
+def test_hybrid_subcommand(tmp_path):
+    rep = _run(["hybrid", "--documents", f"{SF}/documents.parquet",
+                "--query", "sort merge join window", "--k", "5"],
+               tmp_path)
+    assert len(rep["topk"]) == 5
+    assert all(r["rank_bm25"] > 0 or r["rank_dense"] > 0
+               for r in rep["topk"])

@@ -13,7 +13,7 @@ import pytest
 
 SF = "/root/testdata/sf0.001/documents.parquet"
 K1, B = 1.2, 0.75
-QUERY = "quarterly revenue growth"
+QUERY = "sort merge join window"
 N_EACH = 25
 C = 60
 
@@ -97,6 +97,8 @@ def test_hybrid_matches_sequential_oracle():
         pytest.approx(want["rrf_score"].tolist(), abs=1e-6)
     # rank columns are consistent: every fused row came from >=1 leg
     assert ((got["rank_bm25"] > 0) | (got["rank_dense"] > 0)).all()
+    # both legs are non-vacuous for this query
+    assert (got["rank_bm25"] > 0).any() and (got["rank_dense"] > 0).any()
 
 
 @pytest.mark.usefixtures("ray_session")
