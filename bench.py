@@ -178,6 +178,28 @@ def run_bench() -> dict:
     timed("ann_index_topk10",
           lambda: idx_holder["idx"].topk(qvec, 10))
 
+    # ---- retrieval: BM25 postings index + hybrid sparse/dense fusion ----
+    from temporal_knowledge_graphs_ray.stages.bm25 import Bm25Index
+    from temporal_knowledge_graphs_ray.stages.hybrid import hybrid_search
+
+    timed("bm25_index_build",
+          lambda: idx_holder.setdefault(
+              "bm25", Bm25Index(docs, id_col="doc_id")))
+    timed("bm25_topk10",
+          lambda: idx_holder["bm25"].score(["sort merge join"], k=10))
+    timed("hybrid_topk10",
+          lambda: hybrid_search(docs, "sort merge join window", k=10,
+                                bm25_index=idx_holder["bm25"]))
+
+    # ---- training-data export: deterministic md5-keyed global shuffle ----
+    from temporal_knowledge_graphs_ray.stages.shuffle import (
+        deterministic_shuffle,
+    )
+
+    timed("deterministic_shuffle",
+          lambda: deterministic_shuffle(docs, "doc_id",
+                                        num_shards=64).materialize())
+
     # ---- training-data ops: packing + quantiles ----
     from temporal_knowledge_graphs_ray.stages.packing import (
         pack_sequences,
