@@ -77,18 +77,18 @@ class Bm25Index:
             ids: list = []
             tfs: list[int] = []
             dls: list[int] = []
-            # one sentinel row per EMPTY doc keeps N/avgdl honest via
-            # the same table (term NULL, filtered from lookups)
+            # one NULL-term sentinel row per DOC carries (1, dl) so
+            # N/avgdl come from a tiny filtered aggregate of THIS table
+            # — no second full scan of the corpus text. Lookups filter
+            # the sentinels out (is_in never matches NULL).
             for cid, text in zip(t[id_col].to_pylist(),
                                  t[text_col].to_pylist()):
                 toks = _TOKEN_RE.findall((text or "").lower())
                 dl = len(toks)
-                if not toks:
-                    terms.append(None)
-                    ids.append(cid)
-                    tfs.append(0)
-                    dls.append(0)
-                    continue
+                terms.append(None)
+                ids.append(cid)
+                tfs.append(0)
+                dls.append(dl)
                 for term, tf in Counter(toks).items():
                     terms.append(term)
                     ids.append(cid)
@@ -113,25 +113,20 @@ class Bm25Index:
             .map_batches(explode, batch_format="pyarrow",
                          batch_size=1024)
             .materialize())
-        # N and avgdl: per-doc rows are recoverable from the postings
-        # (dl repeats per posting), but two scalars are cheaper as one
-        # tiny per-batch partial pass over the CHUNKS projection.
-        stats = (chunks_ds.select_columns([text_col])
-                 .map_batches(self._len_partial(text_col),
-                              batch_format="pyarrow")
+
+        def stat_partial(t: pa.Table) -> pa.Table:
+            s = t.filter(pc.is_null(t["term"]))
+            return pa.table({
+                "n": pa.array([s.num_rows], pa.int64()),
+                "dl": pa.array([pc.sum(s["dl"]).as_py() or 0,
+                                ], pa.int64())})
+
+        stats = (self.postings
+                 .map_batches(stat_partial, batch_format="pyarrow")
                  .to_pandas())
         self.n_docs = int(stats["n"].sum())
         total = int(stats["dl"].sum())
         self.avgdl = (total / self.n_docs) if self.n_docs else 0.0
-
-    @staticmethod
-    def _len_partial(text_col: str):
-        def fn(t: pa.Table) -> pa.Table:
-            dls = [len(_TOKEN_RE.findall((x or "").lower()))
-                   for x in t[text_col].to_pylist()]
-            return pa.table({"n": pa.array([len(dls)], pa.int64()),
-                             "dl": pa.array([int(sum(dls))], pa.int64())})
-        return fn
 
     # ------------------------------------------------------------ persist
     def save(self, path: str) -> None:
@@ -222,10 +217,10 @@ class Bm25Index:
             import ray as _ray
 
             w = _ray.get(idf_ref)
-            terms = t["term"].to_pylist()
             tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
             dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
-            iv = np.array([w.get(x, 0.0) for x in terms])
+            iv = (t["term"].to_pandas().map(w).fillna(0.0)
+                  .to_numpy(dtype=np.float64))
             s = iv * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
             ids = t[id_col]
             # combine within the batch (deterministic first-seen order)

@@ -48,6 +48,10 @@ def _ranked(ds, key_col: str, seed: int, num_shards: int):
     if not 1 <= num_shards <= 65536:
         raise ValueError("num_shards must be in [1, 65536] (shard ids "
                          "derive from the 16-bit md5 prefix)")
+    taken = {_SHARD_COL, _POS_COL, _RANK_COL} & set(ds.schema().names)
+    if taken:
+        raise ValueError(f"input already has reserved shuffle "
+                         f"column(s) {sorted(taken)}")
 
     def add_rank(t: pa.Table) -> pa.Table:
         h = _md5_rank(t[key_col].to_pylist(), seed)
