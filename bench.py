@@ -244,6 +244,18 @@ def run_bench() -> dict:
               docs_src.filter(expr="source == 'src0'"),
               k=100, num_buckets=16384).to_pandas())
 
+    # ---- training-data export: weighted corpus mixture ----
+    from temporal_knowledge_graphs_ray.stages.mixture import mix_corpora
+
+    def mix():
+        corpora = {s: docs_src.filter(expr=f"source == '{s}'")
+                   for s in ("src0", "src1", "src2")}
+        return mix_corpora(corpora,
+                           {"src0": 2.0, "src1": 1.0, "src2": 1.0},
+                           "doc_id").materialize()
+
+    timed("mix_corpora", mix)
+
     from temporal_knowledge_graphs_ray.stages.substring_dedup import (
         substring_dup_stats,
     )

@@ -329,6 +329,36 @@ def cmd_shuffle(args) -> int:
     return 0
 
 
+def cmd_mix(args) -> int:
+    """Deterministic weighted mixture of corpora split by a column."""
+    import ray
+    import ray.data as rd
+
+    from .stages.blocks import coalesce_blocks
+    from .stages.mixture import mix_corpora
+
+    _init_ray(args.num_cpus)
+    weights = {}
+    for part in args.weights.split(","):
+        name, w = part.split("=")
+        weights[name] = float(w)
+    base = rd.read_parquet(args.documents)
+    corpora = {name: base.filter(expr=f"{args.group_col} == '{name}'")
+               for name in weights}
+    mixed = mix_corpora(corpora, weights, args.key_col, seed=args.seed,
+                        scale=args.scale, num_shards=args.num_shards)
+    coalesce_blocks(mixed).write_parquet(args.out,
+                                         partition_cols=["shard"])
+    out = rd.read_parquet(args.out)
+    by = out.groupby("corpus").count().to_pandas()
+    print(json.dumps({
+        "out": args.out, "rows": int(by["count()"].sum()),
+        "by_corpus": dict(zip(by["corpus"],
+                              (int(x) for x in by["count()"])))}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_analytics(args) -> int:
     """Whole-graph analytics over a built KG's edge table."""
     import ray
@@ -490,6 +520,18 @@ def main(argv=None) -> int:
     p.add_argument("--num-shards", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("mix")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--weights", required=True,
+                   help="comma list name=weight, e.g. src0=3,src1=1")
+    p.add_argument("--group-col", default="source")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--num-shards", type=int, default=64)
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("analytics")
     p.add_argument("--kg", required=True, help="built KG output dir")
     p.add_argument("--metrics",
@@ -515,6 +557,8 @@ def main(argv=None) -> int:
         return cmd_hybrid(args)
     if args.cmd == "shuffle":
         return cmd_shuffle(args)
+    if args.cmd == "mix":
+        return cmd_mix(args)
     if args.cmd == "eval":
         return cmd_eval(args)
     if args.cmd == "compact":

@@ -44,7 +44,7 @@ _POS_COL = "pos"
 _RANK_COL = "_shuf_md5"
 
 
-def _ranked(ds, key_col: str, seed: int, num_shards: int):
+def _ranked(ds, key_col: str, seed, num_shards: int):
     if not 1 <= num_shards <= 65536:
         raise ValueError("num_shards must be in [1, 65536] (shard ids "
                          "derive from the 16-bit md5 prefix)")
@@ -62,7 +62,7 @@ def _ranked(ds, key_col: str, seed: int, num_shards: int):
     return ds.map_batches(add_rank, batch_format="pyarrow")
 
 
-def deterministic_shuffle(ds, key_col: str, seed: int = 0,
+def deterministic_shuffle(ds, key_col: str, seed: int | str = 0,
                           num_shards: int = 64):
     """Shuffle ``ds`` into the md5(seed|key) order. Returns a Dataset
     with two added columns: ``shard`` (int32) and ``pos`` (int64,
@@ -80,7 +80,7 @@ def deterministic_shuffle(ds, key_col: str, seed: int = 0,
             .map_groups(sort_shard, batch_format="pandas"))
 
 
-def write_shuffled_shards(ds, out_dir: str, key_col: str, seed: int = 0,
+def write_shuffled_shards(ds, out_dir: str, key_col: str, seed: int | str = 0,
                           num_shards: int = 64) -> None:
     """Materialize the shuffle as ``out_dir/shard=K/`` Parquet, one
     internally-ordered file per shard (the training-file layout; a

@@ -92,3 +92,19 @@ def test_hybrid_subcommand(tmp_path):
     assert len(rep["topk"]) == 5
     assert all(r["rank_bm25"] > 0 or r["rank_dense"] > 0
                for r in rep["topk"])
+
+
+def test_mix_subcommand(tmp_path):
+    out = str(tmp_path / "mixed")
+    rep = _run(["mix", "--documents", f"{SF}/documents.parquet",
+                "--out", out, "--weights", "src0=2,src1=1",
+                "--seed", "1"], tmp_path)
+    # src0 (25 rows) is the binding corpus at weight 2 -> keeps all 25;
+    # src1 downsamples toward ~12.5 expected
+    assert rep["by_corpus"]["src0"] == 25
+    assert 4 <= rep["by_corpus"]["src1"] <= 21
+    got = duckdb.sql(f"""
+        SELECT count(*) FROM read_parquet('{out}/*/*.parquet',
+                                          hive_partitioning=true)
+    """).fetchone()[0]
+    assert got == rep["rows"]
