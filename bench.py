@@ -256,6 +256,11 @@ def run_bench() -> dict:
 
     timed("mix_corpora", mix)
 
+    # ---- training-data ops: exact vocabulary build ----
+    from temporal_knowledge_graphs_ray.stages.vocab import build_vocab
+
+    timed("build_vocab", lambda: build_vocab(docs, max_size=100_000))
+
     from temporal_knowledge_graphs_ray.stages.substring_dedup import (
         substring_dup_stats,
     )

@@ -359,6 +359,25 @@ def cmd_mix(args) -> int:
     return 0
 
 
+def cmd_vocab(args) -> int:
+    """Exact top-K vocabulary over a documents table."""
+    import ray
+    import ray.data as rd
+
+    from .stages.vocab import build_vocab
+
+    _init_ray(args.num_cpus)
+    docs = rd.read_parquet(args.documents, columns=[args.text_col])
+    vocab = build_vocab(docs, text_col=args.text_col,
+                        max_size=args.max_size,
+                        min_count=args.min_count)
+    vocab.to_parquet(args.out, index=False)
+    print(json.dumps({"out": args.out, "terms": len(vocab),
+                      "top5": vocab["term"].head(5).tolist()}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_analytics(args) -> int:
     """Whole-graph analytics over a built KG's edge table."""
     import ray
@@ -532,6 +551,14 @@ def main(argv=None) -> int:
     p.add_argument("--num-shards", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("vocab")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--out", required=True, help="vocab Parquet file")
+    p.add_argument("--max-size", type=int, default=50000)
+    p.add_argument("--min-count", type=int, default=1)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("analytics")
     p.add_argument("--kg", required=True, help="built KG output dir")
     p.add_argument("--metrics",
@@ -559,6 +586,8 @@ def main(argv=None) -> int:
         return cmd_shuffle(args)
     if args.cmd == "mix":
         return cmd_mix(args)
+    if args.cmd == "vocab":
+        return cmd_vocab(args)
     if args.cmd == "eval":
         return cmd_eval(args)
     if args.cmd == "compact":

@@ -108,3 +108,18 @@ def test_mix_subcommand(tmp_path):
                                           hive_partitioning=true)
     """).fetchone()[0]
     assert got == rep["rows"]
+
+
+def test_vocab_subcommand(tmp_path):
+    out = str(tmp_path / "vocab.parquet")
+    rep = _run(["vocab", "--documents", f"{SF}/documents.parquet",
+                "--out", out, "--max-size", "10"], tmp_path)
+    assert rep["terms"] == 10
+    want = duckdb.sql(f"""
+        SELECT term FROM (
+          SELECT unnest(regexp_extract_all(lower(text),
+                                           '[a-z0-9]+')) AS term
+          FROM read_parquet('{SF}/documents.parquet'))
+        GROUP BY term ORDER BY count(*) DESC, term LIMIT 5
+    """).df()["term"].tolist()
+    assert rep["top5"] == want
