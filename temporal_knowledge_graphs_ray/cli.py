@@ -345,8 +345,17 @@ def cmd_mix(args) -> int:
     base = rd.read_parquet(args.documents)
     corpora = {name: base.filter(expr=f"{args.group_col} == '{name}'")
                for name in weights}
+    # one grouped pass for ALL corpus sizes (mix_corpora would
+    # otherwise run a count scan per corpus)
+    by = base.groupby(args.group_col).count().to_pandas()
+    counts = {n: int(c) for n, c in
+              zip(by[args.group_col], by["count()"]) if n in weights}
+    missing = set(weights) - set(counts)
+    if missing:
+        raise SystemExit(f"no rows for corpora {sorted(missing)}")
     mixed = mix_corpora(corpora, weights, args.key_col, seed=args.seed,
-                        scale=args.scale, num_shards=args.num_shards)
+                        scale=args.scale, num_shards=args.num_shards,
+                        counts=counts)
     coalesce_blocks(mixed).write_parquet(args.out,
                                          partition_cols=["shard"])
     out = rd.read_parquet(args.out)
