@@ -62,6 +62,11 @@ def mix_corpora(corpora: dict, weights: dict[str, float],
     per-corpus count pass when the caller already knows the sizes."""
     if set(corpora) != set(weights):
         raise ValueError("corpora and weights must cover the same names")
+    for name, ds in corpora.items():
+        taken = {_CORPUS_COL, _MIXKEY_COL} & set(ds.schema().names)
+        if taken:
+            raise ValueError(f"corpus {name!r} already has reserved "
+                             f"mixture column(s) {sorted(taken)}")
     if counts is None:
         counts = {k: ds.count() for k, ds in corpora.items()}
     fracs = mixture_plan(counts, weights, scale=scale)

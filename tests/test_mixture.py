@@ -99,3 +99,14 @@ def test_composition_tracks_weights_and_stream_is_mixed():
     for s in SOURCES:
         share = (half["corpus"] == s).sum() / by[s]
         assert 0.3 < share < 0.7, (s, share)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reserved_columns_refused():
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.mixture import mix_corpora
+
+    ds = rd.from_items([{"doc_id": 1, "corpus": "x"}])
+    with pytest.raises(ValueError, match="reserved"):
+        mix_corpora({"a": ds}, {"a": 1.0}, "doc_id")
