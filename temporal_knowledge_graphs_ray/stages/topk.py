@@ -33,3 +33,30 @@ def topk_rows(ds, keys: list[str], descending: list[bool], k: int):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .sort(keys, descending=descending).limit(k))
+
+
+def group_topk_rows(ds, group_col: str, keys: list[str],
+                    descending: list[bool], n: int):
+    """Per-GROUP top-n by ``keys`` (e.g. the n highest-quality docs per
+    domain — the quota-cap shape of stages/sampling.stratified_sample
+    generalized to arbitrary rank columns). Any group's global top-n
+    row is in its block's per-group top-n, so the per-block partial
+    bounds the one grouped shuffle at n × groups × blocks rows.
+    Include a unique tiebreak column in ``keys`` for determinism
+    (every in-repo caller does)."""
+    import pandas as pd
+
+    ascending = [not d for d in descending]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = (df.sort_values(keys, ascending=ascending, kind="mergesort")
+              .groupby(group_col, sort=False, dropna=False).head(n))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(keys, ascending=ascending,
+                              kind="mergesort").head(n))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col).map_groups(final, batch_format="pandas"))
