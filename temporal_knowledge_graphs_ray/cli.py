@@ -387,6 +387,35 @@ def cmd_vocab(args) -> int:
     return 0
 
 
+def cmd_incdedup(args) -> int:
+    """Dedup a new snapshot against a persisted fingerprint store."""
+    import ray
+    import ray.data as rd
+
+    from .stages.blocks import coalesce_blocks
+    from .stages.incdedup import (
+        dedup_against_store,
+        write_fingerprint_store,
+    )
+
+    _init_ray(args.num_cpus)
+    if args.init_from:
+        n = write_fingerprint_store(rd.read_parquet(args.init_from),
+                                    args.store)
+        print(json.dumps({"store": args.store, "fingerprints": n}))
+        ray.shutdown()
+        return 0
+    out = dedup_against_store(rd.read_parquet(args.documents),
+                              args.store, update_store=args.update)
+    survivors = out.count()
+    if survivors:
+        coalesce_blocks(out).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "survivors": survivors,
+                      "store": args.store, "updated": args.update}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_analytics(args) -> int:
     """Whole-graph analytics over a built KG's edge table."""
     import ray
@@ -568,6 +597,18 @@ def main(argv=None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("incdedup")
+    p.add_argument("--store", required=True,
+                   help="fingerprint store dir")
+    p.add_argument("--documents", help="new snapshot Parquet")
+    p.add_argument("--out", help="survivors Parquet dir")
+    p.add_argument("--update", action="store_true",
+                   help="append survivors' fingerprints to the store")
+    p.add_argument("--init-from",
+                   help="initialize the store from this corpus instead "
+                        "of deduping")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("analytics")
     p.add_argument("--kg", required=True, help="built KG output dir")
     p.add_argument("--metrics",
@@ -597,6 +638,8 @@ def main(argv=None) -> int:
         return cmd_mix(args)
     if args.cmd == "vocab":
         return cmd_vocab(args)
+    if args.cmd == "incdedup":
+        return cmd_incdedup(args)
     if args.cmd == "eval":
         return cmd_eval(args)
     if args.cmd == "compact":

@@ -1,0 +1,137 @@
+"""Cross-snapshot incremental dedup against a persisted fingerprint
+store (scale addition — the recurring-crawl shape: each new crawl
+must drop documents already in the accumulated corpus WITHOUT
+re-reading the corpus text; the reference's nearest analogue is
+recrawl supersession in pipelines/kg.py, which keys on url — this
+keys on CONTENT).
+
+The store holds only fingerprints: ``md5(trim(regexp_replace(
+lower(text), '\\s+', ' ', 'g')))`` — the exact-dedup key from
+functions/textstats.fingerprint, so membership has the same exact
+DuckDB oracle as the in-corpus exact_dedup query. Appends are new
+Parquet files (``inc-NNNNN``), never rewrites — a killed update
+leaves a valid store (at worst missing the newest increment, which
+re-running the increment regenerates; single-writer per store by
+contract, like state/manifests.py).
+
+Dedup semantics: among the NEW docs, one representative per
+fingerprint (min id — exact_dedup's rule); drop representatives whose
+fingerprint is already in the store.
+
+Scale notes: the new increment is fingerprinted in one streaming
+pass; the store side ships ONCE via ``ray.put`` as a zero-copy Arrow
+array below ``broadcast_limit`` rows, and above it the membership
+check becomes Ray's native LEFT ANTI hash join (both sides shuffle
+once on the uniform fingerprint key — no skew by construction). At
+100 TB the store is fingerprints only: ~32 bytes/doc, 3 orders of
+magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import add_fingerprint
+
+_FP = "fingerprint"
+
+
+def _store_files(store_dir: str) -> list[str]:
+    if not os.path.isdir(store_dir):
+        return []
+    return sorted(
+        os.path.join(store_dir, f) for f in os.listdir(store_dir)
+        if f.endswith(".parquet"))
+
+
+def _next_inc_path(store_dir: str) -> str:
+    os.makedirs(store_dir, exist_ok=True)
+    return os.path.join(store_dir,
+                        f"inc-{len(_store_files(store_dir)):05d}.parquet")
+
+
+def _write_increment(fp_ds, store_dir: str) -> int:
+    """Append distinct fingerprints as one new store file (atomic:
+    written to a temp name, renamed into place)."""
+    import pyarrow.parquet as pq
+
+    tbl = pa.concat_tables(
+        fp_ds.select_columns([_FP]).iter_batches(batch_format="pyarrow"))
+    path = _next_inc_path(store_dir)
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return tbl.num_rows
+
+
+def write_fingerprint_store(docs, store_dir: str, text_col: str = "text",
+                            id_col: str = "doc_id") -> int:
+    """Initialize/extend a store with a corpus's DISTINCT fingerprints;
+    returns the number written."""
+    from ray.data.aggregate import Min
+
+    reps = (add_fingerprint(docs, text_col, id_col)
+            .groupby(_FP).aggregate(Min(id_col, alias_name="keep_id")))
+    return _write_increment(reps, store_dir)
+
+
+def dedup_against_store(new_docs, store_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id", update_store: bool = False,
+                        broadcast_limit: int = 2_000_000,
+                        join_partitions: int | None = None):
+    """Surviving rows of ``new_docs``: one representative (min id) per
+    NEW fingerprint not already in the store. ``update_store=True``
+    appends the survivors' fingerprints afterwards, so the next
+    increment dedups against this one too."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    reps = (add_fingerprint(new_docs, text_col, id_col)
+            .groupby(_FP).aggregate(Min(id_col, alias_name="keep_id")))
+
+    files = _store_files(store_dir)
+    if files:
+        store = rd.read_parquet(files, columns=[_FP])
+        n_store = store.count()
+        if n_store <= broadcast_limit:
+            seen_ref = ray.put(pa.concat_tables(
+                [b for b in store.iter_batches(batch_format="pyarrow")]
+            )[_FP].combine_chunks())
+
+            def drop_seen(t: pa.Table) -> pa.Table:
+                seen = ray.get(seen_ref)
+                return t.filter(pc.invert(
+                    pc.is_in(t[_FP], value_set=seen)))
+
+            fresh = reps.map_batches(drop_seen, batch_format="pyarrow")
+        else:
+            if join_partitions is None:
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
+                join_partitions = max(2, min(64, ncpu // 2))
+            fresh = reps.join(store, "left_anti",
+                              join_partitions, on=(_FP,))
+    else:
+        fresh = reps
+
+    # materialize the (fingerprint, keep_id) table — bounded by the
+    # INCREMENT's distinct fingerprints, not the corpus — both to feed
+    # the semi join without re-running the groupby and because Ray's
+    # hash join raises on an all-empty right side (the every-doc-seen
+    # replay case), which the count short-circuits.
+    fresh = fresh.materialize()
+    if fresh.count() == 0:
+        return new_docs.limit(0)
+    keep_ids = (fresh.select_columns(["keep_id"])
+                .rename_columns({"keep_id": id_col}))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    survivors = new_docs.join(keep_ids, "left_semi",
+                              max(2, min(64, ncpu // 2)), on=(id_col,))
+    if update_store:
+        survivors = survivors.materialize()
+        _write_increment(add_fingerprint(survivors, text_col, id_col),
+                         store_dir)
+    return survivors

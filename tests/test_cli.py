@@ -123,3 +123,16 @@ def test_vocab_subcommand(tmp_path):
         GROUP BY term ORDER BY count(*) DESC, term LIMIT 5
     """).df()["term"].tolist()
     assert rep["top5"] == want
+
+
+def test_incdedup_subcommand(tmp_path):
+    store = str(tmp_path / "store")
+    rep = _run(["incdedup", "--store", store,
+                "--init-from", f"{SF}/documents.parquet"], tmp_path)
+    assert rep["fingerprints"] > 0
+    out = str(tmp_path / "surv")
+    # the same corpus replayed as the "new" snapshot: nothing survives
+    rep2 = _run(["incdedup", "--store", store,
+                 "--documents", f"{SF}/documents.parquet",
+                 "--out", out], tmp_path)
+    assert rep2["survivors"] == 0

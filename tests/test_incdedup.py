@@ -1,0 +1,124 @@
+"""Incremental cross-snapshot dedup: surviving ids must equal the
+DuckDB oracle (min-id representative per NEW fingerprint, fingerprint
+NOT IN store), broadcast and anti-join paths must agree, and a store
+update must make a replayed increment vanish entirely."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001/documents.parquet"
+FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@pytest.fixture()
+def snapshots(tmp_path):
+    """old = src0..src4 docs; new = src5..src9 docs + 5 recrawled old
+    texts under fresh ids + 3 within-increment duplicates."""
+    con = duckdb.connect()
+    old = con.execute(f"""
+        SELECT doc_id, text FROM read_parquet('{SF}')
+        WHERE source IN ('src0','src1','src2','src3','src4')
+    """).arrow()
+    base_new = con.execute(f"""
+        SELECT doc_id, text FROM read_parquet('{SF}')
+        WHERE source IN ('src5','src6','src7','src8','src9')
+    """).arrow()
+    recrawl = con.execute(f"""
+        SELECT doc_id + 100000 AS doc_id, text FROM read_parquet('{SF}')
+        WHERE source = 'src1' LIMIT 5
+    """).arrow()
+    withindup = con.execute(f"""
+        SELECT doc_id + 200000 AS doc_id, text FROM read_parquet('{SF}')
+        WHERE source = 'src7' LIMIT 3
+    """).arrow()
+    new = pa.concat_tables([base_new, recrawl, withindup])
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    pq.write_table(old, old_p)
+    pq.write_table(new, new_p)
+    return old_p, new_p, str(tmp_path / "store")
+
+
+def _oracle_ids(old_p: str, new_p: str) -> list[int]:
+    return [r[0] for r in duckdb.sql(f"""
+        WITH reps AS (
+          SELECT doc_id, {FP_SQL} AS f FROM read_parquet('{new_p}')
+          QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1)
+        SELECT doc_id FROM reps
+        WHERE f NOT IN (SELECT {FP_SQL} FROM read_parquet('{old_p}'))
+        ORDER BY doc_id
+    """).fetchall()]
+
+
+def _run(old_p, new_p, store, update=False, broadcast_limit=2_000_000):
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.incdedup import (
+        dedup_against_store,
+        write_fingerprint_store,
+    )
+    import os
+
+    if not os.path.isdir(store):
+        write_fingerprint_store(rd.read_parquet(old_p), store)
+    out = dedup_against_store(rd.read_parquet(new_p), store,
+                              update_store=update,
+                              broadcast_limit=broadcast_limit)
+    df = out.to_pandas()
+    return sorted(df["doc_id"].tolist()) if len(df) else []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_survivors_match_oracle_broadcast(snapshots):
+    old_p, new_p, store = snapshots
+    got = _run(old_p, new_p, store)
+    want = _oracle_ids(old_p, new_p)
+    assert got == want
+    # non-vacuous: recrawls (1e5+) and within-dups (2e5+) all dropped
+    assert all(i < 100000 for i in got) and len(want) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anti_join_path_identical(snapshots):
+    old_p, new_p, store = snapshots
+    a = _run(old_p, new_p, store, broadcast_limit=0)  # force the join
+    assert a == _oracle_ids(old_p, new_p)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_update_store_absorbs_increment(snapshots):
+    old_p, new_p, store = snapshots
+    first = _run(old_p, new_p, store, update=True)
+    assert first == _oracle_ids(old_p, new_p)
+    # replay the same increment: every fingerprint is now in the store
+    again = _run(old_p, new_p, store)
+    assert again == []
+    import os
+
+    assert len([f for f in os.listdir(store)
+                if f.endswith(".parquet")]) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_store_keeps_all_reps(snapshots, tmp_path):
+    _, new_p, _ = snapshots
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.incdedup import (
+        dedup_against_store,
+    )
+
+    out = dedup_against_store(rd.read_parquet(new_p),
+                              str(tmp_path / "nostore"))
+    got = sorted(out.to_pandas()["doc_id"].tolist())
+    want = [r[0] for r in duckdb.sql(f"""
+        SELECT doc_id FROM (
+          SELECT doc_id, {FP_SQL} AS f FROM read_parquet('{new_p}')
+          QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1)
+        ORDER BY doc_id
+    """).fetchall()]
+    assert got == want
