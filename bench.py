@@ -261,6 +261,22 @@ def run_bench() -> dict:
 
     timed("build_vocab", lambda: build_vocab(docs, max_size=100_000))
 
+    # ---- curation maps: textnorm + budget selection ----
+    from temporal_knowledge_graphs_ray.stages.budget import (
+        take_until_budget,
+    )
+    from temporal_knowledge_graphs_ray.stages.textnorm import (
+        normalize_text_stage,
+    )
+
+    timed("normalize_text",
+          lambda: normalize_text_stage(docs).materialize())
+    docs_nc = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "n_chars"])
+    timed("take_until_budget",
+          lambda: take_until_budget(docs_nc, "n_chars", "n_chars",
+                                    100_000, "doc_id").materialize())
+
     from temporal_knowledge_graphs_ray.stages.substring_dedup import (
         substring_dup_stats,
     )
