@@ -61,7 +61,12 @@ def take_until_budget(ds, score_col: str, weight_col: str, budget: float,
                       id_col: str, descending: bool = True,
                       num_bins: int = 4096, refine_cap: int = 2_000_000):
     """Dataset of the selected rows (see module doc for the exact
-    contract). ``descending=True`` = larger score is better."""
+    contract). ``descending=True`` = larger score is better.
+
+    NULL/NaN scores are never selected (they compare false in every
+    pass) — DuckDB's default ORDER BY puts NULLs last, so the oracle
+    only diverges when the budget outlives every non-null row; filter
+    nulls out first if they must participate."""
     if budget < 0:
         raise ValueError("budget must be >= 0")
     lo, hi = _minmax(ds, score_col)
