@@ -119,9 +119,25 @@ def take_until_budget(ds, score_col: str, weight_col: str, budget: float,
         cum = spent_before + np.cumsum(w_sums)
         over = np.nonzero(cum > budget)[0]
         if len(over) == 0:
-            # everything in range fits: keep all rows with key <= b
-            return _filter_selected(ds, score_col, id_col, sign, b,
-                                    None, None)
+            # histogram says everything in range fits — VERIFY with the
+            # exact filter comparison (k <= b) before the blanket keep:
+            # float bin boundaries can leak a boundary row out of the
+            # histogram, and the keep-all path has no later exact pass
+            # to catch it. On the (1-ulp) mismatch, fall through to the
+            # exact-slice machinery over the current range.
+            def upto(t: pa.Table) -> pa.Table:
+                k = sign * t[score_col].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                w = t[weight_col].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                return pa.table({"w": [float(w[k <= b].sum())]})
+
+            exact = float(ds.map_batches(upto, batch_format="pyarrow")
+                          .to_pandas()["w"].sum())
+            if exact <= budget:
+                return _filter_selected(ds, score_col, id_col, sign, b,
+                                        None, None)
+            break  # budget exhausts inside [a, b]: exact slice below
         cross = int(over[0])
         spent_before = float(cum[cross] - w_sums[cross])
         n_cross = int(n_rows[cross])
@@ -165,8 +181,17 @@ def take_until_budget(ds, score_col: str, weight_col: str, budget: float,
         cols = list(dict.fromkeys([score_col, weight_col, id_col]))
         return t.filter(m).select(cols)
 
-    slice_df = ds.map_batches(in_range, batch_format="pyarrow") \
-        .to_pandas()
+    slice_ds = ds.map_batches(in_range,
+                              batch_format="pyarrow").materialize()
+    n_slice = slice_ds.count()
+    if n_slice > refine_cap:
+        raise ValueError(
+            f"crossing slice holds {n_slice} rows > refine_cap "
+            f"{refine_cap}; raise refine_cap (driver sorts this slice "
+            f"exactly) or num_bins")
+    slice_df = slice_ds.to_pandas()
+    if slice_df.empty:
+        return _filter_selected(ds, score_col, id_col, sign, a, None, b)
     slice_df["_k"] = sign * slice_df[score_col].astype(float)
     # drop rows strictly better than the slice start (handled by the
     # strict filter) — only keys in [a, b] remain by construction
