@@ -398,6 +398,10 @@ def cmd_incdedup(args) -> int:
         write_fingerprint_store,
     )
 
+    if not args.init_from and not (args.documents and args.out):
+        print("incdedup needs either --init-from, or --documents "
+              "with --out", file=sys.stderr)
+        return 2
     _init_ray(args.num_cpus)
     if args.init_from:
         n = write_fingerprint_store(rd.read_parquet(args.init_from),

@@ -78,6 +78,8 @@ def hybrid_search(docs, query_text: str, k: int = 10, n_each: int = 50,
                             id_col=id_col).to_pandas()
 
     fused = rrf_fuse({"bm25": sparse[id_col].tolist(),
-                      "dense": dense[id_col].tolist()},
+                      # an empty corpus yields a column-less frame
+                      "dense": dense[id_col].tolist()
+                      if id_col in dense else []},
                      c=c, id_name=id_col)
     return fused.head(k).reset_index(drop=True)

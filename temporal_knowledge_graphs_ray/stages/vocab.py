@@ -80,6 +80,10 @@ def build_vocab(docs, text_col: str = "text", max_size: int = 50_000,
         counts = counts.filter(expr=f"n >= {min_count}")
     top = topk_rows(counts, ["n", "term"], [True, False],
                     max_size).to_pandas()
+    if top.empty:  # empty/stopword-only corpus: typed empty frame
+        return pd.DataFrame({"token_id": pd.Series([], dtype="int64"),
+                             "term": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
     top = top.sort_values(["n", "term"], ascending=[False, True],
                           ignore_index=True)
     top.insert(0, "token_id", range(len(top)))
