@@ -248,3 +248,102 @@ class Bm25Index:
         top = topk_rows(scored, keys=["score", id_col],
                         descending=[True, False], k=k).to_pandas()
         return top.reset_index(drop=True)
+
+    def score_many(self, queries: list[str], k: int = 10,
+                   num_partitions: int = 64) -> pd.DataFrame:
+        """Per-query top-k for a BATCH of queries in ONE pruned scan —
+        the serving-at-scale path (the AnnIndex.topk_many analogue).
+        Returns (qi, id, score) rows, <= k per query, ordered
+        (qi asc, score desc, id asc); queries with no matching terms
+        contribute no rows.
+
+        Dataflow: the scan prunes to the UNION of all queries' term
+        buckets; a broadcast (term -> query indices) table fans each
+        posting's contribution out to its queries inside the batch
+        (vectorized pandas merge), partials combine map-side per
+        (qi, id), one bucketed groupby sums, and the per-GROUP partial
+        top-k bounds the final selection at k x queries x blocks."""
+        import ray
+
+        from .topk import group_topk_rows
+
+        toks = [sorted(set(_TOKEN_RE.findall(q.lower())))
+                for q in queries]
+        want = sorted({t for ts in toks for t in ts})
+        empty = pd.DataFrame({
+            "qi": pd.Series([], dtype="int64"),
+            self.id_col: pd.Series([], dtype="object"),
+            "score": pd.Series([], dtype="float64")})
+        if not want or not self.n_docs:
+            return empty
+        matched = self._pruned(want)
+
+        def df_partial(t: pa.Table) -> pa.Table:
+            u, c = np.unique(t["term"].to_numpy(zero_copy_only=False),
+                             return_counts=True)
+            return pa.table({"term": pa.array(u.astype(object),
+                                              pa.string()),
+                             "df": pa.array(c.astype(np.int64))})
+
+        dfs: dict[str, int] = {}
+        for bt in matched.map_batches(
+                df_partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            for term, df in zip(bt["term"].to_pylist(),
+                                bt["df"].to_pylist()):
+                dfs[term] = dfs.get(term, 0) + df
+        if not dfs:
+            return empty
+        n = float(self.n_docs)
+        idf = {t: float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+               for t, df in dfs.items()}
+        # broadcast (term, qi, idf) fan-out table
+        tq = pd.DataFrame(
+            [(t, qi, idf.get(t, 0.0))
+             for qi, ts in enumerate(toks) for t in ts if t in idf],
+            columns=["term", "qi", "idf"])
+        tq_ref = ray.put(tq)
+        k1, b, avgdl = self.k1, self.b, (self.avgdl or 1.0)
+        id_col = self.id_col
+
+        def score_partial(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            fan = _ray.get(tq_ref)
+            tf = t["tf"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            dl = t["dl"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            base = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            df_ = pd.DataFrame({"term": t["term"].to_pandas(),
+                                "id": t[id_col].to_pandas(),
+                                "base": base})
+            m = df_.merge(fan, on="term", how="inner")
+            m["s"] = m["base"] * m["idf"]
+            g = (m.groupby(["qi", "id"], sort=True)["s"].sum()
+                 .reset_index())
+            out = pa.table({
+                "qi": pa.array(g["qi"].to_numpy(np.int64)),
+                id_col: pa.array(g["id"], t[id_col].type),
+                "score": pa.array(g["s"].to_numpy(), pa.float64())})
+            key = [f"{q}|{i}" for q, i in zip(g["qi"], g["id"])]
+            bkt = (hash64_vec(key) % np.uint64(num_partitions)) \
+                .astype(np.int32)
+            return out.append_column("pbucket", pa.array(bkt))
+
+        def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["qi", id_col, "score"])
+            out = (g.groupby(["qi", id_col], sort=True)["score"].sum()
+                   .reset_index())
+            return out[["qi", id_col, "score"]]
+
+        scored = (matched.map_batches(score_partial,
+                                      batch_format="pyarrow")
+                  .groupby("pbucket")
+                  .map_groups(sum_bucket, batch_format="pandas"))
+        top = group_topk_rows(scored, "qi", ["score", id_col],
+                              [True, False], k).to_pandas()
+        return (top.sort_values(["qi", "score", id_col],
+                                ascending=[True, False, True],
+                                ignore_index=True)
+                [["qi", id_col, "score"]])

@@ -118,3 +118,17 @@ def test_layout_invariance(ray_session):
     b = Bm25Index(docs.repartition(13), id_col="doc_id",
                   num_buckets=32).score(["scan", "sort"], k=50)
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_score_many_equals_per_query(index):
+    queries = ["sort merge join", "scan column", "zzzznotaterm",
+               "the query group"]
+    batch = index.score_many(queries, k=7)
+    assert list(batch.columns) == ["qi", "doc_id", "score"]
+    for qi, q in enumerate(queries):
+        got = batch[batch["qi"] == qi][["doc_id", "score"]] \
+            .reset_index(drop=True)
+        want = index.score([q], k=7).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (batch["qi"] == 2).sum() == 0  # no-match query: no rows
