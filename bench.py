@@ -187,6 +187,9 @@ def run_bench() -> dict:
               "bm25", Bm25Index(docs, id_col="doc_id")))
     timed("bm25_topk10",
           lambda: idx_holder["bm25"].score(["sort merge join"], k=10))
+    timed("bm25_batch16",
+          lambda: idx_holder["bm25"].score_many(
+              [f"sort merge join part {i}" for i in range(16)], k=10))
     timed("hybrid_topk10",
           lambda: hybrid_search(docs, "sort merge join window", k=10,
                                 bm25_index=idx_holder["bm25"]))

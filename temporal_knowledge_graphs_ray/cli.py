@@ -420,6 +420,26 @@ def cmd_incdedup(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Curated documents -> shuffled, packed training shards."""
+    import ray
+    import ray.data as rd
+
+    from .pipelines.export import export_training_data
+
+    _init_ray(args.num_cpus)
+    docs = rd.read_parquet(args.documents,
+                           columns=[args.id_col, args.text_col])
+    manifest = export_training_data(
+        docs, args.out, text_col=args.text_col, id_col=args.id_col,
+        token_budget=args.token_budget, seed=args.seed,
+        num_shards=args.num_shards, normalize=not args.no_normalize,
+        vocab_size=args.vocab_size)
+    print(json.dumps({"out": args.out, **manifest}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_analytics(args) -> int:
     """Whole-graph analytics over a built KG's edge table."""
     import ray
@@ -601,6 +621,18 @@ def main(argv=None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("export")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--token-budget", type=int, default=2048)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-shards", type=int, default=16)
+    p.add_argument("--vocab-size", type=int, default=None)
+    p.add_argument("--no-normalize", action="store_true")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("incdedup")
     p.add_argument("--store", required=True,
                    help="fingerprint store dir")
@@ -644,6 +676,8 @@ def main(argv=None) -> int:
         return cmd_vocab(args)
     if args.cmd == "incdedup":
         return cmd_incdedup(args)
+    if args.cmd == "export":
+        return cmd_export(args)
     if args.cmd == "eval":
         return cmd_eval(args)
     if args.cmd == "compact":

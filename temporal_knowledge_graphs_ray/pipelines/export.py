@@ -1,0 +1,123 @@
+"""End-to-end training-data export: curated documents → training
+shards (scale addition — the final mile of a training pipeline; the
+reference stops at graph construction, scripts/ingest_documents.py).
+
+One call chains the tested operators:
+
+1. unicode normalization (stages/textnorm.py, optional);
+2. token counting (stages/textstats.token_stats_stage);
+3. deterministic NEXT-FIT packing into token-budget sequences
+   (stages/packing.pack_sequences);
+4. SEQUENCE-grain deterministic shuffle — the md5 contract of
+   stages/shuffle.py applied to the sequence key, with docs of one
+   sequence kept adjacent and in doc-id order (a sequence is the
+   atomic training unit; shuffling must not split it);
+5. ordered shard Parquet (``shard=K/``, rows in (shard, pos) order),
+   an optional exact-vocab sidecar (stages/vocab.py), and a JSON
+   manifest with the parameters, row/sequence counts and the packing
+   fill report.
+
+Determinism: every step is a pure function of (corpus, params, seed),
+so re-running the export reproduces identical shards — the resume
+story is "rerun it"; a partially-written output is simply replaced.
+
+Scale notes: two streaming text passes (normalize, token-count), the
+packing groupby, one doc↔assignment hash join, the one unavoidable
+shuffle exchange, and the write. Driver state: the manifest numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.packing import pack_sequences, packing_report
+from ..stages.sampling import _md5_rank
+from ..stages.textnorm import normalize_text_stage
+from ..stages.textstats import token_stats_stage
+
+_SEQ = "seq_key"
+
+
+def export_training_data(docs, out_dir: str, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         token_budget: int = 2048, seed: int = 0,
+                         num_shards: int = 16, normalize: bool = True,
+                         pack_buckets: int = 64,
+                         vocab_size: int | None = None,
+                         join_partitions: int = 16) -> dict:
+    """Run the export; returns (and writes) the manifest dict."""
+    import shutil
+
+    from ..stages.blocks import coalesce_blocks
+
+    if normalize:
+        docs = normalize_text_stage(docs, text_col=text_col)
+    docs = docs.materialize()  # two consumers: stats pass + final join
+
+    stats = token_stats_stage(docs, text_col=text_col, id_col=id_col)
+    packed = pack_sequences(stats, token_budget, id_col=id_col,
+                            buckets=pack_buckets).materialize()
+    packed_df_small = None
+    report = None
+
+    def add_seq_key(t: pa.Table) -> pa.Table:
+        keys = [f"{b}:{s}" for b, s in zip(t["bucket"].to_pylist(),
+                                           t["seq"].to_pylist())]
+        return pa.table({id_col: t[id_col],
+                         _SEQ: pa.array(keys, pa.string()),
+                         "n_tokens": t["n_tokens"]})
+
+    assign = packed.map_batches(add_seq_key, batch_format="pyarrow")
+    rows = docs.join(assign, "inner", join_partitions, on=(id_col,))
+
+    # sequence-grain deterministic shuffle (stages/shuffle.py contract,
+    # secondary order doc_id so a sequence's docs stay in pack order)
+    def add_rank(t: pa.Table) -> pa.Table:
+        h = _md5_rank(t[_SEQ].to_pylist(), seed)
+        shard = [int(x[:4], 16) * num_shards >> 16 for x in h]
+        t = t.append_column("_rank", pa.array(h, pa.string()))
+        return t.append_column("shard",
+                               pa.array(shard, pa.int32()))
+
+    def sort_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_rank", _SEQ, id_col], kind="mergesort",
+                          ignore_index=True)
+        g["pos"] = range(len(g))
+        return g.drop(columns=["_rank"])
+
+    shuffled = (rows.map_batches(add_rank, batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(sort_shard, batch_format="pandas"))
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    coalesce_blocks(shuffled).write_parquet(out_dir,
+                                            partition_cols=["shard"])
+
+    packed_df_small = packed.to_pandas()
+    report = packing_report(packed_df_small, token_budget)
+    manifest = {
+        "docs": report["docs"],
+        "sequences": report["sequences"],
+        "token_budget": token_budget,
+        "fill_efficiency": round(report["fill_efficiency"], 4),
+        "oversized_docs": report["oversized_docs"],
+        "num_shards": num_shards,
+        "seed": seed,
+        "normalized": normalize,
+        "pack_buckets": pack_buckets,
+    }
+    if vocab_size:
+        from ..stages.vocab import build_vocab
+
+        vocab = build_vocab(docs, text_col=text_col,
+                            max_size=vocab_size)
+        vocab.to_parquet(os.path.join(out_dir, "_vocab.parquet"),
+                         index=False)
+        manifest["vocab_terms"] = len(vocab)
+    with open(os.path.join(out_dir, "_export_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

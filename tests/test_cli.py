@@ -136,3 +136,16 @@ def test_incdedup_subcommand(tmp_path):
                  "--documents", f"{SF}/documents.parquet",
                  "--out", out], tmp_path)
     assert rep2["survivors"] == 0
+
+
+def test_export_subcommand(tmp_path):
+    out = str(tmp_path / "exp")
+    rep = _run(["export", "--documents", f"{SF}/documents.parquet",
+                "--out", out, "--token-budget", "512",
+                "--num-shards", "4"], tmp_path)
+    assert rep["docs"] == 500 and rep["sequences"] > 0
+    got = duckdb.sql(f"""
+        SELECT count(*) FROM read_parquet('{out}/shard=*/*.parquet',
+                                          hive_partitioning=true)
+    """).fetchone()[0]
+    assert got == 500
