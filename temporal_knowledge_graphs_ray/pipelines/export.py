@@ -34,7 +34,7 @@ import os
 import pandas as pd
 import pyarrow as pa
 
-from ..stages.packing import pack_sequences, packing_report
+from ..stages.packing import pack_sequences, packing_report_distributed
 from ..stages.sampling import _md5_rank
 from ..stages.textnorm import normalize_text_stage
 from ..stages.textstats import token_stats_stage
@@ -48,21 +48,39 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
                          num_shards: int = 16, normalize: bool = True,
                          pack_buckets: int = 64,
                          vocab_size: int | None = None,
-                         join_partitions: int = 16) -> dict:
-    """Run the export; returns (and writes) the manifest dict."""
+                         join_partitions: int = 16,
+                         stage_cache: str = "memory") -> dict:
+    """Run the export; returns (and writes) the manifest dict.
+
+    ``stage_cache``: the normalized corpus has two-or-three consumers
+    (token stats, the final join, optionally vocab). "memory"
+    materializes it in the object store (small/medium corpora);
+    "disk" writes it to ``out_dir + ".norm"`` Parquet and re-reads —
+    the 100 TB mode: nothing page-grain ever lives in the object
+    store (the kg.py stage_cache rule)."""
     import shutil
 
     from ..stages.blocks import coalesce_blocks
 
+    if stage_cache not in ("memory", "disk"):
+        raise ValueError(f"stage_cache must be 'memory' or 'disk', "
+                         f"got {stage_cache!r}")
+    shutil.rmtree(out_dir, ignore_errors=True)
     if normalize:
         docs = normalize_text_stage(docs, text_col=text_col)
-    docs = docs.materialize()  # two consumers: stats pass + final join
+    if stage_cache == "disk":
+        import ray.data as rd
+
+        norm_dir = out_dir + ".norm"
+        shutil.rmtree(norm_dir, ignore_errors=True)
+        coalesce_blocks(docs).write_parquet(norm_dir)
+        docs = rd.read_parquet(norm_dir)
+    else:
+        docs = docs.materialize()
 
     stats = token_stats_stage(docs, text_col=text_col, id_col=id_col)
     packed = pack_sequences(stats, token_budget, id_col=id_col,
                             buckets=pack_buckets).materialize()
-    packed_df_small = None
-    report = None
 
     def add_seq_key(t: pa.Table) -> pa.Table:
         keys = [f"{b}:{s}" for b, s in zip(t["bucket"].to_pylist(),
@@ -93,12 +111,12 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
                 .groupby("shard")
                 .map_groups(sort_shard, batch_format="pandas"))
 
-    shutil.rmtree(out_dir, ignore_errors=True)
     coalesce_blocks(shuffled).write_parquet(out_dir,
                                             partition_cols=["shard"])
 
-    packed_df_small = packed.to_pandas()
-    report = packing_report(packed_df_small, token_budget)
+    # distributed report: the per-doc assignment table never lands on
+    # the driver (packing_report_distributed)
+    report = packing_report_distributed(packed, token_budget)
     manifest = {
         "docs": report["docs"],
         "sequences": report["sequences"],

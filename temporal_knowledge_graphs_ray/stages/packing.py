@@ -74,6 +74,58 @@ def pack_sequences(ds, token_budget: int, id_col: str = "doc_id",
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def packing_report_distributed(packed_ds, token_budget: int,
+                               tokens_col: str = "n_tokens") -> dict:
+    """packing_report over a packed-assignment DATASET: the driver
+    never holds the per-doc table. Counts/sums come from per-batch
+    scalar partials; the sequence count exploits that ``seq`` ids are
+    0-based and dense WITHIN each bucket (_pack_bucket increments from
+    0), so n_seq = Σ_bucket (max seq + 1) — a per-bucket max merge
+    bounded by #buckets × #blocks rows."""
+    import pyarrow as pa
+
+    def part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = t[tokens_col]
+        df = pd.DataFrame({"bucket": t["bucket"].to_numpy(
+            zero_copy_only=False),
+            "seq": t["seq"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("bucket")["seq"].max()
+        return pa.table({
+            "docs": pa.array([t.num_rows] + [0] * (len(g) - 1)
+                             if len(g) else [t.num_rows], pa.int64()),
+            "used": pa.array([pc.sum(toks).as_py() or 0]
+                             + [0] * max(0, len(g) - 1), pa.int64()),
+            "oversized": pa.array(
+                [(pc.sum(pc.cast(pc.greater(
+                    toks, pa.scalar(token_budget)), pa.int64()))
+                  .as_py() or 0)] + [0] * max(0, len(g) - 1),
+                pa.int64()),
+            "bucket": pa.array(g.index.to_numpy(np.int64)
+                               if len(g) else np.array([-1]),
+                               pa.int64()),
+            "max_seq": pa.array(g.to_numpy(np.int64)
+                                if len(g) else np.array([-1]),
+                                pa.int64()),
+        })
+
+    parts = packed_ds.map_batches(part, batch_format="pyarrow") \
+        .to_pandas()
+    per_bucket = parts[parts["bucket"] >= 0] \
+        .groupby("bucket")["max_seq"].max()
+    n_seq = int((per_bucket + 1).sum()) if len(per_bucket) else 0
+    used = int(parts["used"].sum())
+    return {
+        "docs": int(parts["docs"].sum()),
+        "sequences": n_seq,
+        "budget": token_budget,
+        "fill_efficiency": used / float(n_seq * token_budget)
+        if n_seq else 0.0,
+        "oversized_docs": int(parts["oversized"].sum()),
+    }
+
+
 def packing_report(packed_df: pd.DataFrame, token_budget: int,
                    tokens_col: str = "n_tokens") -> dict:
     """Fill-efficiency summary of a packing result (driver-side; input

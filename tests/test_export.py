@@ -85,3 +85,33 @@ def test_export_is_deterministic(tmp_path):
     mb = _export(b)
     assert ma == mb
     pd.testing.assert_frame_equal(_read_back(a), _read_back(b))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_disk_cache_mode_identical(tmp_path):
+    a = str(tmp_path / "mem")
+    b = str(tmp_path / "dsk")
+    ma = _export(a)
+    mb = _export(b, stage_cache="disk")
+    assert {k: v for k, v in ma.items()} == mb
+    pd.testing.assert_frame_equal(_read_back(a), _read_back(b))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_report_equals_pandas_report():
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.packing import (
+        pack_sequences,
+        packing_report,
+        packing_report_distributed,
+    )
+    from temporal_knowledge_graphs_ray.stages.textstats import (
+        token_stats_stage,
+    )
+
+    docs = rd.read_parquet(SF, columns=["doc_id", "text"])
+    packed = pack_sequences(token_stats_stage(docs), 512).materialize()
+    a = packing_report_distributed(packed, 512)
+    b = packing_report(packed.to_pandas(), 512)
+    assert a == b
