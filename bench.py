@@ -280,6 +280,18 @@ def run_bench() -> dict:
           lambda: take_until_budget(docs_nc, "n_chars", "n_chars",
                                     100_000, "doc_id").materialize())
 
+    # ---- end-to-end training export ----
+    from temporal_knowledge_graphs_ray.pipelines.export import (
+        export_training_data,
+    )
+
+    exp_dir = os.path.join(base, "tkg_bench_export")
+    timed("export_training_data",
+          lambda: export_training_data(docs, exp_dir,
+                                       token_budget=2048,
+                                       num_shards=16))
+    shutil.rmtree(exp_dir, ignore_errors=True)
+
     from temporal_knowledge_graphs_ray.stages.substring_dedup import (
         substring_dup_stats,
     )
