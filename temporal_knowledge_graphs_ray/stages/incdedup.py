@@ -67,6 +67,29 @@ def _write_increment(fp_ds, store_dir: str) -> int:
     return tbl.num_rows
 
 
+def compact_fingerprint_store(store_dir: str) -> dict:
+    """Merge every increment file into one distinct-fingerprint file.
+
+    Crash-safe WITHOUT journals because duplicate fingerprints are
+    membership-neutral: the merged file lands first (tmp → rename),
+    old files are deleted after — a kill in any window leaves the
+    merged file plus a subset of the old ones, which over-counts
+    nothing and drops nothing."""
+    import ray.data as rd
+
+    files = _store_files(store_dir)
+    if len(files) <= 1:
+        return {"files_before": len(files), "files_after": len(files),
+                "fingerprints": None}
+    distinct = (rd.read_parquet(files, columns=[_FP])
+                .groupby(_FP).count().select_columns([_FP]))
+    n = _write_increment(distinct, store_dir)
+    for f in files:
+        os.remove(f)
+    return {"files_before": len(files), "files_after": 1,
+            "fingerprints": n}
+
+
 def write_fingerprint_store(docs, store_dir: str, text_col: str = "text",
                             id_col: str = "doc_id") -> int:
     """Initialize/extend a store with a corpus's DISTINCT fingerprints;

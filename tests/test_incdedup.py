@@ -122,3 +122,33 @@ def test_empty_store_keeps_all_reps(snapshots, tmp_path):
         ORDER BY doc_id
     """).fetchall()]
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_store_preserves_membership(snapshots):
+    import os
+
+    import duckdb as dd
+
+    from temporal_knowledge_graphs_ray.stages.incdedup import (
+        compact_fingerprint_store,
+    )
+
+    old_p, new_p, store = snapshots
+    _run(old_p, new_p, store, update=True)         # store: 2 files
+    before = sorted(dd.sql(
+        f"SELECT DISTINCT fingerprint FROM "
+        f"read_parquet('{store}/*.parquet')").df()["fingerprint"])
+    rep = compact_fingerprint_store(store)
+    assert rep["files_before"] == 2 and rep["files_after"] == 1
+    assert rep["fingerprints"] == len(before)
+    files = [f for f in os.listdir(store) if f.endswith(".parquet")]
+    assert len(files) == 1
+    after = sorted(dd.sql(
+        f"SELECT fingerprint FROM "
+        f"read_parquet('{store}/*.parquet')").df()["fingerprint"])
+    assert after == before                         # distinct, complete
+    # replayed increment still fully absorbed post-compaction
+    assert _run(old_p, new_p, store) == []
+    # compacting a single-file store is a no-op
+    assert compact_fingerprint_store(store)["files_after"] == 1
