@@ -398,9 +398,17 @@ def cmd_incdedup(args) -> int:
         write_fingerprint_store,
     )
 
+    if args.compact:
+        from .stages.incdedup import compact_fingerprint_store
+
+        _init_ray(args.num_cpus)
+        print(json.dumps({"store": args.store,
+                          **compact_fingerprint_store(args.store)}))
+        ray.shutdown()
+        return 0
     if not args.init_from and not (args.documents and args.out):
-        print("incdedup needs either --init-from, or --documents "
-              "with --out", file=sys.stderr)
+        print("incdedup needs either --init-from, --compact, or "
+              "--documents with --out", file=sys.stderr)
         return 2
     _init_ray(args.num_cpus)
     if args.init_from:
@@ -643,6 +651,9 @@ def main(argv=None) -> int:
     p.add_argument("--init-from",
                    help="initialize the store from this corpus instead "
                         "of deduping")
+    p.add_argument("--compact", action="store_true",
+                   help="merge the store's increment files instead of "
+                        "deduping")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("analytics")
