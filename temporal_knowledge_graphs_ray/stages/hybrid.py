@@ -83,3 +83,44 @@ def hybrid_search(docs, query_text: str, k: int = 10, n_each: int = 50,
                       if id_col in dense else []},
                      c=c, id_name=id_col)
     return fused.head(k).reset_index(drop=True)
+
+
+def hybrid_search_many(docs, queries: list[str], k: int = 10,
+                       n_each: int = 50, c: int = 60,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       bm25_index=None, embedded=None,
+                       num_buckets: int = 64,
+                       cfg: EngineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Batched hybrid retrieval: BOTH legs process the whole query set
+    in one corpus pass each (Bm25Index.score_many + the batched exact
+    kNN), then each query fuses its two k-bounded lists driver-side.
+    Returns (qi, id, rrf_score, rank_bm25, rank_dense) rows, <= k per
+    query — identity-tested against per-query ``hybrid_search``."""
+    import numpy as np
+
+    from .bm25 import Bm25Index
+    from .embed import embed_documents
+    from .similarity import knn_brute_force_many
+
+    idx = bm25_index if bm25_index is not None else Bm25Index(
+        docs, text_col=text_col, id_col=id_col, num_buckets=num_buckets)
+    sparse = idx.score_many(queries, k=n_each)
+
+    if embedded is None:
+        embedded = embed_documents(docs.select_columns([id_col, text_col]),
+                                   text_col=text_col, cfg=cfg)
+    qm = embed_texts(queries, cfg.embed_dim, cfg.embed_ngram) \
+        .astype(np.float64)
+    dense = knn_brute_force_many(embedded, qm, k=n_each, id_col=id_col)
+
+    outs = []
+    for qi in range(len(queries)):
+        s_ids = sparse[sparse["qi"] == qi][id_col].tolist()
+        d_ids = dense[dense["qi"] == qi][id_col].tolist()
+        fused = rrf_fuse({"bm25": s_ids, "dense": d_ids},
+                         c=c, id_name=id_col).head(k)
+        fused.insert(0, "qi", qi)
+        outs.append(fused)
+    return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+        {"qi": [], id_col: [], "rrf_score": [],
+         "rank_bm25": [], "rank_dense": []})

@@ -91,6 +91,62 @@ def knn_brute_force(ds, query_vec: np.ndarray, k: int = 10,
     return topk_rows(scored, ["cosine", id_col], [True, False], k)
 
 
+def knn_brute_force_many(ds, query_mat: np.ndarray, k: int = 10,
+                         id_col: str = "vec_id",
+                         emb_col: str = "embedding",
+                         round_to: int = 6):
+    """Per-query exact top-k for a BATCH of query vectors in ONE
+    corpus scan: each block computes the (rows × queries) cosine
+    matrix with one matmul and keeps its per-query top-k (any global
+    top-k row is in its block's per-query top-k), so the grouped
+    selection sees only k × queries × blocks rows. Returns
+    (qi, id, cosine) ordered (qi asc, cosine desc, id asc) — the
+    batched-serving analogue of ``knn_brute_force`` (identity-tested
+    against it per query)."""
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+    from .topk import group_topk_rows
+
+    q = np.asarray(query_mat, dtype=np.float64)
+    if q.ndim != 2:
+        raise ValueError("query_mat must be (n_queries, dim)")
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = np.inf
+    n_q = q.shape[0]
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[emb_col])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = np.inf
+        cos = round_half_away(
+            (m @ q.T) / np.outer(norms, qn), round_to)
+        ids = batch[id_col].to_pandas()
+        df = pd.DataFrame({
+            "qi": np.repeat(np.arange(n_q, dtype=np.int64), len(ids)),
+            "id": np.tile(ids.to_numpy(), n_q),
+            "cosine": cos.T.reshape(-1)})
+        # per-block per-query top-k before anything moves
+        df = (df.sort_values(["qi", "cosine", "id"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+              .groupby("qi", sort=False).head(k))
+        return pa.Table.from_arrays(
+            [pa.array(df["qi"].to_numpy()),
+             pa.array(df["id"], batch[id_col].type),
+             pa.array(df["cosine"].to_numpy(), pa.float64())],
+            names=["qi", id_col, "cosine"])
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            batch_size=4096)
+    top = group_topk_rows(scored, "qi", ["cosine", id_col],
+                          [True, False], k).to_pandas()
+    return (top.sort_values(["qi", "cosine", id_col],
+                            ascending=[True, False, True],
+                            ignore_index=True)
+            [["qi", id_col, "cosine"]])
+
+
 def neardup_pairs_cosine(ds, threshold: float = 0.95, limit_ids: int = 500,
                          id_col: str = "vec_id", emb_col: str = "embedding"):
     """Pairs (a < b) with cosine >= threshold among the first ``limit_ids``

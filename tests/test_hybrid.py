@@ -130,3 +130,44 @@ def test_rrf_fuse_unit():
     assert out["doc_id"].tolist() == [1, 3, 2]
     r = out.set_index("doc_id")
     assert r.loc[2, "rank_b"] == 0 and r.loc[3, "rank_b"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_batched_variants_equal_per_query():
+    import numpy as np
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.config import DEFAULT_CONFIG as cfg
+    from temporal_knowledge_graphs_ray.functions.embed import embed_texts
+    from temporal_knowledge_graphs_ray.stages.embed import embed_documents
+    from temporal_knowledge_graphs_ray.stages.hybrid import (
+        hybrid_search,
+        hybrid_search_many,
+    )
+    from temporal_knowledge_graphs_ray.stages.similarity import (
+        knn_brute_force,
+        knn_brute_force_many,
+    )
+
+    docs = rd.read_parquet(SF, columns=["doc_id", "text"])
+    queries = ["sort merge join window", "scan column value",
+               "group agg key"]
+
+    emb = embed_documents(docs, text_col="text").materialize()
+    qm = embed_texts(queries, cfg.embed_dim, cfg.embed_ngram) \
+        .astype(np.float64)
+    batch_knn = knn_brute_force_many(emb, qm, k=9, id_col="doc_id")
+    for qi, q in enumerate(queries):
+        got = batch_knn[batch_knn["qi"] == qi][["doc_id", "cosine"]] \
+            .reset_index(drop=True)
+        want = knn_brute_force(emb, qm[qi], k=9,
+                               id_col="doc_id").to_pandas()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    batch_hyb = hybrid_search_many(docs, queries, k=6, n_each=20,
+                                   embedded=emb)
+    for qi, q in enumerate(queries):
+        got = batch_hyb[batch_hyb["qi"] == qi] \
+            .drop(columns=["qi"]).reset_index(drop=True)
+        want = hybrid_search(docs, q, k=6, n_each=20, embedded=emb)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
