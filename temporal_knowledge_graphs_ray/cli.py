@@ -65,8 +65,11 @@ def cmd_build(args, resume: bool = False, increment: bool = False) -> int:
               else ingest_increment)
         res = fn(_pages_dataset(args), args.out, alias_table=aliases)
     else:
+        blocked = (args.blocked_domains.split(",")
+                   if getattr(args, "blocked_domains", None) else None)
         res = build_kg(_pages_dataset(args), args.out,
-                       alias_table=aliases, resume=resume)
+                       alias_table=aliases, resume=resume,
+                       blocked_domains=blocked)
     print(json.dumps({k: v for k, v in res.items()
                       if isinstance(v, (str, int, dict))}, default=str))
     import ray
@@ -509,6 +512,9 @@ def main(argv=None) -> int:
         p.add_argument("--supersede-recrawls", action="store_true",
                        help="ingest only: a resubmitted url with a newer "
                             "warc_ts replaces its previous version")
+        p.add_argument("--blocked-domains", default=None,
+                       help="build only: comma list of registrable "
+                            "domains to drop before extraction")
 
     p = sub.add_parser("stats")
     p.add_argument("--out", required=True)

@@ -541,12 +541,15 @@ def build_kg(
     resume: bool = False,
     dedup_recrawls: bool = False,
     increment: bool = False,
+    blocked_domains: list[str] | None = None,
 ) -> dict:
     """Run the full construction pipeline. Returns output paths + metrics.
 
     ``pages_ds``: Ray Dataset with the input_hint schema
     (url, warc_ts, html, text?, lang). Ray must already be initialised by
-    the caller (driver contract).
+    the caller (driver contract). ``blocked_domains`` drops pages whose
+    registrable domain is listed (stages/urlfilter.py — the crawl-side
+    deny list) BEFORE any extraction work; default None is a no-op.
     """
     import time
 
@@ -572,6 +575,11 @@ def build_kg(
         # the appends this call performs, so re-consuming it here would
         # destroy that crash protection
         _recover_pending_journals(out_dir, cfg, alias_table)
+    if blocked_domains:
+        from ..stages.urlfilter import filter_domains
+
+        pages_ds = filter_domains(pages_ds, blocked_domains,
+                                  url_col="url", mode="block")
     cfg = _resolve_partitions(pages_ds, out_dir, cfg,
                               existing=(resume or increment))
     # size actor pools to the cluster unless pinned in cfg
