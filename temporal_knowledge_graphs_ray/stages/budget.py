@@ -102,13 +102,23 @@ def take_until_budget(ds, score_col: str, weight_col: str, budget: float,
                              "w": pa.array(ww[nz], pa.float64()),
                              "n": pa.array(nn[nz], pa.int64())})
 
-        parts = ds.map_batches(partial, batch_format="pyarrow") \
-            .to_pandas()
-        g = parts.groupby("bin").sum()
+        from ray.data.aggregate import Sum
+
+        # combine bin partials with a (tiny, map-side-combined) Ray
+        # aggregate so the driver receives <= num_bins rows — raw
+        # partials are bins x blocks rows, which at corpus block
+        # counts is itself a dataset
+        parts = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby("bin")
+                 .aggregate(Sum("w", alias_name="w"),
+                            Sum("n", alias_name="n"))
+                 .to_pandas())
         w_sums = np.zeros(num_bins)
         n_rows = np.zeros(num_bins, dtype=np.int64)
-        w_sums[g.index.to_numpy()] = g["w"].to_numpy()
-        n_rows[g.index.to_numpy()] = g["n"].to_numpy()
+        if len(parts):
+            idx_ = parts["bin"].to_numpy(np.int64)
+            w_sums[idx_] = parts["w"].to_numpy()
+            n_rows[idx_] = parts["n"].to_numpy()
         return w_sums, n_rows
 
     # narrow [a, b] to the crossing bin until candidates fit refine_cap
