@@ -110,12 +110,23 @@ def packing_report_distributed(packed_ds, token_budget: int,
                                 pa.int64()),
         })
 
-    parts = packed_ds.map_batches(part, batch_format="pyarrow") \
-        .to_pandas()
-    per_bucket = parts[parts["bucket"] >= 0] \
-        .groupby("bucket")["max_seq"].max()
-    n_seq = int((per_bucket + 1).sum()) if len(per_bucket) else 0
-    used = int(parts["used"].sum())
+    from ray.data.aggregate import Max
+
+    # per-batch partials reduce through Ray aggregates so the driver
+    # sees scalars + <= #buckets rows, not buckets x blocks rows
+    parts_ds = packed_ds.map_batches(part,
+                                     batch_format="pyarrow").materialize()
+    sums = {c: parts_ds.sum(c) or 0
+            for c in ("docs", "used", "oversized")}
+    per_bucket = (parts_ds
+                  .filter(expr="bucket >= 0")
+                  .groupby("bucket")
+                  .aggregate(Max("max_seq", alias_name="max_seq"))
+                  .to_pandas())
+    n_seq = int((per_bucket["max_seq"] + 1).sum()) \
+        if len(per_bucket) else 0
+    used = int(sums["used"])
+    parts = pd.DataFrame([sums])
     return {
         "docs": int(parts["docs"].sum()),
         "sequences": n_seq,
