@@ -548,3 +548,175 @@ def k_core(edges_ds, k: int, num_partitions: int = 64,
             return rd.from_arrow(empty)  # fully peeled: no k-core
 
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
+
+
+def _lpa_local(adj: dict, rounds: int) -> dict:
+    """Sequential synchronous LPA (the oracle semantics): every node
+    adopts the most frequent label among its distinct neighbors'
+    PREVIOUS-round labels, ties -> lexicographically smallest label."""
+    from collections import Counter
+
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        changed = False
+        for n, nbrs in adj.items():
+            c = Counter(labels[m] for m in nbrs)
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best
+            changed |= best != labels[n]
+        labels = new
+        if not changed:
+            break
+    return labels
+
+
+def label_propagation(edges_ds, rounds: int = 10,
+                      num_partitions: int = 64,
+                      local_edge_cutoff: int = 500_000):
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over the undirected simple graph. Returns a
+    Dataset of (node, community).
+
+    Semantics pinned for the oracle (tests/test_graph_analytics.py):
+    labels start as node ids; each SYNCHRONOUS round every node adopts
+    the most frequent label among its distinct neighbors'
+    previous-round labels, ties broken by the lexicographically
+    smallest label; early-stop when a round changes nothing, else stop
+    after ``rounds`` (synchronous LPA can 2-cycle on bipartite
+    structures — a bounded round count makes the output a pure function
+    of (graph, rounds)). Deterministic by construction: synchronous
+    update + total-order tie-break, so retries and any partition layout
+    give identical communities.
+
+    Physical plan = the ``connected_components`` shape: labels live in a
+    node-grain Dataset (never on the driver) and each round is exactly
+    two bucketed ``groupby(bucket).map_groups`` shuffles — (1) co-locate
+    each node's label with its adjacency rows (same bucket by
+    construction: both are bucketed by the owning node) and emit the
+    label to every neighbor, (2) per receiving node take the weighted
+    mode of incoming labels. No ``Dataset.join`` in the loop; block
+    growth from union+groupby is re-coalesced to the bucket grain per
+    round (the k_core cap).
+    """
+    import ray.data as rd
+
+    pairs = _norm_pairs(edges_ds).materialize()
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "community": pa.array([], pa.string())})
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    if pairs.count() <= local_edge_cutoff:
+        adj: dict = {}
+        for r in pairs.take_all():
+            adj.setdefault(r["u"], set()).add(r["v"])
+            adj.setdefault(r["v"], set()).add(r["u"])
+        labels = _lpa_local(adj, rounds)
+        nodes = sorted(labels)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.string()),
+            "community": pa.array([labels[n] for n in nodes],
+                                  pa.string())}))
+
+    adj_ds = _adjacency(pairs, num_partitions).materialize()
+
+    # label rows share the adjacency schema: (node, nbr=None, label,
+    # bucket) — adj rows carry null label
+    def init_labels(t: pa.Table) -> pa.Table:
+        # .to_numpy(): a drop_duplicates frame has a non-contiguous
+        # index, and mixing its columns with fresh RangeIndex Series in
+        # a DataFrame literal would align-join to NaN holes
+        nodes = (t.to_pandas().drop_duplicates(subset=["node"])
+                 ["node"].to_numpy(dtype=object))
+        out = pd.DataFrame({
+            "node": nodes,
+            "nbr": pd.Series([None] * len(nodes), dtype=object),
+            "label": nodes,
+        })
+        out["bucket"] = _bucket_np(out["node"], num_partitions)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["node"])
+
+    labels = (adj_ds.map_batches(init_labels, batch_format="pyarrow")
+              .groupby("bucket").map_groups(dedup_nodes,
+                                            batch_format="pandas")
+              .materialize())
+
+    def adj_with_label_col(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["node", "nbr"]].copy()
+        out["label"] = pd.Series([None] * len(df), dtype=object)
+        out["bucket"] = df["bucket"].to_numpy()
+        return out
+
+    adj_mixed = adj_ds.map_batches(adj_with_label_col,
+                                   batch_format="pandas").materialize()
+
+    for _ in range(rounds):
+        # stage 1: in each owner bucket, join label rows to adjacency
+        # rows and send (label -> neighbor) messages; forward the
+        # owner's old label for change detection
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["nbr"].isna()][["node", "label"]]
+            ar = g[g["nbr"].notna()][["node", "nbr"]]
+            m = ar.merge(lab, on="node")
+            out = pd.DataFrame({
+                "node": pd.concat([m["nbr"], lab["node"]],
+                                  ignore_index=True).astype(object),
+                "label": pd.concat([m["label"], lab["label"]],
+                                   ignore_index=True).astype(object),
+                "is_old": np.concatenate([
+                    np.zeros(len(m), dtype=bool),
+                    np.ones(len(lab), dtype=bool)]),
+            })
+            out["bucket"] = _bucket_np(out["node"], num_partitions)
+            return out
+
+        mixed = adj_mixed.union(labels)
+        msgs = mixed.groupby("bucket").map_groups(propagate,
+                                                  batch_format="pandas")
+
+        # stage 2: weighted mode per node with (count desc, label asc)
+        def reduce_mode(g: pd.DataFrame) -> pd.DataFrame:
+            m = g[~g["is_old"]]
+            counts = (m.groupby(["node", "label"], as_index=False)
+                      .size())
+            counts = counts.sort_values(
+                ["node", "size", "label"],
+                ascending=[True, False, True], kind="mergesort")
+            newl = counts.groupby("node", as_index=False).head(1)
+            oldl = g[g["is_old"]].set_index("node")["label"]
+            out = pd.DataFrame({
+                "node": newl["node"].to_numpy(dtype=object),
+                "nbr": pd.Series([None] * len(newl), dtype=object),
+                "label": newl["label"].to_numpy(dtype=object),
+            })
+            out["changed"] = (
+                out["label"].to_numpy()
+                != oldl.reindex(out["node"]).to_numpy()).astype(np.int32)
+            out["bucket"] = _bucket_np(out["node"], num_partitions)
+            return out
+
+        new_labels = (msgs.groupby("bucket")
+                      .map_groups(reduce_mode, batch_format="pandas")
+                      .materialize())
+        if new_labels.num_blocks() > num_partitions:
+            new_labels = new_labels.repartition(
+                num_partitions).materialize()
+        n_changed = new_labels.sum(on="changed")
+
+        def strip_changed(df: pd.DataFrame) -> pd.DataFrame:
+            return df[["node", "nbr", "label", "bucket"]]
+
+        labels = new_labels.map_batches(
+            strip_changed, batch_format="pandas").materialize()
+        if not n_changed:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table({
+            "node": t["node"].cast(pa.string()),
+            "community": t["label"].cast(pa.string())}),
+        batch_format="pyarrow")
