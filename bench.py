@@ -264,6 +264,40 @@ def run_bench() -> dict:
 
     timed("build_vocab", lambda: build_vocab(docs, max_size=100_000))
 
+    # ---- training-data ops: BPE tokenizer train + encode ----
+    from temporal_knowledge_graphs_ray.stages.bpe import (
+        apply_bpe,
+        train_bpe,
+    )
+
+    bpe_model = None
+
+    def bpe_train():
+        nonlocal bpe_model
+        bpe_model = train_bpe(docs, num_merges=500)
+        return bpe_model
+
+    timed("bpe_train500", bpe_train)
+    timed("bpe_encode",
+          lambda: apply_bpe(docs, bpe_model).materialize())
+
+    # ---- embedding ops: PCA fit + project ----
+    from temporal_knowledge_graphs_ray.stages.pca import (
+        fit_pca,
+        pca_transform,
+    )
+
+    pca_model = None
+
+    def pca_fit():
+        nonlocal pca_model
+        pca_model = fit_pca(emb, k=16)
+        return pca_model
+
+    timed("pca_fit", pca_fit)
+    timed("pca_transform",
+          lambda: pca_transform(emb, pca_model).materialize())
+
     # ---- curation maps: textnorm + budget selection ----
     from temporal_knowledge_graphs_ray.stages.budget import (
         take_until_budget,
@@ -324,6 +358,14 @@ def run_bench() -> dict:
           lambda: k_core(rd.read_parquet(res["edges"]), 3).to_pandas())
     timed("local_clustering",
           lambda: local_clustering(
+              rd.read_parquet(res["edges"])).to_pandas())
+
+    from temporal_knowledge_graphs_ray.pipelines.graph_analytics import (
+        label_propagation,
+    )
+
+    timed("label_propagation",
+          lambda: label_propagation(
               rd.read_parquet(res["edges"])).to_pandas())
 
     # ---- batch RAG over the KG built above (multi-query single pass) ----

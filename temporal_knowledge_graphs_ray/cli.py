@@ -390,6 +390,57 @@ def cmd_vocab(args) -> int:
     return 0
 
 
+def cmd_bpe(args) -> int:
+    """Train a BPE tokenizer on a documents table; optionally encode."""
+    import ray
+    import ray.data as rd
+
+    from .stages.bpe import apply_bpe, train_bpe
+
+    _init_ray(args.num_cpus)
+    docs = rd.read_parquet(args.documents)
+    model = train_bpe(docs, text_col=args.text_col,
+                      num_merges=args.num_merges,
+                      max_words=args.max_words)
+    model.save(args.out)
+    report = {"out": args.out, "merges": len(model.merges),
+              "vocab": len(model.vocab())}
+    if args.encode_out:
+        enc = apply_bpe(docs, model, text_col=args.text_col,
+                        id_col=args.id_col)
+        enc.write_parquet(args.encode_out)
+        report["encode_out"] = args.encode_out
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
+def cmd_pca(args) -> int:
+    """Fit PCA on an embeddings table; optionally project the corpus."""
+    import ray
+    import ray.data as rd
+
+    from .stages.pca import fit_pca, pca_transform
+
+    _init_ray(args.num_cpus)
+    emb = rd.read_parquet(args.embeddings)
+    model = fit_pca(emb, k=args.k, emb_col=args.emb_col)
+    model.save(args.out)
+    report = {"out": args.out, "n": model.n,
+              "components": int(model.components.shape[0]),
+              "explained_variance":
+                  [round(float(v), 6)
+                   for v in model.explained_variance[:5]]}
+    if args.transform_out:
+        proj = pca_transform(emb, model, emb_col=args.emb_col,
+                             id_col=args.id_col)
+        proj.write_parquet(args.transform_out)
+        report["transform_out"] = args.transform_out
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
 def cmd_incdedup(args) -> int:
     """Dedup a new snapshot against a persisted fingerprint store."""
     import ray
@@ -460,6 +511,7 @@ def cmd_analytics(args) -> int:
     from .pipelines.graph_analytics import (
         degree_distribution,
         k_core,
+        label_propagation,
         local_clustering,
         triangle_count,
     )
@@ -489,6 +541,9 @@ def cmd_analytics(args) -> int:
     if "pagerank" in which:
         pr = pagerank(edges)
         report["pagerank_top5"] = pr.head(5)["entity_id"].tolist()
+    if "communities" in which:
+        lp = label_propagation(edges, rounds=args.lpa_rounds)
+        report["communities"] = lp.to_pandas()["community"].nunique()
     print(json.dumps(report))
     ray.shutdown()
     return 0
@@ -666,8 +721,34 @@ def main(argv=None) -> int:
     p.add_argument("--kg", required=True, help="built KG output dir")
     p.add_argument("--metrics",
                    default="degrees,triangles,clustering,kcore,"
-                           "components,pagerank")
+                           "components,pagerank,communities")
     p.add_argument("--k", type=int, default=3, help="k for k-core")
+    p.add_argument("--lpa-rounds", type=int, default=10,
+                   help="label-propagation rounds for communities")
+    p.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser("bpe")
+    p.add_argument("--documents", required=True,
+                   help="documents Parquet (text corpus)")
+    p.add_argument("--out", required=True, help="merges JSON path")
+    p.add_argument("--num-merges", type=int, default=2000)
+    p.add_argument("--max-words", type=int, default=100_000)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--encode-out",
+                   help="also encode the corpus to this Parquet dir")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser("pca")
+    p.add_argument("--embeddings", required=True,
+                   help="embeddings Parquet (vec_id, embedding)")
+    p.add_argument("--out", required=True, help="model .npz path")
+    p.add_argument("--k", type=int, default=None,
+                   help="components to keep (default: all)")
+    p.add_argument("--transform-out",
+                   help="also project the corpus to this Parquet dir")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--emb-col", default="embedding")
     p.add_argument("--num-cpus", type=int, default=None)
 
     args = parser.parse_args(argv)
@@ -691,6 +772,10 @@ def main(argv=None) -> int:
         return cmd_mix(args)
     if args.cmd == "vocab":
         return cmd_vocab(args)
+    if args.cmd == "bpe":
+        return cmd_bpe(args)
+    if args.cmd == "pca":
+        return cmd_pca(args)
     if args.cmd == "incdedup":
         return cmd_incdedup(args)
     if args.cmd == "export":
