@@ -193,7 +193,12 @@ def train_bpe(docs, text_col: str = "text", num_merges: int = 200,
     the cap guards pathological corpora (random strings) — the dropped
     tail's token mass is logged, never silently ignored.
     """
-    counts = term_counts(docs, text_col=text_col, num_buckets=num_buckets)
+    # materialize the REDUCED (term, n) table once: both the top-k
+    # selection and the dropped-mass audit below read it, and without
+    # this the audit's sum() would re-execute the whole corpus count
+    # pass (a second full read at 100 TB)
+    counts = term_counts(docs, text_col=text_col,
+                         num_buckets=num_buckets).materialize()
     top = topk_rows(counts, ["n", "term"], [True, False],
                     max_words).to_pandas()
     if len(top) == max_words:
