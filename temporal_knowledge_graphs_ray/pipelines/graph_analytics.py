@@ -629,27 +629,47 @@ def label_propagation(edges_ds, rounds: int = 10,
         # a DataFrame literal would align-join to NaN holes
         nodes = (t.to_pandas().drop_duplicates(subset=["node"])
                  ["node"].to_numpy(dtype=object))
-        out = pd.DataFrame({
-            "node": nodes,
-            "nbr": pd.Series([None] * len(nodes), dtype=object),
-            "label": nodes,
+        # explicit Arrow types: an all-None column would infer the null
+        # type and every union with the string-typed adjacency blocks
+        # would need schema promotion
+        return pa.table({
+            "node": pa.array(nodes, pa.string()),
+            "nbr": pa.array([None] * len(nodes), pa.string()),
+            "label": pa.array(nodes, pa.string()),
+            "bucket": pa.array(
+                _bucket_np(pd.Series(nodes), num_partitions), pa.int32()),
         })
-        out["bucket"] = _bucket_np(out["node"], num_partitions)
-        return pa.Table.from_pandas(out, preserve_index=False)
 
-    def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["node"])
+    def dedup_nodes(g: pd.DataFrame) -> pa.Table:
+        # Arrow output with pinned types: the union below requires every
+        # block on the path to share one block type AND one schema
+        g = g.drop_duplicates(subset=["node"])
+        return pa.table({
+            "node": pa.array(g["node"].to_numpy(dtype=object),
+                             pa.string()),
+            "nbr": pa.array([None] * len(g), pa.string()),
+            "label": pa.array(g["label"].to_numpy(dtype=object),
+                              pa.string()),
+            "bucket": pa.array(g["bucket"].to_numpy(dtype=np.int32),
+                               pa.int32()),
+        })
 
     labels = (adj_ds.map_batches(init_labels, batch_format="pyarrow")
               .groupby("bucket").map_groups(dedup_nodes,
                                             batch_format="pandas")
               .materialize())
 
-    def adj_with_label_col(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["node", "nbr"]].copy()
-        out["label"] = pd.Series([None] * len(df), dtype=object)
-        out["bucket"] = df["bucket"].to_numpy()
-        return out
+    def adj_with_label_col(df: pd.DataFrame) -> pa.Table:
+        # explicit Arrow types (see init_labels): label is all-None here
+        return pa.table({
+            "node": pa.array(df["node"].to_numpy(dtype=object),
+                             pa.string()),
+            "nbr": pa.array(df["nbr"].to_numpy(dtype=object),
+                            pa.string()),
+            "label": pa.array([None] * len(df), pa.string()),
+            "bucket": pa.array(
+                df["bucket"].to_numpy(dtype=np.int32), pa.int32()),
+        })
 
     adj_mixed = adj_ds.map_batches(adj_with_label_col,
                                    batch_format="pandas").materialize()
@@ -707,8 +727,17 @@ def label_propagation(edges_ds, rounds: int = 10,
                 num_partitions).materialize()
         n_changed = new_labels.sum(on="changed")
 
-        def strip_changed(df: pd.DataFrame) -> pd.DataFrame:
-            return df[["node", "nbr", "label", "bucket"]]
+        def strip_changed(df: pd.DataFrame) -> pa.Table:
+            # explicit Arrow types (see init_labels): nbr is all-None
+            return pa.table({
+                "node": pa.array(df["node"].to_numpy(dtype=object),
+                                 pa.string()),
+                "nbr": pa.array([None] * len(df), pa.string()),
+                "label": pa.array(df["label"].to_numpy(dtype=object),
+                                  pa.string()),
+                "bucket": pa.array(
+                    df["bucket"].to_numpy(dtype=np.int32), pa.int32()),
+            })
 
         labels = new_labels.map_batches(
             strip_changed, batch_format="pandas").materialize()
