@@ -441,6 +441,29 @@ def cmd_pca(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Profile a Parquet table (one streaming aggregate pass); optionally
+    validate expectation rules from a JSON file."""
+    import ray
+    import ray.data as rd
+
+    from .stages.profile import profile_columns, validate_expectations
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.table)
+    cols = args.columns.split(",") if args.columns else None
+    report: dict = {"profile": profile_columns(
+        ds, cols, topk=args.topk, max_candidates=args.max_candidates)}
+    if args.rules:
+        with open(args.rules) as f:
+            rules = json.load(f)
+        report["expectations"] = validate_expectations(
+            ds, rules, id_col=args.id_col)
+    print(json.dumps(report, default=str))
+    ray.shutdown()
+    return 0
+
+
 def cmd_incdedup(args) -> int:
     """Dedup a new snapshot against a persisted fingerprint store."""
     import ray
@@ -739,6 +762,17 @@ def main(argv=None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("profile")
+    p.add_argument("--table", required=True, help="Parquet table to profile")
+    p.add_argument("--columns", help="comma-separated (default: all "
+                                     "non-nested, non-binary columns)")
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--max-candidates", type=int, default=4096)
+    p.add_argument("--rules", help="expectation rules JSON file")
+    p.add_argument("--id-col", default="doc_id",
+                   help="id column for violation examples")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("pca")
     p.add_argument("--embeddings", required=True,
                    help="embeddings Parquet (vec_id, embedding)")
@@ -776,6 +810,8 @@ def main(argv=None) -> int:
         return cmd_bpe(args)
     if args.cmd == "pca":
         return cmd_pca(args)
+    if args.cmd == "profile":
+        return cmd_profile(args)
     if args.cmd == "incdedup":
         return cmd_incdedup(args)
     if args.cmd == "export":

@@ -1,0 +1,363 @@
+"""Dataset profiling and expectation validation (scale additions — the
+data-quality surface of a production ingest pipeline; the reference's
+nearest analogues are the ad-hoc dataset stats in
+scripts/analyze_ectsum.py and the run-stats counters, neither of which
+profiles arbitrary columns).
+
+``profile_columns`` computes, in ONE streaming pass over the corpus, a
+per-column profile: row/null counts, min/max, numeric moments
+(mean/std), string length stats, an APPROXIMATE distinct count
+(HyperLogLog — the same 63-bit-aware register math as
+stages/sketches.HllDistinct) and the EXACT top-k most frequent values
+(per-block value counts with a bounded candidate set, merged by sum —
+exact whenever a column's distinct count stays under the candidate cap,
+flagged ``topk_exact=False`` otherwise instead of silently degrading).
+State flows through Ray's native ``AggregateFnV2`` map-combine tree, so
+the pass is parallelism-invariant for every exact field and
+merge-correct for the sketches — the corpus is never shuffled and the
+driver sees one bounded accumulator.
+
+``validate_expectations`` turns a rule dict into one vectorized filter
+pass returning per-rule violation counts plus up to ``sample`` example
+rows per rule (not_null / unique / min / max / regex / in_set /
+str_len). Uniqueness is the one rule that genuinely needs a shuffle; it
+runs as the house fingerprint→groupby count (exact), everything else
+streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import AggregateFnV2
+
+from ..functions.hashing import fast_hash64
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_update(regs: np.ndarray, h: np.ndarray) -> None:
+    """Update HLL registers in place from 63-bit hashes (the
+    sketches.HllDistinct math: index from the top of the 63 USABLE
+    bits)."""
+    if not len(h):
+        return
+    idx = (h >> np.uint64(63 - _HLL_P)).astype(np.int64)
+    rest = h << np.uint64(_HLL_P + 1)
+    lz = np.full(len(h), 63 - _HLL_P, dtype=np.int64)
+    nonzero = rest != 0
+    if nonzero.any():
+        bits = np.floor(np.log2(rest[nonzero].astype(np.float64)))
+        lz[nonzero] = 63 - bits.astype(np.int64)
+    rank = np.minimum(lz + 1, 63 - _HLL_P + 1).astype(np.int8)
+    np.maximum.at(regs, idx, rank)
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def _col_state() -> dict:
+    return {
+        "n": 0, "nulls": 0,
+        "min": None, "max": None,
+        "num_sum": 0.0, "num_sumsq": 0.0, "is_numeric": None,
+        "len_sum": 0,
+        "hll": np.zeros(_HLL_M, dtype=np.int8),
+        "counts": {},           # value -> exact count (bounded)
+        "counts_overflow": False,
+    }
+
+
+def _merge_minmax(state: dict, lo, hi) -> None:
+    if lo is None:
+        return
+    state["min"] = lo if state["min"] is None else min(state["min"], lo)
+    state["max"] = hi if state["max"] is None else max(state["max"], hi)
+
+
+class ProfileAggregate(AggregateFnV2):
+    """One-pass multi-column profile accumulator. Usage::
+
+        prof = ds.aggregate(ProfileAggregate(columns=[...]))["profile"]
+
+    Accumulator state travels between map and combine as pickled bytes:
+    the raw dict holds numpy registers and value-keyed count dicts that
+    Arrow cannot represent natively, and letting Ray's block layer
+    discover that per partial (its pickle fallback) logs a warning per
+    block and re-infers the schema each time.
+    """
+
+    def __init__(self, columns: list[str], topk: int = 5,
+                 max_candidates: int = 4096,
+                 alias_name: str = "profile"):
+        import pickle
+
+        self._cols = list(columns)
+        self._topk = topk
+        self._cap = max_candidates
+        empty = pickle.dumps({c: _col_state() for c in self._cols})
+        super().__init__(alias_name,
+                         zero_factory=lambda z=empty: z,
+                         on=None, ignore_nulls=False)
+
+    def _trim(self, st: dict) -> None:
+        if len(st["counts"]) > self._cap:
+            st["counts_overflow"] = True
+            st["counts"] = dict(sorted(
+                st["counts"].items(),
+                key=lambda kv: (-kv[1], str(kv[0])))[:self._cap])
+
+    def aggregate_block(self, block) -> bytes:
+        import pickle
+
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        out = {c: _col_state() for c in self._cols}
+        for c in self._cols:
+            st = out[c]
+            col = block[c]
+            st["n"] = len(col)
+            st["nulls"] = col.null_count
+            valid = col.drop_null().combine_chunks()
+            if not len(valid):
+                continue
+            numeric = pa.types.is_integer(col.type) or pa.types.is_floating(
+                col.type)
+            st["is_numeric"] = numeric
+            try:
+                mm = pc.min_max(valid)
+                _merge_minmax(st, mm["min"].as_py(), mm["max"].as_py())
+            except pa.ArrowNotImplementedError:
+                pass  # unorderable type (e.g. nested): no min/max
+            if numeric:
+                vals = valid.to_numpy(zero_copy_only=False).astype(
+                    np.float64)
+                st["num_sum"] = float(vals.sum())
+                st["num_sumsq"] = float((vals * vals).sum())
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                    col.type):
+                st["len_sum"] = int(
+                    pc.sum(pc.utf8_length(valid)).as_py() or 0)
+            # distinct sketch + exact bounded top-k candidates
+            try:
+                vc = valid.value_counts()
+                pairs = [(v.as_py(), n.as_py())
+                         for v, n in zip(vc.field("values"),
+                                         vc.field("counts"))]
+            except pa.ArrowNotImplementedError:
+                pairs = []
+            if pairs:
+                h = np.fromiter(
+                    (fast_hash64(str(v)) for v, _ in pairs),
+                    dtype=np.uint64, count=len(pairs))
+                _hll_update(st["hll"], h)
+                st["counts"] = {v: n for v, n in pairs}
+                self._trim(st)
+        return pickle.dumps(out)
+
+    def combine(self, a_ser: bytes, b_ser: bytes) -> bytes:
+        import pickle
+
+        a, b = pickle.loads(a_ser), pickle.loads(b_ser)
+        out = {}
+        for c in self._cols:
+            sa, sb = a[c], b[c]
+            st = _col_state()
+            st["n"] = sa["n"] + sb["n"]
+            st["nulls"] = sa["nulls"] + sb["nulls"]
+            _merge_minmax(st, sa["min"], sa["max"])
+            _merge_minmax(st, sb["min"], sb["max"])
+            st["num_sum"] = sa["num_sum"] + sb["num_sum"]
+            st["num_sumsq"] = sa["num_sumsq"] + sb["num_sumsq"]
+            st["is_numeric"] = (sa["is_numeric"]
+                                if sa["is_numeric"] is not None
+                                else sb["is_numeric"])
+            st["len_sum"] = sa["len_sum"] + sb["len_sum"]
+            st["hll"] = np.maximum(sa["hll"], sb["hll"])
+            counts = dict(sa["counts"])
+            for v, n in sb["counts"].items():
+                counts[v] = counts.get(v, 0) + n
+            st["counts"] = counts
+            st["counts_overflow"] = (sa["counts_overflow"]
+                                     or sb["counts_overflow"])
+            self._trim(st)
+            out[c] = st
+        return pickle.dumps(out)
+
+    def finalize(self, acc_ser: bytes) -> dict:
+        import pickle
+
+        acc = pickle.loads(acc_ser)
+        prof = {}
+        for c in self._cols:
+            st = acc[c]
+            n_valid = st["n"] - st["nulls"]
+            entry = {
+                "n": int(st["n"]),
+                "nulls": int(st["nulls"]),
+                "min": st["min"],
+                "max": st["max"],
+                "approx_distinct": _hll_estimate(st["hll"]),
+                "topk_exact": not st["counts_overflow"],
+            }
+            if not st["counts_overflow"]:
+                # candidate set never overflowed -> counts are the FULL
+                # exact histogram: report the exact distinct too
+                entry["distinct"] = len(st["counts"])
+            if st["is_numeric"] and n_valid:
+                mean = st["num_sum"] / n_valid
+                var = max(st["num_sumsq"] / n_valid - mean * mean, 0.0)
+                entry["mean"] = mean
+                entry["std"] = float(np.sqrt(var))
+            if st["len_sum"] and n_valid:
+                entry["avg_len"] = st["len_sum"] / n_valid
+            entry["topk"] = [
+                [v, int(n)] for v, n in sorted(
+                    st["counts"].items(),
+                    key=lambda kv: (-kv[1], str(kv[0])))[:self._topk]]
+            prof[c] = entry
+        return prof
+
+
+def profile_columns(ds, columns: list[str] | None = None, topk: int = 5,
+                    max_candidates: int = 4096) -> dict:
+    """Profile ``columns`` (default: all non-nested columns) in one
+    streaming aggregate pass. Returns {column: profile dict}."""
+    if columns is None:
+        schema = ds.schema()
+        columns = []
+        for n, t in zip(schema.names, schema.types):
+            # pandas-block datasets report numpy dtypes here; only
+            # Arrow types can be screened for nested/binary (the
+            # aggregate handles surprise types defensively anyway)
+            if isinstance(t, pa.DataType) and (
+                    pa.types.is_nested(t) or pa.types.is_binary(t)
+                    or pa.types.is_large_binary(t)):
+                continue
+            columns.append(n)
+    res = ds.select_columns(columns).aggregate(
+        ProfileAggregate(columns=columns, topk=topk,
+                         max_candidates=max_candidates))
+    return res["profile"]
+
+
+def validate_expectations(ds, rules: dict, id_col: str,
+                          sample: int = 5) -> dict:
+    """Check per-column expectations; returns
+    {rule_key: {"violations": int, "examples": [ids...]}} plus
+    ``row_count``. Rules per column: ``not_null``, ``unique``, ``min``,
+    ``max``, ``regex`` (full match), ``in_set``, ``max_len``.
+
+    Every rule except ``unique`` is one vectorized streaming pass (all
+    rules evaluate in the SAME pass); ``unique`` adds the one exact
+    groupby a duplicate check needs (uniform key hash, no skew).
+    """
+    import ray.data as rd  # noqa: F401  (documents the Dataset dep)
+
+    checks = []  # (key, fn: pa.Table -> bool mask of VIOLATIONS)
+    for col, spec in rules.items():
+        for rule, arg in spec.items():
+            key = f"{col}.{rule}"
+            if rule == "not_null":
+                checks.append((key, lambda t, c=col: pc.is_null(t[c])))
+            elif rule == "min":
+                checks.append((key, lambda t, c=col, a=arg: pc.fill_null(
+                    pc.less(t[c], pa.scalar(a)), False)))
+            elif rule == "max":
+                checks.append((key, lambda t, c=col, a=arg: pc.fill_null(
+                    pc.greater(t[c], pa.scalar(a)), False)))
+            elif rule == "regex":
+                checks.append((key, lambda t, c=col, a=arg: pc.fill_null(
+                    pc.invert(pc.match_substring_regex(
+                        t[c], f"^(?:{a})$")), False)))
+            elif rule == "in_set":
+                # is_in maps null -> false (not null), so mask validity
+                # explicitly: nulls are not in_set violations (not_null
+                # is its own rule)
+                checks.append((key, lambda t, c=col, a=arg: pc.and_(
+                    pc.invert(pc.is_in(
+                        t[c], value_set=pa.array(sorted(a)))),
+                    pc.is_valid(t[c]))))
+            elif rule == "max_len":
+                checks.append((key, lambda t, c=col, a=arg: pc.fill_null(
+                    pc.greater(pc.utf8_length(t[c]),
+                               pa.scalar(a, pa.int64())), False)))
+            elif rule == "unique":
+                pass  # handled below (needs a shuffle)
+            else:
+                raise ValueError(f"unknown expectation rule {rule!r}")
+
+    def scan(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys, viols, ids = [], [], []
+        for key, fn in checks:
+            mask = fn(t)
+            cnt = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+            ex = (t.filter(mask)[id_col].slice(0, sample).to_pylist()
+                  if cnt else [])
+            keys.append(key)
+            viols.append(cnt)
+            ids.append([str(x) for x in ex])
+        keys.append("__rows__")
+        viols.append(n)
+        ids.append([])
+        return pa.table({
+            "rule": pa.array(keys, pa.string()),
+            "violations": pa.array(viols, pa.int64()),
+            "examples": pa.array(ids, pa.list_(pa.string())),
+        })
+
+    partials = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    report: dict = {"row_count": 0}
+    if len(partials):
+        g = partials.groupby("rule")
+        for rule, grp in g:
+            if rule == "__rows__":
+                report["row_count"] = int(grp["violations"].sum())
+                continue
+            ex: list[str] = []
+            for lst in grp["examples"]:
+                for x in lst:
+                    if len(ex) < sample:
+                        ex.append(x)
+            report[rule] = {"violations": int(grp["violations"].sum()),
+                            "examples": ex}
+    else:
+        for key, _ in checks:
+            report[key] = {"violations": 0, "examples": []}
+
+    # unique rules: exact duplicate detection via one grouped count
+    uniq_cols = [c for c, spec in rules.items() if spec.get("unique")]
+    for col in uniq_cols:
+        from .topk import topk_rows
+
+        def count_dups(t: pa.Table, c=col) -> pa.Table:
+            g = t.group_by(c).aggregate([(c, "count")])
+            return g.rename_columns([c, "cnt"])
+
+        dup = (ds.select_columns([col])
+               .map_batches(count_dups, batch_format="pyarrow")
+               .groupby(col).sum("cnt")
+               .rename_columns({"sum(cnt)": "cnt"})
+               .filter(expr="cnt > 1"))
+        dup_pdf = topk_rows(dup, ["cnt", col], [True, False],
+                            max(sample, 1)).to_pandas()
+        n_dup_keys = dup.count()
+        # Ray's to_pandas drops the schema on an empty result
+        examples = ([str(x) for x in dup_pdf[col].tolist()]
+                    if col in dup_pdf.columns else [])
+        report[f"{col}.unique"] = {
+            "violations": int(n_dup_keys),
+            "examples": examples,
+        }
+    return report
