@@ -121,14 +121,32 @@ def _lookback_start(text: str, start: int,
 
 
 def _classify_capseq(text: str, m: re.Match) -> str | None:
-    """Classify a capitalized-sequence match; None -> drop."""
+    """Classify a capitalized-sequence match; None -> drop.
+
+    The look-back window (``_lookback_start`` + a $-anchored regex) is
+    only computed when a cheap NECESSARY condition of the cue regex
+    holds: every _LOCATION_CUE_BEFORE alternative ends with ``in`` or
+    ``to`` followed by whitespace, so the two characters before the
+    match's preceding whitespace decide whether the full check can
+    possibly succeed. The overwhelming majority of capitalized
+    sequences fail this pre-filter, skipping the per-match text walk
+    entirely — classification output is bit-identical (false positives
+    fall through to the full regex; false negatives are impossible).
+    """
     seq = m.group(0)
     tokens = seq.split()
     start = m.start()
-    wstart = _lookback_start(text, start)
 
-    if _LOCATION_CUE_BEFORE.search(text, wstart, start):
-        return "LOCATION"
+    # one whitespace skip (usually a single char) shared by the cue
+    # pre-filters; NOT the full 4-token walk
+    i = start
+    while i and text[i - 1].isspace():
+        i -= 1
+
+    if text[max(i - 2, 0):i] in ("in", "to"):
+        wstart = _lookback_start(text, start)
+        if _LOCATION_CUE_BEFORE.search(text, wstart, start):
+            return "LOCATION"
 
     if any(t in _ORG_SUFFIX_TOKENS for t in tokens[1:]) or (
         len(tokens) == 1 and tokens[0] in _ORG_SUFFIX_TOKENS
@@ -151,11 +169,16 @@ def _classify_capseq(text: str, m: re.Match) -> str | None:
         and all(t.isalpha() and t[0].isupper() and t[1:].islower() for t in tokens)
     )
     if person_shaped:
-        before = text[wstart:start].rstrip()
-        honorific = before.endswith(_HONORIFICS)
-        cued_after = bool(_PERSON_VERBS_AFTER.match(text, m.end()))
-        cued_before = bool(_PERSON_CUE_BEFORE.search(text, wstart, start))
-        if honorific or cued_after or cued_before:
+        # honorifics all end with "."; the stripped prefix ends exactly
+        # at i, so text[i-1] == "." is a necessary condition
+        honorific = text[i - 1:i] == "." and text[
+            max(i - 5, 0):i].endswith(_HONORIFICS)
+        cued_after = honorific or bool(
+            _PERSON_VERBS_AFTER.match(text, m.end()))
+        if cued_after:
+            return "PERSON"
+        wstart = _lookback_start(text, start)
+        if _PERSON_CUE_BEFORE.search(text, wstart, start):
             return "PERSON"
     return "ORGANIZATION"
 

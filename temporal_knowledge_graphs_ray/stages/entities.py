@@ -194,33 +194,47 @@ class MentionLinkStage:
         return self.aliases.get((etype, name.lower()), name)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        confidence = ner.MENTION_CONFIDENCE
-        out = {k: [] for k in MENTIONS_SCHEMA.names}
-        urls = batch["url"].to_pylist()
-        parts = batch["part"].to_pylist()
-        chunk_ids = batch["chunk_id"].to_pylist()
-        vfs = batch["valid_from"].to_pylist()
-        ents = batch["entities"].to_pylist()
-        for url, part, chunk_id, vf, chunk_ents in zip(
-            urls, parts, chunk_ids, vfs, ents
-        ):
-            for e in chunk_ents:
-                linked = self._link(e["name"], e["type"])
-                out["url"].append(url)
-                # part may arrive as a string after a hive-partitioned read
-                out["part"].append(int(part))
-                out["chunk_id"].append(chunk_id)
-                out["surface"].append(e["name"])
-                out["type"].append(e["type"])
-                out["position"].append(e["position"])
-                out["mention_count"].append(e["mention_count"])
-                out["confidence"].append(confidence)
-                out["valid_from"].append(vf)
-                out["linked_name"].append(linked)
-                out["entity_key"].append(surface_key(linked))
+        # Vectorized mention explode: list_flatten + list_parent_indices
+        # broadcast the chunk-grain columns to mention grain zero-copy-ish;
+        # the only Python loop left is the alias-dict lookup + surface_key
+        # (both per-mention by nature).
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ents_col = batch["entities"]
+        if isinstance(ents_col, pa.ChunkedArray):
+            ents_col = ents_col.combine_chunks()
+        idx = pc.list_parent_indices(ents_col)
+        flat = pc.list_flatten(ents_col)
+        n = len(flat)
+
+        def take(col_name: str, typ: pa.DataType) -> pa.Array:
+            col = batch[col_name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # part may arrive as a string after a hive-partitioned read
+            return pc.take(col.cast(typ), idx)
+
+        aliases = self.aliases
+        names = flat.field("name").to_pylist()
+        types = flat.field("type").to_pylist()
+        linked = [aliases.get((t, s.lower()), s)
+                  for s, t in zip(names, types)]
         return pa.Table.from_arrays(
-            [pa.array(out[n], MENTIONS_SCHEMA.field(n).type)
-             for n in MENTIONS_SCHEMA.names],
+            [
+                take("url", pa.string()),
+                take("part", pa.int32()),
+                take("chunk_id", pa.string()),
+                flat.field("name").cast(pa.string()),
+                flat.field("type").cast(pa.string()),
+                flat.field("position").cast(pa.int32()),
+                flat.field("mention_count").cast(pa.int32()),
+                pa.array(
+                    np.full(n, ner.MENTION_CONFIDENCE, dtype=np.float32)),
+                take("valid_from", pa.timestamp("us")),
+                pa.array(linked, pa.string()),
+                pa.array([surface_key(x) for x in linked], pa.string()),
+            ],
             schema=MENTIONS_SCHEMA,
         )
 

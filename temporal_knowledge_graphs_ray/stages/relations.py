@@ -68,20 +68,30 @@ class RelationExtractorStage:
         texts = batch["text"].to_pylist()
         chunk_ids = batch["chunk_id"].to_pylist()
         vfs = batch["valid_from"].to_pylist()
-        ents = batch["entities"].to_pylist()
         parts = batch["part"].to_pylist()
-        for text, chunk_id, vf, chunk_ents, part in zip(
-            texts, chunk_ids, vfs, ents, parts
-        ):
-            if len(chunk_ents) < 2:
+        # flat name/type arrays + list offsets instead of to_pylist() of
+        # the struct column: per-mention dicts are pure conversion cost
+        ents_col = batch["entities"]
+        if isinstance(ents_col, pa.ChunkedArray):
+            ents_col = ents_col.combine_chunks()
+        flat = ents_col.flatten()  # values sliced to [offsets[0], offsets[-1])
+        offs = ents_col.offsets.to_numpy()
+        offs = offs - offs[0]
+        fnames = flat.field("name").to_pylist()
+        ftypes = flat.field("type").to_pylist()
+        for i, (text, chunk_id, vf, part) in enumerate(zip(
+            texts, chunk_ids, vfs, parts
+        )):
+            lo, hi = offs[i], offs[i + 1]
+            if hi - lo < 2:
                 continue
             rows = rows_by_part.setdefault(int(part), [])
-            names = [e["name"] for e in chunk_ents]
+            names = fnames[lo:hi]
             # first type wins for a name (dict-insertion semantics, like the
             # reference's entity_lookup built in listing order)
             type_of: dict[str, str] = {}
-            for e in chunk_ents:
-                type_of.setdefault(e["name"], e["type"])
+            for nm, tp in zip(names, ftypes[lo:hi]):
+                type_of.setdefault(nm, tp)
             for q in self._extract(text, names, vf):
                 s_name, t_name = q["source"], q["target"]
                 s_type = type_of.get(s_name, "OTHER")

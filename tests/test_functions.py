@@ -273,7 +273,13 @@ class TestNer:
         words = ["the", "CEO", "CTO", "of", "is", "based", "in",
                  "headquartered", "Dr.", "Mr.", "Alice", "Bob", "Smith",
                  "Jones", "Acme", "Corp", "x" * 300, "y" * 50, "founded",
-                 "joined", "said", "New", "York", "    ", "\n", "a"]
+                 "joined", "said", "New", "York", "    ", "\n", "a",
+                 # adversaries for the in/to cue PRE-FILTER: bare cue
+                 # words without the full pattern, words merely ENDING
+                 # in the cue letters, cue glued to the match (no space)
+                 "to", "moved", "into", "auto", "Berlin", "Photo",
+                 "offices", "located", "inBerlin", "XDr.", "Prof.",
+                 "to\tOslo", "in\nRome"]
         for _ in range(3000):
             t = " ".join(rng.choices(words, k=rng.randint(3, 14)))
             for m in N._CAPSEQ_RE.finditer(t):
