@@ -130,15 +130,19 @@ def extract_quads(
     default_valid_from`` where default_valid_from is the page's warc_ts
     (determinism rule replacing the reference's datetime.now()).
     """
-    if not text.strip() or len(entity_names) < 2:
+    if not text or text.isspace() or len(entity_names) < 2:
         return []
-    lookup = build_entity_lookup(entity_names)
+    # built lazily on the first actual pattern match: most chunks fail
+    # every anchor gate (or match nothing), and the lookup dict is pure
+    lookup: dict[str, str] | None = None
     out: list[dict] = []
     for pattern, label in _PATTERNS:
         anchor = _ANCHORS.get(label)
         if anchor is not None and anchor not in text:
             continue
         for m in pattern.finditer(text):
+            if lookup is None:
+                lookup = build_entity_lookup(entity_names)
             gd = m.groupdict()
             source = find_entity(gd["s"].strip(), lookup)
             target = find_entity(gd["t"].strip(), lookup)

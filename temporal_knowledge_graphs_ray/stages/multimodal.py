@@ -1,17 +1,22 @@
-"""Multimodal column plumbing (scale addition; decode stubbed).
+"""Multimodal column plumbing (scale addition).
 
 Treats image/audio/video payloads as opaque ``binary`` columns with typed
 metadata. The Ray-side plumbing — schema, actor-pool signature, small
-batch sizes for large payloads, output layout — is real and tested; the
-actual decode is stubbed (no image/audio libraries in this container):
-``DecodeStage`` raises NotImplementedError unless ``fake=True``, in which
-case it produces a deterministic fake decode (dimensions derived from the
-payload bytes) so the pipeline shape is exercised end-to-end.
+batch sizes for large payloads, output layout — is real and tested.
+
+Decode/resize are REAL for the formats a bare numpy container can
+handle: 24-bit BMP and binary PPM decode to pixel arrays and resize via
+a genuine nearest-neighbor kernel (functions/imagecodec.py). Compressed
+formats (JPEG/PNG/video) stay behind an honest NotImplementedError gate
+— ``fake=True`` substitutes a deterministic stand-in so the pipeline
+shape is still exercised end-to-end for arbitrary payloads.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
+
+from ..functions import imagecodec
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -49,6 +54,38 @@ def binarize_documents(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=1024)
 
 
+def synth_image_table(n: int, seed: int = 7, max_w: int = 320,
+                      max_h: int = 240) -> pa.Table:
+    """Deterministic REAL image payloads (alternating BMP / PPM) as a
+    media table — pure function of (n, seed), pixels are a per-image
+    gradient + id stamp so decode/resize results are assertable."""
+    import numpy as np
+
+    rows_payload, rows_type, rows_id, rows_bytes = [], [], [], []
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        w = int(rng.integers(2, max_w + 1))
+        h = int(rng.integers(2, max_h + 1))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 255 // max(w - 1, 1)).astype(np.uint8),
+             (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+             np.full((h, w), i % 256, np.uint8)], axis=2)
+        fmt = "bmp" if i % 2 == 0 else "ppm"
+        payload = imagecodec.encode_image(img, fmt)
+        rows_payload.append(payload)
+        rows_type.append("image")
+        rows_id.append(i)
+        rows_bytes.append(len(payload))
+    return pa.Table.from_arrays(
+        [pa.array(rows_id, pa.int64()),
+         pa.array(rows_payload, pa.binary()),
+         pa.array(rows_type, pa.string()),
+         pa.array(rows_bytes, pa.int64())],
+        schema=MEDIA_SCHEMA,
+    )
+
+
 class DecodeStage:
     """Actor-pool decode stage.
 
@@ -61,14 +98,21 @@ class DecodeStage:
 
     def __init__(self, fake: bool = False):
         self.fake = fake
-        # real decoder init goes here (model/codec load, once per actor)
+        # heavier decoder init (model/codec load) goes here, once per actor
 
     def _decode(self, payload: bytes, media_type: str) -> tuple[int, int, int]:
+        # REAL path first: BMP/PPM payloads decode to actual pixels
+        # regardless of the fake flag (a real image must never get fake
+        # dimensions)
+        if imagecodec.sniff_format(payload) is not None:
+            img, _ = imagecodec.decode_image(payload)
+            return (img.shape[1], img.shape[0], img.shape[2])
         if not self.fake:
             raise NotImplementedError(
-                "media decode requires an image/audio library not present "
-                "in this container; construct DecodeStage(fake=True) for "
-                "the deterministic stand-in"
+                "only BMP/PPM decode without an image/audio library "
+                "(none present in this container); construct "
+                "DecodeStage(fake=True) for the deterministic stand-in "
+                "on other formats"
             )
         n = len(payload)
         return (n % 640 + 1, n % 480 + 1, n % 3 + 1)
@@ -125,22 +169,33 @@ MEDIA_EMBED_SCHEMA = pa.schema([
 
 
 class ResizeStage:
-    """Actor-pool image resize. The real kernel (PIL/cv2 ``resize``) is
-    absent from this container; the fake computes the target box with the
-    real aspect-preserving arithmetic and truncates the payload
-    proportionally so output sizes are exercised. Construction mirrors
-    DecodeStage: library/codec load belongs in ``__init__``."""
+    """Actor-pool image resize. BMP/PPM payloads run the REAL kernel:
+    decode -> nearest-neighbor sample grid -> re-encode in the same
+    format (functions/imagecodec.py). Other formats fall back to the
+    fake (aspect-preserving box arithmetic + proportional payload
+    truncation) or the honest gate. Construction mirrors DecodeStage:
+    library/codec load belongs in ``__init__``."""
 
     def __init__(self, max_side: int = 224, fake: bool = False):
         self.max_side = max_side
         self.fake = fake
 
     def _resize(self, payload: bytes, w: int, h: int) -> tuple[int, int, bytes]:
+        fmt = imagecodec.sniff_format(payload)
+        if fmt is not None:
+            img, _ = imagecodec.decode_image(payload)
+            ih, iw = img.shape[:2]  # header dims, not caller-claimed dims
+            scale = min(1.0, self.max_side / max(iw, ih, 1))
+            nw, nh = max(1, int(iw * scale)), max(1, int(ih * scale))
+            if (nw, nh) != (iw, ih):
+                img = imagecodec.resize_nearest(img, nw, nh)
+            return nw, nh, imagecodec.encode_image(img, fmt)
         scale = min(1.0, self.max_side / max(w, h, 1))
         nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
         if not self.fake:
             raise NotImplementedError(
-                "image resize requires PIL/cv2 (absent); use fake=True")
+                "only BMP/PPM resize without PIL/cv2 (absent); use "
+                "fake=True for other formats")
         keep = max(1, int(len(payload) * (nw * nh) / max(1, w * h)))
         return nw, nh, payload[:keep]
 
