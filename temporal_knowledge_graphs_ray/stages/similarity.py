@@ -602,6 +602,240 @@ class IvfIndex:
                                self.emb_col).to_pandas()
 
 
+class IvfPqIndex:
+    """IVF-PQ ANN: the IVF coarse quantizer plus PRODUCT-QUANTIZED
+    residuals (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011) — the memory-bounded scale path. Each vector
+    stores ``m`` uint8 codes instead of ``dim`` float64s (e.g. 8 bytes
+    vs 512: 64x), which is what makes a 10^12-vector index hold in a
+    cluster's aggregate RAM; queries score candidates via ADC lookup
+    tables (nprobe x m x ks floats, built per query) and an exact
+    cosine REFINE pass over the top-``refine`` ADC candidates restores
+    recall.
+
+    Train is the IVF recipe (driver-side deterministic sample; coarse
+    k-means, then per-subspace k-means over residuals). Encode is one
+    ``map_batches`` pass appending (list_id, code). At this sandbox's
+    scale the raw embedding column rides along for the refine step; at
+    100 TB you drop it from the index partitions and refine against the
+    corpus Parquet instead (codes + ids are the only hot state).
+    """
+
+    def __init__(self, ds, dim: int, n_lists: int = 16, m: int = 8,
+                 ks: int = 16, train_sample: int = 2048, iters: int = 10,
+                 seed: int = 11, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+        self.dim = dim
+        self.n_lists = n_lists
+        self.m = m
+        self.ks = ks
+        self.id_col = id_col
+        self.emb_col = emb_col
+        if ds is None:
+            self.centroids = None
+            self.codebooks = None
+            self.assigned = None
+            return
+        if dim % m:
+            raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+        sample = ds.limit(train_sample).take_all()
+        if not sample:
+            raise ValueError("IvfPqIndex: training dataset is empty")
+        x = _norm_rows(np.array([r[emb_col] for r in sample],
+                                dtype=np.float64))
+        rng = np.random.RandomState(stable_hash64(f"ivfpq-{seed}")
+                                    % (2 ** 32))
+        # coarse quantizer: same Lloyd recipe as IvfIndex
+        k_eff = min(n_lists, len(x))
+        cent = x[rng.choice(len(x), size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            assign = (x @ cent.T).argmax(axis=1)
+            for c in range(k_eff):
+                members = x[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        cent[c] = v / n
+        self.centroids = cent
+        self.n_lists = k_eff
+        # PQ codebooks over RESIDUALS (x - coarse centroid), L2 k-means
+        # per subspace — the classic IVF-PQ pairing
+        res = x - cent[(x @ cent.T).argmax(axis=1)]
+        d_sub = dim // m
+        ks_eff = min(ks, len(x))
+        books = np.empty((m, ks_eff, d_sub), dtype=np.float64)
+        for j in range(m):
+            sub = res[:, j * d_sub:(j + 1) * d_sub]
+            cb = sub[rng.choice(len(sub), size=ks_eff, replace=False)].copy()
+            for _ in range(iters):
+                d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                for c in range(ks_eff):
+                    members = sub[a == c]
+                    if len(members):
+                        cb[c] = members.mean(axis=0)
+            books[j] = cb
+        self.codebooks = books
+        self.ks = ks_eff
+        self.assigned = ds.map_batches(
+            self._encode_stage(), batch_format="pyarrow",
+            batch_size=4096).materialize()
+
+    def _encode_stage(self):
+        cent, books = self.centroids, self.codebooks
+        m, dim = self.m, self.dim
+        d_sub = dim // m
+        emb_col = self.emb_col
+
+        def fn(t: pa.Table) -> pa.Table:
+            x = _norm_rows(_to_matrix(t[emb_col]))
+            lists = (x @ cent.T).argmax(axis=1).astype(np.int32)
+            res = x - cent[lists]
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                sub = res[:, j * d_sub:(j + 1) * d_sub]
+                # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; argmin over c
+                # needs only the last two terms
+                d2 = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+            return (t.append_column("list_id", pa.array(lists))
+                    .append_column("code", pa.array(
+                        [c.tobytes() for c in codes], pa.binary())))
+
+        return fn
+
+    def save(self, path: str) -> None:
+        import shutil as _sh
+
+        import pyarrow.parquet as pq
+
+        _sh.rmtree(path, ignore_errors=True)
+        from .blocks import coalesce_blocks
+
+        coalesce_blocks(self.assigned).write_parquet(
+            os.path.join(path, "lists"), partition_cols=["list_id"])
+        pq.write_table(
+            pa.table({"centroid": pa.array(
+                [c.tolist() for c in self.centroids],
+                pa.list_(pa.float64()))}),
+            os.path.join(path, "centroids.parquet"))
+        pq.write_table(
+            pa.table({
+                "subspace": pa.array(
+                    [j for j in range(self.m) for _ in range(self.ks)],
+                    pa.int32()),
+                "code": pa.array(
+                    list(range(self.ks)) * self.m, pa.int32()),
+                "vec": pa.array(
+                    [self.codebooks[j][c].tolist()
+                     for j in range(self.m) for c in range(self.ks)],
+                    pa.list_(pa.float64())),
+            }),
+            os.path.join(path, "codebooks.parquet"))
+
+    @classmethod
+    def load(cls, path: str, id_col: str = "vec_id",
+             emb_col: str = "embedding") -> "IvfPqIndex":
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        idx = cls(None, 0, id_col=id_col, emb_col=emb_col)
+        idx.centroids = np.array(
+            pq.read_table(os.path.join(path, "centroids.parquet"))
+            ["centroid"].to_pylist(), dtype=np.float64)
+        idx.dim = idx.centroids.shape[1]
+        idx.n_lists = len(idx.centroids)
+        cb = pq.read_table(os.path.join(path, "codebooks.parquet"))
+        sub = np.array(cb["subspace"].to_pylist())
+        code = np.array(cb["code"].to_pylist())
+        vecs = np.array(cb["vec"].to_pylist(), dtype=np.float64)
+        idx.m = int(sub.max()) + 1
+        idx.ks = int(code.max()) + 1
+        d_sub = vecs.shape[1]
+        books = np.empty((idx.m, idx.ks, d_sub), dtype=np.float64)
+        books[sub, code] = vecs
+        idx.codebooks = books
+        idx.assigned = rd.read_parquet(os.path.join(path, "lists"))
+        return idx
+
+    def topk(self, query_vec: np.ndarray, k: int = 10, nprobe: int = 4,
+             refine: int = 64) -> pd.DataFrame:
+        """ADC scan over the probed lists (per-batch partial top-
+        ``refine``), exact cosine refine of the merged candidates, final
+        top-k with id tiebreak. Driver state: nprobe tables + at most
+        ``refine`` rows per batch."""
+        import pyarrow.compute as pc
+
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        order = np.argsort(-(self.centroids @ qn))
+        probe_ids = sorted(int(x) for x in order[:nprobe])
+        probe = pa.array(probe_ids, pa.int32())
+        d_sub = self.dim // self.m
+        # ADC tables per probed list: T[l][j][c] = (q - c_l)_j . book_j[c]
+        # plus the constant q . c_l term
+        tables = {}
+        base = {}
+        for li in probe_ids:
+            r = qn - self.centroids[li]
+            tables[li] = np.stack([
+                self.codebooks[j] @ r[j * d_sub:(j + 1) * d_sub]
+                for j in range(self.m)])  # (m, ks)
+            base[li] = float(qn @ self.centroids[li])
+        id_col, emb_col = self.id_col, self.emb_col
+        m = self.m
+        refine = max(refine, k)
+
+        def adc_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["list_id"].cast(pa.int32()),
+                                  value_set=probe))
+            if not t.num_rows:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "adc": pa.array([], pa.float64())})
+            lists = t["list_id"].to_numpy(zero_copy_only=False)
+            codes = np.frombuffer(
+                b"".join(t["code"].to_pylist()),
+                dtype=np.uint8).reshape(-1, m)
+            scores = np.empty(len(lists), dtype=np.float64)
+            for li in np.unique(lists):
+                sel = lists == li
+                tab = tables[int(li)]
+                scores[sel] = base[int(li)] + tab[
+                    np.arange(m), codes[sel]].sum(axis=1)
+            top = np.argsort(-scores)[:refine]
+            return pa.table({
+                id_col: t[id_col].take(pa.array(top)).cast(pa.int64()),
+                "adc": pa.array(scores[top], pa.float64()),
+            })
+
+        cand = (self.assigned.map_batches(adc_partial,
+                                          batch_format="pyarrow")
+                .to_pandas())
+        if cand.empty:
+            return pd.DataFrame({self.id_col: pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        keep = cand.sort_values(["adc", id_col],
+                                ascending=[False, True]).head(refine)
+        needed = pa.array(sorted(int(x) for x in keep[id_col]), pa.int64())
+
+        def fetch(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t[id_col].cast(pa.int64()),
+                                  value_set=needed))
+            return t.select([id_col, emb_col])
+
+        rows = self.assigned.map_batches(
+            fetch, batch_format="pyarrow").take_all()
+        ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+        vecs = _norm_rows(np.array([r[emb_col] for r in rows],
+                                   dtype=np.float64))
+        cos = round_half_away(vecs @ qn, 6)
+        out = pd.DataFrame({self.id_col: ids, "cosine": cos})
+        return (out.sort_values(["cosine", self.id_col],
+                                ascending=[False, True],
+                                ignore_index=True).head(k))
+
+
 def ann_lsh_topk(ds, query_vec: np.ndarray, k: int = 10, dim: int | None = None,
                  n_planes: int = 6, n_tables: int = 16,
                  id_col: str = "vec_id", emb_col: str = "embedding",

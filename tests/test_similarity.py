@@ -213,3 +213,106 @@ class TestIvfIndex:
         loaded = IvfIndex.load(str(tmp_path / "ivf"))
         assert loaded.topk(q, 5)["vec_id"].tolist() == \
             a.topk(q, 5)["vec_id"].tolist()
+
+
+class TestIvfPqIndex:
+    def _clustered(self, n_clusters=8, per=40, dim=24):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.functions.hashing import (
+            stable_hash64,
+        )
+
+        rng = np.random.RandomState(
+            stable_hash64("ivfpq-fixture") % (2**32))
+        centers = rng.standard_normal((n_clusters, dim)) * 5
+        rows = []
+        for c in range(n_clusters):
+            for _ in range(per):
+                rows.append(centers[c] + 0.3 * rng.standard_normal(dim))
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(rows)), pa.int64()),
+            "embedding": pa.array(
+                [r.astype("float32").tolist() for r in rows],
+                pa.list_(pa.float32())),
+        })
+        return rd.from_arrow(tbl), dim
+
+    def test_recall_with_refine_on_clustered_data(self, ray_session):
+        import numpy as np
+
+        from temporal_knowledge_graphs_ray.stages.similarity import (
+            IvfPqIndex,
+            knn_brute_force,
+        )
+
+        ds, dim = self._clustered()
+        idx = IvfPqIndex(ds, dim, n_lists=8, m=8, ks=16)
+        recalls = []
+        for r in ds.take(6):
+            q = np.array(r["embedding"], dtype=np.float64)
+            exact = set(knn_brute_force(ds, q, 10).to_pandas()["vec_id"])
+            approx = set(idx.topk(q, 10, nprobe=2, refine=64)["vec_id"])
+            recalls.append(len(exact & approx) / len(exact))
+        # ADC narrows, exact refine restores: recall ~1 on clustered data
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    def test_codes_are_m_bytes_and_encoding_layout_invariant(
+            self, ray_session):
+        import pandas as pd
+
+        from temporal_knowledge_graphs_ray.stages.similarity import (
+            IvfPqIndex,
+        )
+
+        ds, dim = self._clustered()
+        a = IvfPqIndex(ds, dim, n_lists=8, m=8, ks=16)
+        b = IvfPqIndex(ds.repartition(7), dim, n_lists=8, m=8, ks=16)
+
+        def codes(idx) -> pd.DataFrame:
+            pdf = idx.assigned.select_columns(
+                ["vec_id", "list_id", "code"]).to_pandas()
+            return pdf.sort_values("vec_id", ignore_index=True)
+
+        ca, cb = codes(a), codes(b)
+        # the compression claim: m uint8 codes per vector
+        assert all(len(c) == 8 for c in ca["code"])
+        assert ca.equals(cb)
+
+    def test_deterministic_and_saveload(self, ray_session, tmp_path):
+        import numpy as np
+
+        from temporal_knowledge_graphs_ray.stages.similarity import (
+            IvfPqIndex,
+        )
+
+        ds, dim = self._clustered()
+        a = IvfPqIndex(ds, dim, n_lists=8, m=8, ks=16)
+        b = IvfPqIndex(ds, dim, n_lists=8, m=8, ks=16)
+        assert np.array_equal(a.centroids, b.centroids)
+        assert np.array_equal(a.codebooks, b.codebooks)
+        q = np.array(ds.take(1)[0]["embedding"], dtype=np.float64)
+        assert a.topk(q, 5)["vec_id"].tolist() == \
+            b.topk(q, 5)["vec_id"].tolist()
+        a.save(str(tmp_path / "ivfpq"))
+        from temporal_knowledge_graphs_ray.stages.similarity import (
+            IvfPqIndex as Cls,
+        )
+
+        loaded = Cls.load(str(tmp_path / "ivfpq"))
+        assert np.array_equal(loaded.codebooks, a.codebooks)
+        assert loaded.topk(q, 5)["vec_id"].tolist() == \
+            a.topk(q, 5)["vec_id"].tolist()
+
+    def test_dim_not_divisible_raises(self, ray_session):
+        import pytest as _pt
+
+        from temporal_knowledge_graphs_ray.stages.similarity import (
+            IvfPqIndex,
+        )
+
+        ds, dim = self._clustered(dim=22)
+        with _pt.raises(ValueError):
+            IvfPqIndex(ds, dim, m=8)
