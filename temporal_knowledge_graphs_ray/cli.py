@@ -447,7 +447,11 @@ def cmd_profile(args) -> int:
     import ray
     import ray.data as rd
 
-    from .stages.profile import profile_columns, validate_expectations
+    from .stages.profile import (
+        profile_columns,
+        skew_report,
+        validate_expectations,
+    )
 
     _init_ray(args.num_cpus)
     ds = rd.read_parquet(args.table)
@@ -459,6 +463,10 @@ def cmd_profile(args) -> int:
             rules = json.load(f)
         report["expectations"] = validate_expectations(
             ds, rules, id_col=args.id_col)
+    if args.skew_key:
+        report["skew"] = {
+            k: skew_report(ds, k, exact=args.skew_exact)
+            for k in args.skew_key.split(",")}
     print(json.dumps(report, default=str))
     ray.shutdown()
     return 0
@@ -771,6 +779,10 @@ def main(argv=None) -> int:
     p.add_argument("--rules", help="expectation rules JSON file")
     p.add_argument("--id-col", default="doc_id",
                    help="id column for violation examples")
+    p.add_argument("--skew-key", help="comma-separated prospective "
+                                      "groupby/join keys to skew-probe")
+    p.add_argument("--skew-exact", action="store_true",
+                   help="exact grouped-count skew mode (runs the shuffle)")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("pca")

@@ -251,6 +251,95 @@ def profile_columns(ds, columns: list[str] | None = None, topk: int = 5,
     return res["profile"]
 
 
+def skew_report(ds, key: str, topk: int = 10,
+                exact: bool = False) -> dict:
+    """Pre-shuffle skew diagnostic for a prospective groupby/join key:
+    would this key hot-spot a task? Returns row count, (approx or exact)
+    distinct keys, the top-k heavy hitters, mean group size, and the
+    hot-key skew factor (max observed group / mean group) — the number
+    that says "salt this key" when it is large.
+
+    Default mode is ONE streaming sketch pass (HLL distinct + Count-Min
+    heavy hitters merged through the aggregate tree — no shuffle at all,
+    the right probe before pointing a 100 TB groupby at a key).
+    ``exact=True`` instead runs the grouped count (the very shuffle being
+    diagnosed, so only for corpora that can afford it) and adds exact
+    p50/p99/max group sizes.
+    """
+    import pandas as pd
+
+    from .sketches import CountMinTopK, HllDistinct
+
+    if exact:
+        import pyarrow.compute as pc
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.select([key]).group_by(key).aggregate([([], "count_all")])
+            return g.rename_columns([key, "cnt"])
+
+        counts = (ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=65536)
+                  .groupby(key).sum("cnt")
+                  .rename_columns({"sum(cnt)": "cnt"})
+                  .to_pandas())
+        n = int(counts["cnt"].sum())
+        d = len(counts)
+        sizes = counts["cnt"].sort_values(ignore_index=True)
+        hh = counts.sort_values(["cnt", key], ascending=[False, True],
+                                ignore_index=True).head(topk)
+        mx = int(sizes.iloc[-1]) if d else 0
+        return {
+            "rows": n,
+            "distinct": d,
+            "exact": True,
+            "topk": [[v, int(c)] for v, c in zip(hh[key], hh["cnt"])],
+            "mean_group": (n / d) if d else 0.0,
+            "p50_group": int(sizes.iloc[(d - 1) // 2]) if d else 0,
+            "p99_group": int(sizes.iloc[min(d - 1, int(d * 0.99))]) if d
+            else 0,
+            "max_group": mx,
+            "skew_factor": (mx * d / n) if n else 0.0,
+        }
+
+    res = ds.aggregate(
+        HllDistinct(on=key, alias_name="d"),
+        CountMinTopK(on=key, k=topk, alias_name="t"),
+        _RowCount(alias_name="n"),
+    )
+    n, d = int(res["n"]), max(1, int(res["d"]))
+    top = [[v, int(c)] for v, c in res["t"]]
+    mx = top[0][1] if top else 0
+    return {
+        "rows": n,
+        "distinct": d,
+        "exact": False,  # distinct is HLL, hitters are CM overestimates
+        "topk": top,
+        "mean_group": n / d,
+        "max_group": mx,
+        "skew_factor": (mx * d / n) if n else 0.0,
+    }
+
+
+class _RowCount(AggregateFnV2):
+    """Plain row count as an AggregateFnV2 so it rides the same
+    single aggregate pass as the sketches (Ray's Count() counts
+    non-null of a column; this counts rows)."""
+
+    def __init__(self, alias_name: str = "n"):
+        super().__init__(alias_name, zero_factory=lambda: 0, on=None,
+                         ignore_nulls=False)
+
+    def aggregate_block(self, block) -> int:
+        return (block.num_rows if isinstance(block, pa.Table)
+                else len(block))
+
+    def combine(self, a: int, b: int) -> int:
+        return a + b
+
+    def finalize(self, acc: int) -> int:
+        return acc
+
+
 def validate_expectations(ds, rules: dict, id_col: str,
                           sample: int = 5) -> dict:
     """Check per-column expectations; returns

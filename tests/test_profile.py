@@ -214,3 +214,63 @@ class TestValidateExpectations:
         assert a["score.min"]["violations"] == b["score.min"]["violations"]
         assert (a["key.unique"]["violations"]
                 == b["key.unique"]["violations"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkewReport:
+    def test_exact_mode_vs_duckdb(self):
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.profile import (
+            skew_report,
+        )
+
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+        rep = skew_report(ds, "user_id", topk=5, exact=True)
+        n, d, mx = duckdb.sql(f"""
+            SELECT sum(cnt), count(*), max(cnt) FROM (
+              SELECT count(*) AS cnt FROM '{SF}/events.parquet'
+              GROUP BY user_id)
+        """).fetchone()
+        assert rep["rows"] == n and rep["distinct"] == d
+        assert rep["max_group"] == mx
+        top = duckdb.sql(f"""
+            SELECT user_id, count(*) AS cnt FROM '{SF}/events.parquet'
+            GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 5
+        """).fetchall()
+        assert rep["topk"] == [[v, c] for v, c in top]
+        assert rep["skew_factor"] == pytest.approx(mx * d / n)
+
+    def test_sketch_mode_streams_and_agrees(self):
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.profile import (
+            skew_report,
+        )
+
+        ds = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type"])
+        sk = skew_report(ds, "event_type", topk=3)
+        ex = skew_report(ds, "event_type", topk=3, exact=True)
+        assert sk["rows"] == ex["rows"]
+        # low cardinality: HLL exact-ish, CM candidates exact values
+        assert sk["distinct"] == ex["distinct"]
+        assert [v for v, _ in sk["topk"]] == [v for v, _ in ex["topk"]]
+        # CM counts are provable OVERestimates
+        for (v, c_sk), (_, c_ex) in zip(sk["topk"], ex["topk"]):
+            assert c_sk >= c_ex
+        assert sk["exact"] is False and ex["exact"] is True
+
+    def test_planted_hot_key_flags_skew(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.profile import (
+            skew_report,
+        )
+
+        hot = pd.DataFrame({"k": ["hub"] * 900 + [f"u{i}" for i in
+                                                  range(100)]})
+        rep = skew_report(rd.from_pandas(hot).repartition(4), "k")
+        assert rep["topk"][0][0] == "hub"
+        assert rep["skew_factor"] > 10  # 900 * 101 / 1000 ≈ 91
