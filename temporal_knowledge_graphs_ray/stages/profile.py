@@ -271,32 +271,46 @@ def skew_report(ds, key: str, topk: int = 10,
     from .sketches import CountMinTopK, HllDistinct
 
     if exact:
-        import pyarrow.compute as pc
+        from ray.data.aggregate import Count, Max, Sum
+
+        from .quantiles import exact_quantiles
+        from .topk import topk_rows
 
         def partial(t: pa.Table) -> pa.Table:
             g = t.select([key]).group_by(key).aggregate([([], "count_all")])
             return g.rename_columns([key, "cnt"])
 
+        # ONE grouped-count shuffle, materialized once; everything after
+        # is aggregates/top-k over the (key, cnt) table — the driver only
+        # ever sees scalars + topk rows, never the full distinct-key set
         counts = (ds.map_batches(partial, batch_format="pyarrow",
                                  batch_size=65536)
                   .groupby(key).sum("cnt")
                   .rename_columns({"sum(cnt)": "cnt"})
-                  .to_pandas())
-        n = int(counts["cnt"].sum())
-        d = len(counts)
-        sizes = counts["cnt"].sort_values(ignore_index=True)
-        hh = counts.sort_values(["cnt", key], ascending=[False, True],
-                                ignore_index=True).head(topk)
-        mx = int(sizes.iloc[-1]) if d else 0
+                  .materialize())
+        agg = counts.aggregate(Sum(on="cnt", alias_name="n"),
+                               Count(alias_name="d"),
+                               Max(on="cnt", alias_name="mx"))
+        n, d, mx = int(agg["n"] or 0), int(agg["d"]), int(agg["mx"] or 0)
+        hh = topk_rows(counts, ["cnt", key], [True, False],
+                       topk).to_pandas()
+        # group-size quantiles: duckdb quantile_disc semantics over cnt
+        # (post-combine volume = distinct cnt VALUES, far below keys);
+        # renamed first — exact_quantiles uses "cnt" as its own internal
+        # count column
+        qs = exact_quantiles(
+            counts.rename_columns({"cnt": "group_n"}), "group_n",
+            [0.5, 0.99])
+        qmap = dict(zip(qs["q"], qs["value"]))
         return {
             "rows": n,
             "distinct": d,
             "exact": True,
-            "topk": [[v, int(c)] for v, c in zip(hh[key], hh["cnt"])],
+            "topk": [[v, int(c)] for v, c in zip(hh[key], hh["cnt"])]
+            if d else [],
             "mean_group": (n / d) if d else 0.0,
-            "p50_group": int(sizes.iloc[(d - 1) // 2]) if d else 0,
-            "p99_group": int(sizes.iloc[min(d - 1, int(d * 0.99))]) if d
-            else 0,
+            "p50_group": int(qmap.get(0.5, 0)),
+            "p99_group": int(qmap.get(0.99, 0)),
             "max_group": mx,
             "skew_factor": (mx * d / n) if n else 0.0,
         }
@@ -434,11 +448,14 @@ def validate_expectations(ds, rules: dict, id_col: str,
             g = t.group_by(c).aggregate([(c, "count")])
             return g.rename_columns([c, "cnt"])
 
+        # materialized once: count + example top-k both read the (small,
+        # key+count-only) duplicate table without re-running the shuffle
         dup = (ds.select_columns([col])
                .map_batches(count_dups, batch_format="pyarrow")
                .groupby(col).sum("cnt")
                .rename_columns({"sum(cnt)": "cnt"})
-               .filter(expr="cnt > 1"))
+               .filter(expr="cnt > 1")
+               .materialize())
         dup_pdf = topk_rows(dup, ["cnt", col], [True, False],
                             max(sample, 1)).to_pandas()
         n_dup_keys = dup.count()

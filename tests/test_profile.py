@@ -227,13 +227,16 @@ class TestSkewReport:
 
         ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
         rep = skew_report(ds, "user_id", topk=5, exact=True)
-        n, d, mx = duckdb.sql(f"""
-            SELECT sum(cnt), count(*), max(cnt) FROM (
+        n, d, mx, p50, p99 = duckdb.sql(f"""
+            SELECT sum(cnt), count(*), max(cnt),
+                   quantile_disc(cnt, 0.5), quantile_disc(cnt, 0.99)
+            FROM (
               SELECT count(*) AS cnt FROM '{SF}/events.parquet'
               GROUP BY user_id)
         """).fetchone()
         assert rep["rows"] == n and rep["distinct"] == d
         assert rep["max_group"] == mx
+        assert rep["p50_group"] == p50 and rep["p99_group"] == p99
         top = duckdb.sql(f"""
             SELECT user_id, count(*) AS cnt FROM '{SF}/events.parquet'
             GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 5
