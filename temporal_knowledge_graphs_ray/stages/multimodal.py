@@ -103,10 +103,17 @@ class DecodeStage:
     def _decode(self, payload: bytes, media_type: str) -> tuple[int, int, int]:
         # REAL path first: BMP/PPM payloads decode to actual pixels
         # regardless of the fake flag (a real image must never get fake
-        # dimensions)
+        # dimensions). In fake mode a payload that merely SNIFFS like an
+        # image (text starting "BM"/"P6") but fails to parse falls back
+        # to the deterministic stand-in instead of crashing; in strict
+        # mode the parse error propagates (malformed input must be loud).
         if imagecodec.sniff_format(payload) is not None:
-            img, _ = imagecodec.decode_image(payload)
-            return (img.shape[1], img.shape[0], img.shape[2])
+            try:
+                img, _ = imagecodec.decode_image(payload)
+                return (img.shape[1], img.shape[0], img.shape[2])
+            except ValueError:
+                if not self.fake:
+                    raise
         if not self.fake:
             raise NotImplementedError(
                 "only BMP/PPM decode without an image/audio library "
@@ -183,13 +190,20 @@ class ResizeStage:
     def _resize(self, payload: bytes, w: int, h: int) -> tuple[int, int, bytes]:
         fmt = imagecodec.sniff_format(payload)
         if fmt is not None:
-            img, _ = imagecodec.decode_image(payload)
-            ih, iw = img.shape[:2]  # header dims, not caller-claimed dims
-            scale = min(1.0, self.max_side / max(iw, ih, 1))
-            nw, nh = max(1, int(iw * scale)), max(1, int(ih * scale))
-            if (nw, nh) != (iw, ih):
-                img = imagecodec.resize_nearest(img, nw, nh)
-            return nw, nh, imagecodec.encode_image(img, fmt)
+            try:
+                img, _ = imagecodec.decode_image(payload)
+            except ValueError:
+                # sniffed like an image but isn't one: fake mode falls
+                # through to the stand-in, strict mode stays loud
+                if not self.fake:
+                    raise
+            else:
+                ih, iw = img.shape[:2]  # header dims, not caller-claimed
+                scale = min(1.0, self.max_side / max(iw, ih, 1))
+                nw, nh = max(1, int(iw * scale)), max(1, int(ih * scale))
+                if (nw, nh) != (iw, ih):
+                    img = imagecodec.resize_nearest(img, nw, nh)
+                return nw, nh, imagecodec.encode_image(img, fmt)
         scale = min(1.0, self.max_side / max(w, h, 1))
         nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
         if not self.fake:

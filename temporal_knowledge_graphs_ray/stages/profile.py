@@ -35,35 +35,21 @@ from ray.data.aggregate import AggregateFnV2
 
 from ..functions.hashing import fast_hash64
 
+from .sketches import hll_estimate, hll_update
+
 _HLL_P = 12
 _HLL_M = 1 << _HLL_P
 
-
-def _hll_update(regs: np.ndarray, h: np.ndarray) -> None:
-    """Update HLL registers in place from 63-bit hashes (the
-    sketches.HllDistinct math: index from the top of the 63 USABLE
-    bits)."""
-    if not len(h):
-        return
-    idx = (h >> np.uint64(63 - _HLL_P)).astype(np.int64)
-    rest = h << np.uint64(_HLL_P + 1)
-    lz = np.full(len(h), 63 - _HLL_P, dtype=np.int64)
-    nonzero = rest != 0
-    if nonzero.any():
-        bits = np.floor(np.log2(rest[nonzero].astype(np.float64)))
-        lz[nonzero] = 63 - bits.astype(np.int64)
-    rank = np.minimum(lz + 1, 63 - _HLL_P + 1).astype(np.int8)
-    np.maximum.at(regs, idx, rank)
+_NAN = float("nan")
 
 
-def _hll_estimate(regs: np.ndarray) -> int:
-    m = float(_HLL_M)
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)
-    return int(round(est))
+def _canon_key(v):
+    """Canonical dict key: every float NaN maps to ONE module-level NaN
+    object. NaN hashes by identity on CPython 3.10+, so NaN keys arriving
+    from different pickled partials would otherwise never merge —
+    inflating the exact 'distinct' and duplicating nan in topk (the same
+    hazard quantiles.ApproxQuantile documents)."""
+    return _NAN if isinstance(v, float) and v != v else v
 
 
 def _col_state() -> dict:
@@ -160,8 +146,8 @@ class ProfileAggregate(AggregateFnV2):
                 h = np.fromiter(
                     (fast_hash64(str(v)) for v, _ in pairs),
                     dtype=np.uint64, count=len(pairs))
-                _hll_update(st["hll"], h)
-                st["counts"] = {v: n for v, n in pairs}
+                hll_update(st["hll"], h, _HLL_P)
+                st["counts"] = {_canon_key(v): n for v, n in pairs}
                 self._trim(st)
         return pickle.dumps(out)
 
@@ -184,9 +170,13 @@ class ProfileAggregate(AggregateFnV2):
                                 else sb["is_numeric"])
             st["len_sum"] = sa["len_sum"] + sb["len_sum"]
             st["hll"] = np.maximum(sa["hll"], sb["hll"])
-            counts = dict(sa["counts"])
-            for v, n in sb["counts"].items():
-                counts[v] = counts.get(v, 0) + n
+            # re-canonicalize BOTH sides: pickle round-trips create
+            # fresh NaN objects that would never collide as dict keys
+            counts: dict = {}
+            for side in (sa["counts"], sb["counts"]):
+                for v, n in side.items():
+                    k = _canon_key(v)
+                    counts[k] = counts.get(k, 0) + n
             st["counts"] = counts
             st["counts_overflow"] = (sa["counts_overflow"]
                                      or sb["counts_overflow"])
@@ -207,7 +197,7 @@ class ProfileAggregate(AggregateFnV2):
                 "nulls": int(st["nulls"]),
                 "min": st["min"],
                 "max": st["max"],
-                "approx_distinct": _hll_estimate(st["hll"]),
+                "approx_distinct": hll_estimate(st["hll"]),
                 "topk_exact": not st["counts_overflow"],
             }
             if not st["counts_overflow"]:
@@ -265,6 +255,11 @@ def skew_report(ds, key: str, topk: int = 10,
     ``exact=True`` instead runs the grouped count (the very shuffle being
     diagnosed, so only for corpora that can afford it) and adds exact
     p50/p99/max group sizes.
+
+    Type note: sketch-mode ``topk`` keys come back as STRINGS (Count-Min
+    hashes the str form); exact mode returns the column's native values.
+    Compare the two modes on the stringified key if you need to join
+    their outputs.
     """
     import pandas as pd
 
@@ -315,10 +310,14 @@ def skew_report(ds, key: str, topk: int = 10,
             "skew_factor": (mx * d / n) if n else 0.0,
         }
 
+    from ray.data.aggregate import Count
+
     res = ds.aggregate(
         HllDistinct(on=key, alias_name="d"),
         CountMinTopK(on=key, k=topk, alias_name="t"),
-        _RowCount(alias_name="n"),
+        # Count(on=None) counts ROWS (block num_rows), riding the same
+        # single aggregate pass as the sketches
+        Count(alias_name="n"),
     )
     n, d = int(res["n"]), max(1, int(res["d"]))
     top = [[v, int(c)] for v, c in res["t"]]
@@ -332,26 +331,6 @@ def skew_report(ds, key: str, topk: int = 10,
         "max_group": mx,
         "skew_factor": (mx * d / n) if n else 0.0,
     }
-
-
-class _RowCount(AggregateFnV2):
-    """Plain row count as an AggregateFnV2 so it rides the same
-    single aggregate pass as the sketches (Ray's Count() counts
-    non-null of a column; this counts rows)."""
-
-    def __init__(self, alias_name: str = "n"):
-        super().__init__(alias_name, zero_factory=lambda: 0, on=None,
-                         ignore_nulls=False)
-
-    def aggregate_block(self, block) -> int:
-        return (block.num_rows if isinstance(block, pa.Table)
-                else len(block))
-
-    def combine(self, a: int, b: int) -> int:
-        return a + b
-
-    def finalize(self, acc: int) -> int:
-        return acc
 
 
 def validate_expectations(ds, rules: dict, id_col: str,

@@ -493,6 +493,26 @@ def neardup_pairs_lsh(ds, threshold: float = 0.9, n_planes: int = 8,
     return out.sort_values(["a", "b"], ignore_index=True)
 
 
+def _train_coarse(x: np.ndarray, n_lists: int, iters: int,
+                  rng: np.random.RandomState) -> np.ndarray:
+    """The shared IVF coarse-quantizer recipe: deterministic-seeded
+    Lloyd iterations with argmax-cosine assignment and renormalized
+    means, over a row-normalized sample. Used by both IvfIndex and
+    IvfPqIndex so the k-means recipe cannot silently diverge."""
+    k_eff = min(n_lists, len(x))
+    cent = x[rng.choice(len(x), size=k_eff, replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(k_eff):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
 class IvfIndex:
     """IVF-Flat ANN: deterministic k-means coarse quantizer + inverted
     lists — the data-DEPENDENT counterpart to the LSH index (clustered
@@ -525,18 +545,7 @@ class IvfIndex:
         m = _norm_rows(np.array([r[emb_col] for r in sample],
                                 dtype=np.float64))
         rng = np.random.RandomState(stable_hash64(f"ivf-{seed}") % (2**32))
-        k_eff = min(n_lists, len(m))
-        cent = m[rng.choice(len(m), size=k_eff, replace=False)].copy()
-        for _ in range(iters):
-            assign = (m @ cent.T).argmax(axis=1)
-            for c in range(k_eff):
-                members = m[assign == c]
-                if len(members):
-                    v = members.mean(axis=0)
-                    n = np.linalg.norm(v)
-                    if n > 0:
-                        cent[c] = v / n
-        self.centroids = cent
+        self.centroids = _train_coarse(m, n_lists, iters, rng)
         self.assigned = ds.map_batches(
             self._assign_stage(), batch_format="pyarrow",
             batch_size=4096).materialize()
@@ -638,6 +647,10 @@ class IvfPqIndex:
             return
         if dim % m:
             raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+        if ks > 256:
+            raise ValueError(
+                f"ks={ks} > 256: PQ codes are uint8 — larger codebooks "
+                "would silently wrap in the cast and corrupt the index")
         sample = ds.limit(train_sample).take_all()
         if not sample:
             raise ValueError("IvfPqIndex: training dataset is empty")
@@ -645,20 +658,9 @@ class IvfPqIndex:
                                 dtype=np.float64))
         rng = np.random.RandomState(stable_hash64(f"ivfpq-{seed}")
                                     % (2 ** 32))
-        # coarse quantizer: same Lloyd recipe as IvfIndex
-        k_eff = min(n_lists, len(x))
-        cent = x[rng.choice(len(x), size=k_eff, replace=False)].copy()
-        for _ in range(iters):
-            assign = (x @ cent.T).argmax(axis=1)
-            for c in range(k_eff):
-                members = x[assign == c]
-                if len(members):
-                    v = members.mean(axis=0)
-                    n = np.linalg.norm(v)
-                    if n > 0:
-                        cent[c] = v / n
+        cent = _train_coarse(x, n_lists, iters, rng)
         self.centroids = cent
-        self.n_lists = k_eff
+        self.n_lists = len(cent)
         # PQ codebooks over RESIDUALS (x - coarse centroid), L2 k-means
         # per subspace — the classic IVF-PQ pairing
         res = x - cent[(x @ cent.T).argmax(axis=1)]
@@ -803,7 +805,12 @@ class IvfPqIndex:
                 tab = tables[int(li)]
                 scores[sel] = base[int(li)] + tab[
                     np.arange(m), codes[sel]].sum(axis=1)
-            top = np.argsort(-scores)[:refine]
+            # (score desc, id asc) tiebreak: equal ADC scores (identical
+            # PQ codes) straddling the cut must not make the refine set
+            # depend on row order within the batch (layout invariance)
+            ids_np = t[id_col].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            top = np.lexsort((ids_np, -scores))[:refine]
             return pa.table({
                 id_col: t[id_col].take(pa.array(top)).cast(pa.int64()),
                 "adc": pa.array(scores[top], pa.float64()),

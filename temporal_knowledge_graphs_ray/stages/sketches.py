@@ -37,6 +37,42 @@ def _col_hashes(block, column: str) -> np.ndarray:
                        dtype=np.uint64, count=len(vals))
 
 
+def hll_update(regs: np.ndarray, h: np.ndarray, p: int) -> None:
+    """Update HLL registers in place from 63-bit ``fast_hash64`` values.
+
+    fast_hash64 yields 63-bit values (top bit always 0), so the register
+    index must come from the top of the 63 USABLE bits — ``h >> (64-p)``
+    would leave bit p-1 always 0 and touch only half the registers,
+    saturating the estimate at ~m*ln2. Shared by HllDistinct and the
+    column profiler (stages/profile.py) so the subtle bit math lives in
+    exactly one place.
+    """
+    if not len(h):
+        return
+    idx = (h >> np.uint64(63 - p)).astype(np.int64)
+    rest = h << np.uint64(p + 1)  # remaining 63-p bits at top
+    # rank = leading zeros of the remaining 63-p bits, + 1
+    lz = np.full(len(h), 63 - p, dtype=np.int64)
+    nonzero = rest != 0
+    if nonzero.any():
+        # float64 log2 is exact for leading-zero counts of u64
+        bits = np.floor(np.log2(rest[nonzero].astype(np.float64)))
+        lz[nonzero] = 63 - bits.astype(np.int64)
+    rank = np.minimum(lz + 1, 63 - p + 1).astype(np.int8)
+    np.maximum.at(regs, idx, rank)
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """HLL estimate with the small-range linear-counting correction."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return int(round(est))
+
+
 class HllDistinct(AggregateFnV2):
     """Approximate COUNT(DISTINCT col) via HyperLogLog.
 
@@ -59,35 +95,14 @@ class HllDistinct(AggregateFnV2):
     def aggregate_block(self, block):
         h = _col_hashes(block, self.get_target_column())
         regs = np.zeros(self._m, dtype=np.int8)
-        if len(h):
-            # fast_hash64 yields 63-bit values (top bit always 0), so the
-            # register index must come from the top of the 63 USABLE bits —
-            # `h >> (64-p)` would leave bit p-1 always 0 and touch only half
-            # the registers, saturating the estimate at ~m*ln2.
-            idx = (h >> np.uint64(63 - self._p)).astype(np.int64)
-            rest = h << np.uint64(self._p + 1)  # remaining 63-p bits at top
-            # rank = leading zeros of the remaining 63-p bits, + 1
-            lz = np.full(len(h), 63 - self._p, dtype=np.int64)
-            nonzero = rest != 0
-            if nonzero.any():
-                # float64 log2 is exact for leading-zero counts of u64
-                bits = np.floor(np.log2(rest[nonzero].astype(np.float64)))
-                lz[nonzero] = 63 - bits.astype(np.int64)
-            rank = np.minimum(lz + 1, 63 - self._p + 1).astype(np.int8)
-            np.maximum.at(regs, idx, rank)
+        hll_update(regs, h, self._p)
         return regs
 
     def combine(self, a, b):
         return np.maximum(a, b)
 
     def finalize(self, regs) -> int:
-        m = float(self._m)
-        alpha = 0.7213 / (1 + 1.079 / m)
-        est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
-        zeros = int((regs == 0).sum())
-        if est <= 2.5 * m and zeros:
-            est = m * np.log(m / zeros)  # linear counting, small range
-        return int(round(est))
+        return hll_estimate(regs)
 
 
 class BottomKSample(AggregateFnV2):

@@ -160,3 +160,34 @@ class TestRealMediaPipeline:
         # fake mode still handles it (deterministic stand-in)
         out = decode_media(rd.from_arrow(tbl), fake=True).to_pandas()
         assert len(out) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFakeModeSniffCollision:
+    def test_text_payload_sniffing_like_image_falls_back_in_fake_mode(self):
+        """Regression: document text starting 'BM'/'P6' sniffs like an
+        image; fake mode must fall back to the deterministic stand-in,
+        not crash in the strict codec. Strict mode must stay loud."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.multimodal import (
+            MEDIA_SCHEMA,
+            decode_media,
+            resize_media,
+        )
+
+        payloads = [b"BMW announced record sales in Q3 2021.",
+                    b"P6 is a bus route in Berlin."]
+        tbl = pa.Table.from_arrays(
+            [pa.array([0, 1], pa.int64()),
+             pa.array(payloads, pa.binary()),
+             pa.array(["image", "image"], pa.string()),
+             pa.array([len(p) for p in payloads], pa.int64())],
+            schema=MEDIA_SCHEMA)
+        out = decode_media(rd.from_arrow(tbl), fake=True).to_pandas()
+        assert len(out) == 2  # deterministic stand-in dims, no crash
+        rs = resize_media(rd.from_arrow(tbl), fake=True).to_pandas()
+        assert len(rs) == 2
+        with pytest.raises(Exception):
+            decode_media(rd.from_arrow(tbl), fake=False).to_pandas()

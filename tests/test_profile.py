@@ -277,3 +277,33 @@ class TestSkewReport:
         rep = skew_report(rd.from_pandas(hot).repartition(4), "k")
         assert rep["topk"][0][0] == "hub"
         assert rep["skew_factor"] > 10  # 900 * 101 / 1000 ≈ 91
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNanKeys:
+    def test_nan_counts_merge_across_blocks(self):
+        """Regression: NaN hashes by identity on CPython 3.10+, so NaN
+        keys from different pickled partials never merged — the exact
+        'distinct' overcounted and topk listed nan repeatedly."""
+        import math
+
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.profile import (
+            profile_columns,
+        )
+
+        import numpy as np
+
+        # arrow table with GENUINE NaN values (from_pandas would convert
+        # NaN to null, which drop_null removes — not the case under test)
+        tbl = pa.table({"v": pa.array(np.array(
+            [float("nan"), 1.0, float("nan"), 2.0, float("nan"), 1.0]))})
+        assert tbl["v"].null_count == 0
+        prof = profile_columns(rd.from_arrow(tbl).repartition(3), ["v"])
+        p = prof["v"]
+        assert p["topk_exact"] is True
+        assert p["distinct"] == 3  # {nan, 1.0, 2.0}
+        nan_rows = [row for row in p["topk"]
+                    if isinstance(row[0], float) and math.isnan(row[0])]
+        assert len(nan_rows) == 1 and nan_rows[0][1] == 3
