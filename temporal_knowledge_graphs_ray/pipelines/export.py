@@ -48,7 +48,7 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
                          num_shards: int = 16, normalize: bool = True,
                          pack_buckets: int = 64,
                          vocab_size: int | None = None,
-                         join_partitions: int = 16,
+                         join_partitions: int | None = None,
                          stage_cache: str = "memory") -> dict:
     """Run the export; returns (and writes) the manifest dict.
 
@@ -90,6 +90,14 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
                          "n_tokens": t["n_tokens"]})
 
     assign = packed.map_batches(add_seq_key, batch_format="pyarrow")
+    if join_partitions is None:
+        # the house join sizing (decontaminate.py/kg.py/incdedup.py):
+        # the hash join spins up join_partitions aggregator actors and
+        # more than the cluster's CPUs deadlocks resource scheduling
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        join_partitions = max(2, min(64, ncpu // 2))
     rows = docs.join(assign, "inner", join_partitions, on=(id_col,))
 
     # sequence-grain deterministic shuffle (stages/shuffle.py contract,

@@ -250,7 +250,13 @@ class BpeEncodeStage:
                 enc = memo.get(w)
                 if enc is None:
                     enc = encode(w)
-                    memo[w] = enc
+                    # bounded per-actor memo: a heavy distinct-word tail
+                    # (random strings / unicode soup — the pathology
+                    # train_bpe's max_words cap documents) must not grow
+                    # a long-lived encode actor without limit (the same
+                    # cap rationale as functions/embed._GRAM_HASH_CACHE)
+                    if len(memo) < 1 << 20:
+                        memo[w] = enc
                 pieces.extend(enc)
             pieces_col.append(pieces)
             n_col.append(len(pieces))

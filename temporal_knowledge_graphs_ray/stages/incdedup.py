@@ -48,9 +48,19 @@ def _store_files(store_dir: str) -> list[str]:
 
 
 def _next_inc_path(store_dir: str) -> str:
+    # max existing index + 1, NOT file count: compaction collapses the
+    # store to one high-numbered file, so a count-derived name would
+    # eventually collide with (and os.replace-overwrite) the compacted
+    # file holding every historical fingerprint
     os.makedirs(store_dir, exist_ok=True)
-    return os.path.join(store_dir,
-                        f"inc-{len(_store_files(store_dir)):05d}.parquet")
+    nxt = 0
+    for f in _store_files(store_dir):
+        stem = os.path.basename(f)
+        try:
+            nxt = max(nxt, int(stem[4:-8]) + 1)  # inc-NNNNN.parquet
+        except ValueError:
+            continue
+    return os.path.join(store_dir, f"inc-{nxt:05d}.parquet")
 
 
 def _write_increment(fp_ds, store_dir: str) -> int:

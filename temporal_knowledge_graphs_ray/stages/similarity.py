@@ -141,6 +141,12 @@ def knn_brute_force_many(ds, query_mat: np.ndarray, k: int = 10,
                             batch_size=4096)
     top = group_topk_rows(scored, "qi", ["cosine", id_col],
                           [True, False], k).to_pandas()
+    if top.empty:
+        # empty corpus: to_pandas drops the schema — return the typed
+        # empty frame the single-query knn_brute_force path returns
+        return pd.DataFrame({"qi": pd.Series([], dtype="int64"),
+                             id_col: pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
     return (top.sort_values(["qi", "cosine", id_col],
                             ascending=[True, False, True],
                             ignore_index=True)

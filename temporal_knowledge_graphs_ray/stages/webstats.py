@@ -131,9 +131,12 @@ def domain_stats(pages_ds, url_col: str = "url", text_col: str = "text",
             names=["domain", "fp", "chars", "ts"],
         )
         # map-side combine: recrawl duplicates of the same text merge
-        # inside the batch before the (domain, fp) shuffle
+        # inside the batch before the (domain, fp) shuffle. n counts ALL
+        # rows (count_all) so NULL-text pages still count toward n_pages
+        # — matching the oracle's count(*) — while chars/fp stay null
+        # (sum skips them; distinct ignores NULL, handled below).
         return pre.group_by(["domain", "fp"]).aggregate(
-            [("chars", "count"), ("chars", "sum"),
+            [([], "count_all"), ("chars", "sum"),
              ("ts", "min"), ("ts", "max")]
         ).rename_columns(["domain", "fp", "n", "chars", "ts_min", "ts_max"])
 
@@ -149,7 +152,10 @@ def domain_stats(pages_ds, url_col: str = "url", text_col: str = "text",
     out = (
         per_text.groupby("domain")
         .aggregate(Sum("n", alias_name="n_pages"),
-                   Count(alias_name="n_distinct_texts"),
+                   # distinct texts ignore NULL fp (SQL count(DISTINCT)
+                   # semantics — a domain of only null-text pages has 0)
+                   Count(on="fp", ignore_nulls=True,
+                         alias_name="n_distinct_texts"),
                    Sum("chars", alias_name="total_chars"),
                    Min("ts_min", alias_name="first_ts"),
                    Max("ts_max", alias_name="last_ts"))
@@ -157,7 +163,10 @@ def domain_stats(pages_ds, url_col: str = "url", text_col: str = "text",
     )
     out["n_pages"] = out["n_pages"].astype("int64")
     out["n_distinct_texts"] = out["n_distinct_texts"].astype("int64")
-    out["total_chars"] = out["total_chars"].astype("int64")
+    if out["total_chars"].notna().all():
+        out["total_chars"] = out["total_chars"].astype("int64")
+    # else: an all-null-text domain's sum is NULL, matching SQL
+    # sum(length(text)) — keep NaN rather than crash the int cast
     out["dup_rate"] = round_half_away(
         1.0 - out["n_distinct_texts"] / out["n_pages"], 6)
     out["avg_chars"] = round_half_away(

@@ -152,3 +152,40 @@ def test_compact_store_preserves_membership(snapshots):
     assert _run(old_p, new_p, store) == []
     # compacting a single-file store is a no-op
     assert compact_fingerprint_store(store)["files_after"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_increments_after_compaction_never_collide(tmp_path):
+    """Regression: increment names derived from the file COUNT reused the
+    compacted file's name after compaction left a numbering gap, and
+    os.replace silently destroyed all pre-compaction fingerprints."""
+    import pandas as pd
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.incdedup import (
+        compact_fingerprint_store,
+        dedup_against_store,
+        write_fingerprint_store,
+    )
+
+    store = str(tmp_path / "store")
+
+    def docs(ids):
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": ids, "text": [f"unique text {i}" for i in ids]}))
+
+    write_fingerprint_store(docs([0, 1]), store)           # inc-00000
+    dedup_against_store(docs([2, 3]), store,
+                        update_store=True).to_pandas()     # inc-00001
+    compact_fingerprint_store(store)                       # -> inc-00002
+    # two more increments: the second previously computed inc-00002 and
+    # overwrote the compacted file holding docs 0..3
+    dedup_against_store(docs([4]), store,
+                        update_store=True).to_pandas()
+    dedup_against_store(docs([5]), store,
+                        update_store=True).to_pandas()
+    # every historical doc must still be fingerprinted: a full replay
+    # yields ZERO new rows
+    replay = dedup_against_store(docs([0, 1, 2, 3, 4, 5]), store,
+                                 update_store=False).to_pandas()
+    assert len(replay) == 0, replay

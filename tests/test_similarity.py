@@ -316,3 +316,23 @@ class TestIvfPqIndex:
         ds, dim = self._clustered(dim=22)
         with _pt.raises(ValueError):
             IvfPqIndex(ds, dim, m=8)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_many_empty_corpus_matches_single_query_contract():
+    """Regression: the batched path crashed (KeyError 'qi') on an empty
+    corpus while the single-query path returned a typed empty frame."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.similarity import (
+        knn_brute_force_many,
+    )
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    out = knn_brute_force_many(empty, np.ones((2, 4)), k=3)
+    assert list(out.columns) == ["qi", "vec_id", "cosine"]
+    assert len(out) == 0
