@@ -336,3 +336,37 @@ def test_knn_many_empty_corpus_matches_single_query_contract():
     out = knn_brute_force_many(empty, np.ones((2, 4)), k=3)
     assert list(out.columns) == ["qi", "vec_id", "cosine"]
     assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivfpq_query_layout_invariant_with_duplicate_vectors():
+    """Regression: per-batch ADC top-R had no id tiebreak, so duplicate
+    vectors (identical PQ codes -> equal ADC scores) straddling the cut
+    made the refine set depend on block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.similarity import IvfPqIndex
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((4, 16)) * 4
+    rows, ids = [], []
+    for i in range(240):
+        # heavy duplication: only 12 distinct vectors
+        rows.append(base[i % 4] + 0.2 * ((i // 4) % 3))
+        ids.append(i)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.astype("float32").tolist() for r in rows],
+                              pa.list_(pa.float32()))})
+    q = rows[0]
+
+    def topk_ids(blocks):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        idx = IvfPqIndex(ds, 16, n_lists=4, m=4, ks=8)
+        # refine smaller than the duplicate count forces ties at the cut
+        return idx.topk(np.asarray(q, dtype=np.float64), k=10,
+                        nprobe=2, refine=16)["vec_id"].tolist()
+
+    assert topk_ids(1) == topk_ids(9)
