@@ -149,3 +149,27 @@ def test_export_subcommand(tmp_path):
                                           hive_partitioning=true)
     """).fetchone()[0]
     assert got == 500
+
+
+def test_profile_subcommand_exact_fields_and_skew(tmp_path):
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps({
+        "doc_id": {"not_null": True, "unique": True},
+        "lang": {"in_set": ["en", "de", "fr", "es", "zh"]}}))
+    rep = _run(["profile", "--table", f"{SF}/documents.parquet",
+                "--columns", "lang,n_chars",
+                "--rules", str(rules),
+                "--skew-key", "lang", "--skew-exact"], tmp_path)
+    n, d, mn, mx = duckdb.sql(f"""
+        SELECT count(*), count(DISTINCT lang), min(n_chars), max(n_chars)
+        FROM read_parquet('{SF}/documents.parquet')
+    """).fetchone()
+    assert rep["profile"]["lang"]["n"] == n
+    assert rep["profile"]["lang"]["distinct"] == d
+    assert rep["profile"]["n_chars"]["min"] == mn
+    assert rep["profile"]["n_chars"]["max"] == mx
+    assert rep["expectations"]["doc_id.unique"]["violations"] == 0
+    assert rep["expectations"]["lang.in_set"]["violations"] == 0
+    assert rep["skew"]["lang"]["exact"] is True
+    assert rep["skew"]["lang"]["rows"] == n
+    assert rep["skew"]["lang"]["distinct"] == d
