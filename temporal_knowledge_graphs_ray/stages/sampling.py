@@ -70,6 +70,71 @@ def sample_fraction(ds, frac: float, key_col: str, seed: int = 0):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _md5_uniform(keys, seed: int) -> np.ndarray:
+    """Deterministic uniform(0,1) draw per key: the first 13 hex digits
+    of md5(seed|key) as a base-16 fraction, plus half an ulp of the
+    13-digit grid so u is never exactly 0. Computed digit-by-digit in
+    the SAME left-to-right order as the DuckDB oracle expression
+    (every partial sum is an exact dyadic n/16^i with n < 2^52, so both
+    sides round identically and the oracle is exact, not approximate).
+    """
+    out = np.empty(len(keys), dtype=np.float64)
+    hexes = _md5_rank(keys, seed)
+    for j, h in enumerate(hexes):
+        u = 0.0
+        for i in range(13):
+            u += int(h[i], 16) * 16.0 ** -(i + 1)
+        out[j] = u + 0.5 * 16.0 ** -13
+    return out
+
+
+def weighted_sample_uniform_sql(key_expr: str, seed: int) -> str:
+    """The DuckDB expression computing exactly ``_md5_uniform`` for a
+    key column expression (used by the oracle SQL and the tests)."""
+    return (
+        f"list_sum(list_transform(range(1, 14), i -> "
+        f"(strpos('0123456789abcdef', md5({seed} || '|' || {key_expr})[i]) - 1)"
+        f" * power(16.0, -i))) + 0.5 * power(16.0, -13)"
+    )
+
+
+def weighted_sample(ds, k: int, weight_col: str, key_col: str,
+                    seed: int = 0):
+    """Weighted sampling WITHOUT replacement: the k rows with the
+    largest ``u^(1/w)`` rank, u = md5-uniform per key (Efraimidis &
+    Spirakis 2006, algorithm A) — each row's inclusion probability is
+    proportional to its weight among the remaining rows, and the whole
+    draw is a pure function of (seed, key, weight): retries, re-runs
+    and block layouts agree, and the draw has an exact SQL oracle.
+
+    Ranking uses the monotone-equivalent ``ln(u)/w`` (descending; ln u
+    is negative so dividing by a larger weight moves the rank toward 0
+    = better), avoiding ``pow`` whose libm rounding differs across
+    implementations more often than ``ln``'s. Ties (possible only for
+    duplicate keys) break by key.
+
+    Scale: rank is a streaming column; selection is the house partial
+    top-k (per-block top-k, then sort+limit over k x blocks survivors)
+    — no global sort of the corpus. Oracle:
+    ``ORDER BY ln(u)/weight DESC, key LIMIT k`` with u per
+    ``weighted_sample_uniform_sql``.
+    """
+    from .topk import topk_rows
+
+    def rank(t: pa.Table) -> pa.Table:
+        w = np.asarray(t[weight_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        if len(w) and (not np.all(np.isfinite(w)) or (w <= 0).any()):
+            raise ValueError("weighted_sample requires finite weights > 0")
+        u = _md5_uniform(t[key_col].to_pylist(), seed)
+        return t.append_column("_wrank", pa.array(np.log(u) / w,
+                                                  pa.float64()))
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow")
+    top = topk_rows(ranked, ["_wrank", key_col], [True, False], k)
+    return top.drop_columns(["_wrank"])
+
+
 def stratified_sample(ds, group_col: str, n_per_group: int, key_col: str,
                       seed: int = 0):
     """Exact per-group quota: the ``n_per_group`` rows with the smallest

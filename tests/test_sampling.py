@@ -144,3 +144,97 @@ class TestStratified:
         n = ds.count()
         got = stratified_sample(ds, "lang", 10**9, "doc_id")
         assert got.count() == n
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeightedSample:
+    """weighted_sample: exact DuckDB oracle (ORDER BY ln(u)/w DESC),
+    statistical sanity, determinism across layouts."""
+
+    def _docs_with_weights(self):
+        import ray.data as rd
+
+        ds = rd.read_parquet(DOCS, columns=["doc_id", "n_chars"])
+
+        def to_w(df):
+            df = df.copy()
+            df["w"] = df["n_chars"].astype("float64") + 1.0
+            return df[["doc_id", "w"]]
+
+        return ds.map_batches(to_w, batch_format="pandas")
+
+    def test_matches_duckdb(self):
+        from temporal_knowledge_graphs_ray.stages.sampling import (
+            weighted_sample, weighted_sample_uniform_sql,
+        )
+
+        got = (weighted_sample(self._docs_with_weights(), 40, "w",
+                               "doc_id", seed=3)
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        u = weighted_sample_uniform_sql(
+            "CAST(doc_id AS VARCHAR)", 3)
+        want = duckdb.sql(f"""
+            SELECT doc_id, w FROM (
+              SELECT doc_id, CAST(n_chars AS DOUBLE) + 1.0 AS w
+              FROM read_parquet('{DOCS}'))
+            ORDER BY ln({u}) / w DESC, doc_id LIMIT 40
+        """).df().sort_values("doc_id", ignore_index=True)
+        assert list(got["doc_id"]) == list(want["doc_id"])
+
+    def test_prefers_heavy_rows(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.sampling import (
+            weighted_sample,
+        )
+
+        # 50 heavy rows (w=1000) among 1000 light rows (w=1): a
+        # uniform draw of 100 keeps ~5 heavy; weighted keeps most
+        df = pd.DataFrame({
+            "k": [f"r{i}" for i in range(1050)],
+            "w": [1000.0] * 50 + [1.0] * 1000,
+        })
+        got = weighted_sample(rd.from_pandas(df), 100, "w", "k",
+                              seed=11).to_pandas()
+        n_heavy = (got["w"] == 1000.0).sum()
+        assert n_heavy >= 40
+        assert len(got) == 100
+
+    def test_layout_invariance_and_determinism(self):
+        from temporal_knowledge_graphs_ray.stages.sampling import (
+            weighted_sample,
+        )
+
+        ds = self._docs_with_weights()
+        a = (weighted_sample(ds.repartition(1), 25, "w", "doc_id",
+                             seed=5).to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+        b = (weighted_sample(ds.repartition(13), 25, "w", "doc_id",
+                             seed=5).to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+        assert list(a["doc_id"]) == list(b["doc_id"])
+
+    def test_bad_weights_rejected(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.sampling import (
+            weighted_sample,
+        )
+
+        df = pd.DataFrame({"k": ["a", "b"], "w": [1.0, 0.0]})
+        with pytest.raises(Exception):
+            weighted_sample(rd.from_pandas(df), 1, "w", "k").count()
+
+    def test_k_exceeds_rows(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.sampling import (
+            weighted_sample,
+        )
+
+        df = pd.DataFrame({"k": ["a", "b", "c"], "w": [1.0, 2.0, 3.0]})
+        got = weighted_sample(rd.from_pandas(df), 10, "w", "k")
+        assert got.count() == 3
