@@ -247,6 +247,53 @@ def run_bench() -> dict:
               docs_src.filter(expr="source == 'src0'"),
               k=100, num_buckets=16384).to_pandas())
 
+    from temporal_knowledge_graphs_ray.stages.sampling import weighted_sample
+
+    def wsample():
+        import pyarrow as pa
+
+        wds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).map_batches(
+            lambda t: t.append_column(
+                "w", t["n_chars"].cast(pa.float64())),
+            batch_format="pyarrow")
+        return weighted_sample(wds, 200, "w", "doc_id").to_pandas()
+
+    timed("weighted_sample", wsample)
+
+    # ---- training-data ops: trainable quality classifier ----
+    from temporal_knowledge_graphs_ray.stages.classifier import (
+        classify,
+        featurize,
+        fit_classifier,
+    )
+
+    def _labeled_docs():
+        import pyarrow as pa
+        import pyarrow.compute as pcc
+
+        return docs_src.map_batches(
+            lambda t: t.append_column(
+                "label",
+                pcc.cast(pcc.equal(t["source"], "src0"), pa.int64())),
+            batch_format="pyarrow")
+
+    clf_feats = None
+    clf_model = None
+
+    def clf_fit():
+        nonlocal clf_feats, clf_model
+        clf_feats = featurize(_labeled_docs(), label_col="label",
+                              dim=2 ** 16, ngrams=2, seed=1).materialize()
+        clf_model = fit_classifier(clf_feats, dim=2 ** 16, ngrams=2,
+                                   seed=1, epochs=5, lr=8.0)
+        return clf_model
+
+    timed("classifier_fit5", clf_fit)
+    timed("classifier_score",
+          lambda: classify(clf_feats, clf_model).materialize())
+
     # ---- training-data export: weighted corpus mixture ----
     from temporal_knowledge_graphs_ray.stages.mixture import mix_corpora
 
