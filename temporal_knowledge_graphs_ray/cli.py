@@ -10,7 +10,9 @@ analog:
     python -m temporal_knowledge_graphs_ray.cli stats --out <dir>
 
 plus curation/maintenance subcommands: curate, compact, ingest, eval,
-sample (md5-keyed fraction/stratified), dsir (importance selection),
+sample (md5-keyed fraction/stratified/weighted-without-replacement),
+classify (train/apply the hashed-ngram quality classifier),
+dsir (importance selection),
 semdedup (embedding near-dup verdicts), dupspans (exact substring-dup
 stats), analytics (degrees/triangles/k-core/components/pagerank over a
 built KG), bm25 (build/query a ranked keyword index), hybrid (BM25 +
@@ -167,6 +169,8 @@ def cmd_curate(args) -> int:
         max_punct_ratio=args.max_punct_ratio,
         jaccard_threshold=args.jaccard_threshold,
         max_dup_fraction=args.max_dup_fraction,
+        quality_model=args.quality_model,
+        min_quality_score=args.min_quality_score,
     )
     print(json.dumps(report))
     ray.shutdown()
@@ -180,11 +184,20 @@ def cmd_sample(args) -> int:
     import ray.data as rd
 
     from .stages.blocks import coalesce_blocks
-    from .stages.sampling import sample_fraction, stratified_sample
+    from .stages.sampling import (
+        sample_fraction,
+        stratified_sample,
+        weighted_sample,
+    )
 
     _init_ray(args.num_cpus)
     ds = rd.read_parquet(args.documents)
-    if args.per_group:
+    if args.weight_col:
+        if not args.k:
+            raise SystemExit("--weight-col requires --k")
+        out = weighted_sample(ds, args.k, args.weight_col,
+                              args.key_col, seed=args.seed)
+    elif args.per_group:
         out = stratified_sample(ds, args.group_col, args.per_group,
                                 args.key_col, seed=args.seed)
     else:
@@ -211,6 +224,49 @@ def cmd_dsir(args) -> int:
         k=args.k, num_buckets=args.num_buckets, mode=args.mode)
     coalesce_blocks(out).write_parquet(args.out)
     print(json.dumps({"out": args.out, "k": args.k, "mode": args.mode}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_classify(args) -> int:
+    """Train and/or apply the fastText-style quality classifier.
+
+    With ``--train-labels`` fits on a (doc_id, text, label 0/1) Parquet
+    and saves the model to ``--model``; with ``--documents`` scores the
+    corpus against ``--model`` into ``--out`` (doc_id, quality_score)."""
+    import ray
+    import ray.data as rd
+
+    from .stages.blocks import coalesce_blocks
+    from .stages.classifier import (
+        TextClassifierModel,
+        classify_text,
+        featurize,
+        fit_classifier,
+    )
+
+    _init_ray(args.num_cpus)
+    info = {"model": args.model}
+    if args.train_labels:
+        feats = featurize(
+            rd.read_parquet(args.train_labels),
+            label_col=args.label_col, dim=args.dim,
+            ngrams=args.ngrams, seed=args.seed)
+        model = fit_classifier(
+            feats, dim=args.dim, ngrams=args.ngrams, seed=args.seed,
+            epochs=args.epochs, lr=args.lr, l2=args.l2)
+        model.save(args.model)
+        info["final_loss"] = model.losses[-1]
+    else:
+        model = TextClassifierModel.load(args.model)
+    if args.documents:
+        out = classify_text(
+            rd.read_parquet(args.documents, columns=["doc_id", "text"]),
+            model)
+        coalesce_blocks(out).write_parquet(args.out)
+        info["out"] = args.out
+        info["rows"] = rd.read_parquet(args.out).count()
+    print(json.dumps(info))
     ray.shutdown()
     return 0
 
@@ -635,6 +691,10 @@ def main(argv=None) -> int:
     p.add_argument("--max-dup-fraction", type=float, default=None,
                    help="drop docs whose exact substring-duplicated "
                         "token fraction exceeds this cap")
+    p.add_argument("--quality-model", default=None,
+                   help="saved TextClassifierModel .npz; adds the "
+                        "model-based quality-filter leg")
+    p.add_argument("--min-quality-score", type=float, default=0.5)
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("sample")
@@ -645,7 +705,29 @@ def main(argv=None) -> int:
                    help="stratified quota per group (overrides --frac)")
     p.add_argument("--group-col", default="lang")
     p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--weight-col", default=None,
+                   help="weighted sampling without replacement by this "
+                        "column (requires --k)")
+    p.add_argument("--k", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser("classify")
+    p.add_argument("--model", required=True,
+                   help="model .npz path (written with --train-labels, "
+                        "read otherwise)")
+    p.add_argument("--train-labels", default=None,
+                   help="labeled Parquet (doc_id, text, label 0/1) to fit on")
+    p.add_argument("--label-col", default="label")
+    p.add_argument("--documents", default=None,
+                   help="corpus Parquet to score (writes --out)")
+    p.add_argument("--out", default=None)
+    p.add_argument("--dim", type=int, default=2 ** 18)
+    p.add_argument("--ngrams", type=int, default=2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--lr", type=float, default=8.0)
+    p.add_argument("--l2", type=float, default=0.0)
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("dsir")
@@ -802,6 +884,8 @@ def main(argv=None) -> int:
         return cmd_sample(args)
     if args.cmd == "dsir":
         return cmd_dsir(args)
+    if args.cmd == "classify":
+        return cmd_classify(args)
     if args.cmd == "semdedup":
         return cmd_semdedup(args)
     if args.cmd == "dupspans":

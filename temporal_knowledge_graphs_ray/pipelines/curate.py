@@ -75,6 +75,8 @@ def curate_corpus(
     join_partitions: int | None = None,
     max_dup_fraction: float | None = None,
     dup_window_tokens: int = 50,
+    quality_model=None,
+    min_quality_score: float = 0.5,
 ) -> dict:
     """documents Dataset -> curated Parquet under ``out_dir``; returns the
     funnel report (counts per stage)."""
@@ -108,6 +110,22 @@ def curate_corpus(
     filtered = sig.map_batches(keep_filter,
                                batch_format="pyarrow").materialize()
     report["after_quality_filter"] = filtered.count()
+
+    # optional model-based quality filter (the GPT-3 / CCNet classifier
+    # step): a trained TextClassifierModel (or a path to a saved one)
+    # scores each doc in one streaming broadcast pass; low scorers drop
+    if quality_model is not None:
+        from ..stages.classifier import (
+            TextClassifierModel,
+            filter_by_quality,
+        )
+
+        if isinstance(quality_model, str):
+            quality_model = TextClassifierModel.load(quality_model)
+        filtered = filter_by_quality(
+            filtered, quality_model, min_quality_score,
+            text_col=text_col).materialize()
+        report["after_model_filter"] = filtered.count()
 
     # exact dedup: winner per fingerprint, survivors via native semi-join
     if join_partitions is None:

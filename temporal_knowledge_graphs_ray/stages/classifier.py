@@ -179,6 +179,23 @@ def _scores_np(t: pa.Table, w: np.ndarray, b: float) -> np.ndarray:
     return z
 
 
+def _scores_from_lists(idx_lists, cnt_lists, w: np.ndarray,
+                       b: float) -> np.ndarray:
+    """Vectorized logit per doc from ``_hash_features`` output."""
+    lens = np.fromiter((len(u) for u in idx_lists), dtype=np.int64,
+                       count=len(idx_lists))
+    z = np.full(len(idx_lists), b, dtype=np.float64)
+    if lens.sum():
+        idx = np.concatenate([u for u in idx_lists if len(u)])
+        cnt = np.concatenate(
+            [c for c in cnt_lists if len(c)]).astype(np.float64)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        totals = np.zeros(len(lens), dtype=np.float64)
+        np.add.at(totals, doc_of, cnt)
+        np.add.at(z, doc_of, w[idx] * (cnt / np.maximum(totals, 1.0)[doc_of]))
+    return z
+
+
 def fit_classifier(features, dim: int = 2 ** 18, ngrams: int = 2,
                    seed: int = 0, epochs: int = 20, lr: float = 2.0,
                    l2: float = 0.0, combine_batch: int = 256,
@@ -285,3 +302,32 @@ def classify_text(ds, model: TextClassifierModel, text_col: str = "text",
     feats = featurize(ds, text_col=text_col, id_col=id_col,
                       dim=model.dim, ngrams=model.ngrams, seed=model.seed)
     return classify(feats, model, id_col=id_col, out_col=out_col)
+
+
+def filter_by_quality(ds, model: TextClassifierModel,
+                      min_score: float, text_col: str = "text",
+                      score_col: str | None = None):
+    """Keep rows whose classifier score is >= ``min_score`` — the GPT-3 /
+    CCNet model-filter step, as ONE streaming pass that featurizes,
+    scores against the broadcast weight vector and filters in place (no
+    join back to the corpus; all input columns pass through; null text
+    scores sigmoid(b) like the score path). ``score_col`` optionally
+    appends the kept rows' scores."""
+    import ray
+
+    ref = ray.put((model.w.copy(), model.b))
+    dim, ngrams, seed = model.dim, model.ngrams, model.seed
+
+    def keep(t: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _ray
+
+        cw, cb = _ray.get(_ref)
+        idx_lists, cnt_lists = _hash_features(
+            t[text_col].to_pylist(), dim, ngrams, seed)
+        z = _scores_from_lists(idx_lists, cnt_lists, cw, cb)
+        p = 1.0 / (1.0 + np.exp(-z))
+        if score_col is not None:
+            t = t.append_column(score_col, pa.array(p, pa.float64()))
+        return t.filter(pa.array(p >= min_score))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -73,19 +73,17 @@ def sample_fraction(ds, frac: float, key_col: str, seed: int = 0):
 def _md5_uniform(keys, seed: int) -> np.ndarray:
     """Deterministic uniform(0,1) draw per key: the first 13 hex digits
     of md5(seed|key) as a base-16 fraction, plus half an ulp of the
-    13-digit grid so u is never exactly 0. Computed digit-by-digit in
-    the SAME left-to-right order as the DuckDB oracle expression
-    (every partial sum is an exact dyadic n/16^i with n < 2^52, so both
-    sides round identically and the oracle is exact, not approximate).
+    13-digit grid so u is never exactly 0. The DuckDB oracle expression
+    sums digit-by-digit left-to-right; every partial sum there is an
+    exact dyadic n/16^i with n < 2^52, so the whole sum is EXACTLY
+    n_13/16^13 with no rounding anywhere — computed here as one int
+    parse times the exact power-of-two 16^-13 (bit-identical to the
+    oracle's sum, one float op per key instead of 13).
     """
-    out = np.empty(len(keys), dtype=np.float64)
     hexes = _md5_rank(keys, seed)
-    for j, h in enumerate(hexes):
-        u = 0.0
-        for i in range(13):
-            u += int(h[i], 16) * 16.0 ** -(i + 1)
-        out[j] = u + 0.5 * 16.0 ** -13
-    return out
+    ints = np.fromiter((int(h[:13], 16) for h in hexes),
+                       dtype=np.float64, count=len(hexes))
+    return (ints + 0.5) * 16.0 ** -13
 
 
 def weighted_sample_uniform_sql(key_expr: str, seed: int) -> str:

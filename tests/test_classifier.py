@@ -159,6 +159,33 @@ class TestClassifier:
             featurize(rd.from_pandas(df), label_col="label",
                       dim=DIM).materialize()
 
+    def test_filter_by_quality_matches_scores(self):
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.classifier import (
+            classify_text, featurize, filter_by_quality, fit_classifier,
+        )
+
+        df = _planted_corpus(200)
+        df["extra"] = df["doc_id"] * 7  # passthrough column
+        ds = rd.from_pandas(df)
+        feats = featurize(ds, label_col="label", dim=DIM, ngrams=2,
+                          seed=SEED)
+        model = fit_classifier(feats, dim=DIM, ngrams=2, seed=SEED,
+                               epochs=15, lr=8.0)
+        scores = (classify_text(ds, model).to_pandas()
+                  .set_index("doc_id")["quality_score"])
+        kept = filter_by_quality(ds, model, 0.5,
+                                 score_col="qs").to_pandas()
+        want_ids = sorted(scores[scores >= 0.5].index)
+        assert sorted(kept["doc_id"]) == want_ids
+        # all input columns pass through; appended score matches
+        assert {"doc_id", "text", "label", "extra", "qs"} == set(
+            kept.columns)
+        for _, r in kept.iterrows():
+            assert r["qs"] == pytest.approx(scores[r["doc_id"]])
+        assert (kept["extra"] == kept["doc_id"] * 7).all()
+
     def test_empty_and_null_text_docs(self):
         import ray.data as rd
 

@@ -173,3 +173,67 @@ def test_profile_subcommand_exact_fields_and_skew(tmp_path):
     assert rep["skew"]["lang"]["exact"] is True
     assert rep["skew"]["lang"]["rows"] == n
     assert rep["skew"]["lang"]["distinct"] == d
+
+
+def test_weighted_sample_subcommand_matches_oracle(tmp_path):
+    from temporal_knowledge_graphs_ray.stages.sampling import (
+        weighted_sample_uniform_sql,
+    )
+
+    out_dir = str(tmp_path / "ws")
+    rep = _run(["sample", "--documents", f"{SF}/documents.parquet",
+                "--out", out_dir, "--weight-col", "n_chars",
+                "--k", "30", "--seed", "4"], tmp_path)
+    assert rep["rows"] == 30
+    u = weighted_sample_uniform_sql("CAST(doc_id AS VARCHAR)", 4)
+    want = duckdb.sql(f"""
+        SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
+        ORDER BY ln({u}) / n_chars DESC, doc_id LIMIT 30
+    """).df()["doc_id"].sort_values().tolist()
+    got = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{out_dir}/*.parquet') "
+        "ORDER BY doc_id").df()["doc_id"].tolist()
+    assert got == want
+
+
+def test_classify_subcommand_train_then_score(tmp_path):
+    import pandas as pd
+
+    labels = str(tmp_path / "labels.parquet")
+    rows = []
+    for i in range(80):
+        label = i % 2
+        base = ("rigorous measured analysis of study evidence"
+                if label else "buy free click winner casino deal")
+        rows.append({"doc_id": i,
+                     "text": f"{base} u{i}a u{i}b u{i}c",
+                     "label": label})
+    pd.DataFrame(rows).to_parquet(labels)
+
+    model = str(tmp_path / "clf.npz")
+    scored = str(tmp_path / "scored")
+    rep = _run(["classify", "--model", model, "--train-labels", labels,
+                "--label-col", "label", "--dim", "4096",
+                "--epochs", "25", "--lr", "8.0",
+                "--documents", labels, "--out", scored], tmp_path)
+    assert rep["final_loss"] < 0.3
+    assert rep["rows"] == 80
+    acc = duckdb.sql(f"""
+        SELECT avg(CAST((s.quality_score > 0.5) =
+                        (l.label = 1) AS DOUBLE))
+        FROM read_parquet('{scored}/*.parquet') s
+        JOIN read_parquet('{labels}') l USING (doc_id)
+    """).fetchone()[0]
+    assert acc == 1.0
+
+    # load-only path: re-score with the saved model, no retrain
+    scored2 = str(tmp_path / "scored2")
+    rep2 = _run(["classify", "--model", model,
+                 "--documents", labels, "--out", scored2], tmp_path)
+    assert "final_loss" not in rep2 and rep2["rows"] == 80
+    same = duckdb.sql(f"""
+        SELECT count(*) FROM read_parquet('{scored}/*.parquet') a
+        JOIN read_parquet('{scored2}/*.parquet') b USING (doc_id)
+        WHERE a.quality_score = b.quality_score
+    """).fetchone()[0]
+    assert same == 80

@@ -83,3 +83,50 @@ def test_curation_substring_dup_cap(tmp_path):
     assert 10 not in kept
     assert kept == set(range(10))
     assert report["curated_docs"] == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_model_quality_filter(tmp_path):
+    """The optional classifier leg: a model trained on a planted
+    good-vs-spam vocabulary drops the spam docs from the funnel and the
+    report records the stage count (loaded from a saved .npz path)."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.curate import curate_corpus
+    from temporal_knowledge_graphs_ray.stages.classifier import (
+        featurize,
+        fit_classifier,
+    )
+
+    good = ("the study presents measured evidence and careful analysis "
+            "of the underlying theorem with detailed methodology")
+    bad = ("click here to buy now free winner casino bonus offer "
+           "限时 amazing deal subscribe cheap pills")
+    rows = []
+    for i in range(60):
+        label = i % 2
+        base = good if label else bad
+        # per-doc unique filler keeps pairwise Jaccard well under the
+        # near-dup threshold so ONLY the classifier leg drops docs
+        uniq = " ".join(f"w{i}x{j}" for j in range(8))
+        rows.append({"doc_id": i, "text": f"{base} {uniq}",
+                     "label": label})
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df)
+    feats = featurize(ds, label_col="label", dim=2 ** 12, ngrams=2,
+                      seed=5)
+    model = fit_classifier(feats, dim=2 ** 12, ngrams=2, seed=5,
+                           epochs=25, lr=8.0)
+    mpath = str(tmp_path / "quality.npz")
+    model.save(mpath)
+
+    out = str(tmp_path / "curated")
+    report = curate_corpus(
+        ds.drop_columns(["label"]), out, min_words=3,
+        max_punct_ratio=1.0, quality_model=mpath,
+        min_quality_score=0.5)
+    assert report["after_model_filter"] == 30
+    kept = set(rd.read_parquet(out).to_pandas()["doc_id"])
+    assert kept == {i for i in range(60) if i % 2 == 1}
