@@ -1,0 +1,154 @@
+"""WARC/WET source: spec-conformant round-trips (plain, whole-file
+gzip, CommonCrawl's per-record gzip members), warcinfo filtering,
+malformed-shard policy, and the documents-shape bridge."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from temporal_knowledge_graphs_ray.sources.wet import (
+    parse_wet_bytes,
+    write_wet,
+)
+
+
+def _records(n: int = 6) -> list[dict]:
+    recs = [{
+        "warc_type": "warcinfo",
+        "url": "",
+        "warc_date": "2020-06-01T00:00:00Z",
+        "record_id": "info-0",
+        "text": "software: test-writer\r\nformat: WARC File Format 1.0",
+    }]
+    for i in range(n):
+        recs.append({
+            "warc_type": "conversion",
+            "url": f"https://example.org/page/{i}",
+            "warc_date": f"2020-06-0{i % 9 + 1}T12:00:00Z",
+            "record_id": f"rec-{i}",
+            # multi-byte UTF-8: Content-Length counts bytes, not chars
+            "text": f"Seite {i} — café text body\nline two",
+        })
+    return recs
+
+
+class TestParseKernel:
+    def test_roundtrip_all_framings(self, tmp_path):
+        recs = _records()
+        for name, kw in (("plain.wet", {}),
+                         ("whole.wet.gz", {"compress": True}),
+                         ("members.wet.gz", {"per_record_members": True})):
+            p = str(tmp_path / name)
+            write_wet(p, recs, **kw)
+            got = parse_wet_bytes(open(p, "rb").read(), source=name)
+            assert len(got) == len(recs)
+            for r, g in zip(recs, got):
+                assert g["url"] == r["url"]
+                assert g["warc_date"] == r["warc_date"]
+                assert g["warc_type"] == r["warc_type"]
+                assert g["text"] == r["text"]
+                assert g["content_length"] == len(r["text"].encode())
+                assert g["truncated"] is False
+
+    def test_lf_only_headers(self):
+        body = "hello world".encode()
+        raw = (b"WARC/1.0\nWARC-Type: conversion\n"
+               b"WARC-Target-URI: http://x/\n"
+               b"Content-Length: " + str(len(body)).encode() + b"\n\n"
+               + body + b"\n\n")
+        got = parse_wet_bytes(raw)
+        assert len(got) == 1 and got[0]["text"] == "hello world"
+
+    def test_truncated_payload_policy(self, tmp_path):
+        recs = _records(3)
+        p = str(tmp_path / "t.wet")
+        write_wet(p, recs)
+        raw = open(p, "rb").read()[:-30]  # cut into the last body
+        got = parse_wet_bytes(raw, source="t.wet")
+        assert len(got) == len(recs) - 1
+        assert all(g["truncated"] for g in got)
+        with pytest.raises(ValueError, match="malformed"):
+            parse_wet_bytes(raw, strict=True)
+
+    def test_garbage_header_policy(self):
+        assert parse_wet_bytes(b"NOT-A-WARC\r\n\r\nstuff") == []
+        raw = b"WARC/1.0\r\nContent-Length: banana\r\n\r\n"
+        assert parse_wet_bytes(raw) == []
+        with pytest.raises(ValueError):
+            parse_wet_bytes(raw, strict=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRayRead:
+    def test_read_wet_multi_shard(self, tmp_path):
+        from temporal_knowledge_graphs_ray.sources.wet import read_wet
+
+        recs = _records(6)
+        paths = []
+        for s in range(3):
+            p = str(tmp_path / f"shard-{s}.wet.gz")
+            write_wet(p, recs, per_record_members=(s % 2 == 0),
+                      compress=True)
+            paths.append(p)
+        df = read_wet(paths).to_pandas()
+        # warcinfo filtered by default; 6 conversion rows per shard
+        assert len(df) == 18
+        assert set(df["warc_type"]) == {"conversion"}
+        assert sorted(set(df["url"])) == sorted(
+            r["url"] for r in recs if r["warc_type"] == "conversion")
+        # keep_types=None keeps the warcinfo preamble too
+        df_all = read_wet(paths, keep_types=None).to_pandas()
+        assert len(df_all) == 21
+
+    def test_wet_to_documents_deterministic(self, tmp_path):
+        from temporal_knowledge_graphs_ray.sources.wet import (
+            read_wet,
+            wet_to_documents,
+        )
+
+        p = str(tmp_path / "docs.wet")
+        write_wet(p, _records(8))
+        a = (wet_to_documents(read_wet(p)).to_pandas()
+             .sort_values("url", ignore_index=True))
+        b = (wet_to_documents(read_wet([p, p]))  # re-read, 2 shards
+             .to_pandas().drop_duplicates("doc_id")
+             .sort_values("url", ignore_index=True))
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        assert a["doc_id"].is_unique
+        assert set(a.columns) == {"doc_id", "url", "ts", "text"}
+        assert (a["ts"] == a["ts"].str.slice(0, 20)).all()
+
+    def test_wet_feeds_curation(self, tmp_path):
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.pipelines.curate import (
+            curate_corpus,
+        )
+        from temporal_knowledge_graphs_ray.sources.wet import (
+            read_wet,
+            wet_to_documents,
+        )
+
+        recs = []
+        for i in range(20):
+            recs.append({
+                "warc_type": "conversion",
+                "url": f"https://example.org/{i}",
+                "warc_date": "2020-06-01T00:00:00Z",
+                "record_id": f"r{i}",
+                "text": (f"unique page {i} discussing topic t{i} "
+                         + " ".join(f"w{i}x{j}" for j in range(10))),
+            })
+        # an exact duplicate page under a different record id
+        recs.append(dict(recs[5], record_id="dup", url="https://dup/"))
+        p = str(tmp_path / "c.wet.gz")
+        write_wet(p, recs, compress=True)
+        out = str(tmp_path / "curated")
+        report = curate_corpus(
+            wet_to_documents(read_wet(p)), out, min_words=3,
+            max_punct_ratio=1.0)
+        assert report["input_docs"] == 21
+        assert report["after_exact_dedup"] == 20
+        assert rd.read_parquet(out).count() == report["curated_docs"]
