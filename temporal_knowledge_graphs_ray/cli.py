@@ -160,8 +160,15 @@ def cmd_curate(args) -> int:
 
     from .pipelines.curate import curate_corpus
 
+    if not args.documents and not args.wet:
+        raise SystemExit("curate: one of --documents / --wet is required")
     _init_ray(args.num_cpus)
-    ds = rd.read_parquet(args.documents, columns=["doc_id", "text"])
+    if args.wet:
+        from .sources.wet import read_wet, wet_to_documents
+
+        ds = wet_to_documents(read_wet(args.wet.split(",")))
+    else:
+        ds = rd.read_parquet(args.documents, columns=["doc_id", "text"])
     report = curate_corpus(
         ds, args.out,
         languages=set(args.languages.split(",")) if args.languages else None,
@@ -680,8 +687,11 @@ def main(argv=None) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("curate")
-    p.add_argument("--documents", required=True,
+    p.add_argument("--documents", default=None,
                    help="documents Parquet path/dir (doc_id, text)")
+    p.add_argument("--wet", default=None,
+                   help="comma-separated WARC/WET shard paths to curate "
+                        "instead of --documents")
     p.add_argument("--out", required=True)
     p.add_argument("--languages", default=None,
                    help="comma-separated allowlist, e.g. en,de")

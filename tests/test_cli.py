@@ -237,3 +237,30 @@ def test_classify_subcommand_train_then_score(tmp_path):
         WHERE a.quality_score = b.quality_score
     """).fetchone()[0]
     assert same == 80
+
+
+def test_curate_wet_subcommand(tmp_path):
+    from temporal_knowledge_graphs_ray.sources.wet import write_wet
+
+    recs = []
+    for i in range(15):
+        recs.append({
+            "warc_type": "conversion",
+            "url": f"https://example.org/{i}",
+            "warc_date": "2021-01-01T00:00:00Z",
+            "record_id": f"r{i}",
+            "text": (f"page {i} about subject s{i} "
+                     + " ".join(f"q{i}z{j}" for j in range(8))),
+        })
+    shard = str(tmp_path / "in.wet.gz")
+    write_wet(shard, recs, per_record_members=True)
+    out = str(tmp_path / "curated")
+    rep = _run(["curate", "--wet", shard, "--out", out,
+                "--min-words", "3", "--max-punct-ratio", "1.0"],
+               tmp_path)
+    assert rep["input_docs"] == 15
+    assert rep["curated_docs"] == 15
+    got = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM "
+        f"read_parquet('{out}/*.parquet')").fetchone()
+    assert got == (15, 15)
