@@ -567,6 +567,32 @@ class IvfIndex:
 
         return fn
 
+    def add(self, ds, save_path: str | None = None) -> int:
+        """Index new vectors WITHOUT retraining: the coarse quantizer is
+        frozen at train time (standard IVF growth — FAISS ``add``), so
+        ingesting a new corpus increment is ONE assign pass unioned into
+        the inverted lists; queries see the union immediately. With
+        ``save_path`` (a dir previously written by :meth:`save`) the new
+        rows are ALSO appended to the on-disk lists as fresh files in
+        their ``list_id=`` partitions — existing files are untouched, so
+        a 10^12-vector saved index grows by increment size, not by a
+        full rewrite. Returns the number of vectors added."""
+        if self.centroids is None:
+            raise ValueError("IvfIndex.add: index has no trained "
+                             "centroids (construct or load it first)")
+        new = ds.map_batches(self._assign_stage(),
+                             batch_format="pyarrow",
+                             batch_size=4096).materialize()
+        n_new = new.count()
+        self.assigned = self.assigned.union(new)
+        if save_path is not None:
+            from .blocks import coalesce_blocks
+
+            coalesce_blocks(new).write_parquet(
+                os.path.join(save_path, "lists"),
+                partition_cols=["list_id"])
+        return n_new
+
     def save(self, path: str) -> None:
         import shutil as _sh
 

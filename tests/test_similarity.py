@@ -214,6 +214,64 @@ class TestIvfIndex:
         assert loaded.topk(q, 5)["vec_id"].tolist() == \
             a.topk(q, 5)["vec_id"].tolist()
 
+    def test_incremental_add(self, ray_session, tmp_path):
+        """Frozen-quantizer growth: train on corpus A, add corpus B —
+        queries must equal an index whose CENTROIDS came from A but
+        whose lists cover A∪B (one assign pass, no retrain); the
+        on-disk append must survive a reload."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.similarity import IvfIndex
+
+        ds, dim = self._clustered()
+        n_a = ds.count()
+        # increment: same cluster structure, fresh ids
+        inc_tbl = ds.take_all()
+        rng = np.random.RandomState(7)
+        inc = pa.table({
+            "vec_id": pa.array(
+                [n_a + i for i in range(len(inc_tbl))], pa.int64()),
+            "embedding": pa.array(
+                [(np.array(r["embedding"], dtype=np.float64)
+                  + 0.05 * rng.standard_normal(dim)).astype(
+                      "float32").tolist() for r in inc_tbl],
+                pa.list_(pa.float32())),
+        })
+        inc_ds = rd.from_arrow(inc)
+
+        idx = IvfIndex(ds, dim, n_lists=8)
+        idx.save(str(tmp_path / "ivf"))
+        added = idx.add(inc_ds, save_path=str(tmp_path / "ivf"))
+        assert added == len(inc_tbl)
+
+        # reference: same frozen centroids, one assign over the union
+        ref = IvfIndex(ds, dim, n_lists=8)
+        ref.assigned = ds.union(inc_ds).map_batches(
+            ref._assign_stage(), batch_format="pyarrow",
+            batch_size=4096).materialize()
+
+        q = np.array(inc_tbl[3]["embedding"], dtype=np.float64)
+        got = idx.topk(q, 8, nprobe=3)["vec_id"].tolist()
+        want = ref.topk(q, 8, nprobe=3)["vec_id"].tolist()
+        assert got == want
+        assert any(v >= n_a for v in got)  # increment rows are reachable
+
+        # the appended partitions reload: disk index == in-memory union
+        loaded = IvfIndex.load(str(tmp_path / "ivf"))
+        assert loaded.assigned.count() == n_a + len(inc_tbl)
+        assert loaded.topk(q, 8, nprobe=3)["vec_id"].tolist() == want
+
+    def test_add_requires_trained_index(self, ray_session):
+        import pytest as _pytest
+
+        from temporal_knowledge_graphs_ray.stages.similarity import IvfIndex
+
+        idx = IvfIndex(None, 0)
+        with _pytest.raises(ValueError, match="no trained"):
+            idx.add(None)
+
 
 class TestIvfPqIndex:
     def _clustered(self, n_clusters=8, per=40, dim=24):
