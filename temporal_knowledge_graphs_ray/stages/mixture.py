@@ -68,7 +68,11 @@ def mix_corpora(corpora: dict, weights: dict[str, float],
             raise ValueError(f"corpus {name!r} already has reserved "
                              f"mixture column(s) {sorted(taken)}")
     if counts is None:
-        counts = {k: ds.count() for k, ds in corpora.items()}
+        # count over the key column only: the plan's projection pushdown
+        # reads just (key_col + filter columns) from Parquet instead of
+        # dragging full text payloads through a row-count pass
+        counts = {k: ds.select_columns([key_col]).count()
+                  for k, ds in corpora.items()}
     fracs = mixture_plan(counts, weights, scale=scale)
 
     tagged = []

@@ -739,6 +739,30 @@ class IvfPqIndex:
 
         return fn
 
+    def add(self, ds, save_path: str | None = None) -> int:
+        """Grow the index without retraining: coarse centroids AND PQ
+        codebooks are frozen at train time (FAISS ``add`` semantics),
+        so a corpus increment is ONE encode pass unioned into the
+        lists. With ``save_path`` (a dir from :meth:`save`) the new
+        codes also land as fresh files in their ``list_id=``
+        partitions — append-only on-disk growth, no rewrite of the
+        existing 10^12-vector lists. Returns the row count added."""
+        if self.centroids is None:
+            raise ValueError("IvfPqIndex.add: index has no trained "
+                             "centroids (construct or load it first)")
+        new = ds.map_batches(self._encode_stage(),
+                             batch_format="pyarrow",
+                             batch_size=4096).materialize()
+        n_new = new.count()
+        self.assigned = self.assigned.union(new)
+        if save_path is not None:
+            from .blocks import coalesce_blocks
+
+            coalesce_blocks(new).write_parquet(
+                os.path.join(save_path, "lists"),
+                partition_cols=["list_id"])
+        return n_new
+
     def save(self, path: str) -> None:
         import shutil as _sh
 

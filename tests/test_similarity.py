@@ -375,6 +375,53 @@ class TestIvfPqIndex:
         with _pt.raises(ValueError):
             IvfPqIndex(ds, dim, m=8)
 
+    def test_incremental_add(self, ray_session, tmp_path):
+        """FAISS-``add`` semantics: centroids AND codebooks frozen, an
+        increment is one encode pass; the on-disk append reloads."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.similarity import (
+            IvfPqIndex,
+        )
+
+        ds, dim = self._clustered()
+        n_a = ds.count()
+        rows = ds.take_all()
+        rng = np.random.RandomState(13)
+        inc = pa.table({
+            "vec_id": pa.array(
+                [n_a + i for i in range(len(rows))], pa.int64()),
+            "embedding": pa.array(
+                [(np.array(r["embedding"], dtype=np.float64)
+                  + 0.05 * rng.standard_normal(dim)).astype(
+                      "float32").tolist() for r in rows],
+                pa.list_(pa.float32())),
+        })
+        inc_ds = rd.from_arrow(inc)
+
+        idx = IvfPqIndex(ds, dim, n_lists=8, m=8, ks=16)
+        idx.save(str(tmp_path / "ivfpq"))
+        assert idx.add(inc_ds, save_path=str(tmp_path / "ivfpq")) == \
+            len(rows)
+
+        ref = IvfPqIndex(ds, dim, n_lists=8, m=8, ks=16)
+        ref.assigned = ds.union(inc_ds).map_batches(
+            ref._encode_stage(), batch_format="pyarrow",
+            batch_size=4096).materialize()
+
+        q = np.array(rows[5]["embedding"], dtype=np.float64)
+        got = idx.topk(q, 8, nprobe=3, refine=64)["vec_id"].tolist()
+        want = ref.topk(q, 8, nprobe=3, refine=64)["vec_id"].tolist()
+        assert got == want
+        assert any(v >= n_a for v in got)
+
+        loaded = IvfPqIndex.load(str(tmp_path / "ivfpq"))
+        assert loaded.assigned.count() == n_a + len(rows)
+        assert loaded.topk(q, 8, nprobe=3,
+                           refine=64)["vec_id"].tolist() == want
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_knn_many_empty_corpus_matches_single_query_contract():
