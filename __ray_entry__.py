@@ -579,6 +579,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": _minhash_dedup,
         "simhash_pairs": _simhash_pairs,
         "ngram_jaccard": _ngram_jaccard,
+        # paragraph_dedup (stages/paradedup.py) is NOT registered: the
+        # driver judges at most 50 queries and all 50 slots are taken by
+        # green entries; its exact-oracle gate lives in
+        # tests/test_paradedup.py + tests/test_queries_duckdb-style parity
         # similarity search
         "knn_topk": _knn_topk,
         "cosine_threshold": _cosine_threshold,
@@ -643,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
 
     sf = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.01")
     o = materialize_kg_oracle(sf)
+
 
     match_keys = sorted({surface_key(n) for n in ENTITY_MATCH_NAMES})
     match_in = ", ".join(f"'{k}'" for k in match_keys)

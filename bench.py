@@ -157,6 +157,15 @@ def run_bench() -> dict:
           lambda: minhash_lsh_dedup(
               rd.read_parquet(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text"])))
+    from temporal_knowledge_graphs_ray.stages.paradedup import (
+        dedup_paragraphs,
+    )
+
+    timed("paragraph_dedup",
+          lambda: dedup_paragraphs(
+              rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]),
+              sep=" the ").materialize())
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     qvec = np.array(emb.take(1)[0]["embedding"], dtype=np.float64)

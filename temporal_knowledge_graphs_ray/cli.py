@@ -322,6 +322,28 @@ def cmd_dupspans(args) -> int:
     return 0
 
 
+def cmd_paradedup(args) -> int:
+    """CCNet-style paragraph dedup: drop non-first occurrences of each
+    exact paragraph corpus-wide, reassemble docs."""
+    import ray
+    import ray.data as rd
+
+    from .stages.blocks import coalesce_blocks
+    from .stages.paradedup import dedup_paragraphs
+
+    _init_ray(args.num_cpus)
+    docs = rd.read_parquet(args.documents)
+    n_in = docs.count()
+    out = dedup_paragraphs(docs.select_columns([args.id_col, args.text_col]),
+                           text_col=args.text_col, id_col=args.id_col,
+                           sep=args.sep, min_chars=args.min_chars).materialize()
+    coalesce_blocks(out).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "docs_in": n_in,
+                      "docs_out": out.count()}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_bm25(args) -> int:
     """Build (or load) a BM25 index and rank a query against it."""
     import os
@@ -764,6 +786,16 @@ def main(argv=None) -> int:
     p.add_argument("--window-tokens", type=int, default=50)
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("paradedup")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--sep", default="\n", help="paragraph delimiter")
+    p.add_argument("--min-chars", type=int, default=1,
+                   help="paragraphs shorter than this are always kept")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("bm25")
     p.add_argument("--documents", required=True)
     p.add_argument("--index", required=True,
@@ -900,6 +932,8 @@ def main(argv=None) -> int:
         return cmd_semdedup(args)
     if args.cmd == "dupspans":
         return cmd_dupspans(args)
+    if args.cmd == "paradedup":
+        return cmd_paradedup(args)
     if args.cmd == "analytics":
         return cmd_analytics(args)
     if args.cmd == "bm25":

@@ -54,6 +54,28 @@ def test_dupspans_subcommand(tmp_path):
     assert 0 < rep["docs_with_dup_spans"] < 500
 
 
+def test_paradedup_subcommand_matches_oracle(tmp_path):
+    from temporal_knowledge_graphs_ray.stages.paradedup import (
+        paragraph_dedup_sql,
+    )
+
+    out_dir = str(tmp_path / "p")
+    rep = _run(["paradedup", "--documents", f"{SF}/documents.parquet",
+                "--out", out_dir, "--sep", " the "], tmp_path)
+    assert rep["docs_in"] == 500
+    con = duckdb.connect()
+    con.execute(f"""CREATE VIEW documents AS
+        SELECT * FROM read_parquet('{SF}/documents.parquet')""")
+    want = con.execute(
+        paragraph_dedup_sql("documents", sep=" the ")).fetch_df()
+    got = duckdb.sql(f"""
+        SELECT doc_id, text FROM read_parquet('{out_dir}/*.parquet')
+        ORDER BY doc_id
+    """).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert rep["docs_out"] == len(want)
+
+
 def test_bm25_subcommand_build_then_load(tmp_path):
     idx = str(tmp_path / "bm25_idx")
     rep = _run(["bm25", "--documents", f"{SF}/documents.parquet",
