@@ -55,6 +55,9 @@ def split_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
     vectorized Arrow pass, paragraphs ordered by ``para_idx``."""
 
     def explode(t: pa.Table) -> pa.Table:
+        # null-text docs produce no paragraphs and therefore drop —
+        # exactly the SQL oracle's unnest(string_split(NULL)) semantics
+        t = t.filter(pc.is_valid(t[text_col]))
         lists = pc.split_pattern(t[text_col], pattern=sep)
         lists = pa.chunked_array([lists]).combine_chunks() \
             if isinstance(lists, pa.Array) else lists.combine_chunks()

@@ -61,6 +61,16 @@ def test_first_occurrence_keep_and_reassembly():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_null_text_docs_drop():
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a\nb", None, "c"], pa.string()),
+    }))
+    got = _run(ds)
+    assert got.values.tolist() == [[1, "a\nb"], [3, "c"]]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_min_chars_exemption_keeps_short_paragraphs():
     rows = [(1, "a\n\nkeep\n\na"), (2, "a\nother")]
     # min_chars=2: "a" and "" are exempt everywhere; only >=2-char
