@@ -29,7 +29,6 @@ partial read).
 from __future__ import annotations
 
 import gzip
-import io
 
 import numpy as np
 import pyarrow as pa
@@ -48,12 +47,31 @@ WET_SCHEMA = pa.schema([
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
-def _maybe_gunzip(data: bytes) -> bytes:
-    """Decompress whole-file or multi-member gzip; passthrough plain."""
+def _maybe_gunzip(data: bytes) -> tuple[bytes, bool]:
+    """Decompress whole-file or multi-member gzip; passthrough plain.
+    Returns ``(bytes, ok)`` — on a corrupt/truncated stream ``ok`` is
+    False and the bytes are the salvageable prefix (whole members
+    decompressed before the bad one), so the non-strict truncation
+    policy applies to bad COMPRESSION the same way it applies to bad
+    framing instead of crash-looping the task."""
     if data[:2] != _GZIP_MAGIC:
-        return data
-    # GzipFile.read() consumes ALL members (CommonCrawl: one per record)
-    return gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        return data, True
+    import zlib
+
+    out: list[bytes] = []
+    buf = data
+    while buf[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=47)  # 32+15: gzip member
+        try:
+            out.append(d.decompress(buf))
+            out.append(d.flush())
+        except zlib.error:
+            return b"".join(out), False
+        if not d.eof:  # member ended mid-stream (truncated shard)
+            return b"".join(out), False
+        buf = d.unused_data
+    # trailing non-gzip garbage after the last member is malformation
+    return b"".join(out), not buf.strip(b"\x00")
 
 
 def _parse_headers(block: bytes) -> dict[str, str] | None:
@@ -84,10 +102,10 @@ def parse_wet_bytes(data: bytes, source: str = "",
     strict mode raises ``ValueError``; the default mode stops at the bad
     offset and marks every returned row ``truncated=True``.
     """
-    data = _maybe_gunzip(data)
+    data, gz_ok = _maybe_gunzip(data)
     rows: list[dict] = []
     pos, n = 0, len(data)
-    truncated = False
+    truncated = not gz_ok
     while pos < n:
         # skip inter-record blank lines
         while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
@@ -176,7 +194,10 @@ def wet_to_documents(ds, seed: int = 0):
                                  t["url"].to_pylist(),
                                  t["warc_date"].to_pylist())
         ]
-        h = hash64_vec(ids, seed).astype(np.int64)
+        # >>1 = the documented 63-bit id: nonnegative in int64, same
+        # rationale as the substring-dedup keys (Ray groupby re-infers
+        # key dtypes; full-range values degrade to object blocks)
+        h = (hash64_vec(ids, seed) >> np.uint64(1)).astype(np.int64)
         return pa.table({
             "doc_id": pa.array(h, pa.int64()),
             "url": t["url"],

@@ -79,6 +79,28 @@ class TestParseKernel:
         with pytest.raises(ValueError):
             parse_wet_bytes(raw, strict=True)
 
+    def test_corrupt_gzip_salvages_prefix_members(self, tmp_path):
+        """A truncated/corrupt .gz shard must follow the truncation
+        policy (salvage whole members, mark truncated; strict raises)
+        instead of crash-looping the parse task."""
+        recs = _records(3)
+        p = str(tmp_path / "m.wet.gz")
+        write_wet(p, recs, per_record_members=True)
+        raw = open(p, "rb").read()
+        cut = raw[:-20]  # cut into the LAST gzip member
+        got = parse_wet_bytes(cut, source="m.wet.gz")
+        assert len(got) == len(recs) - 1
+        assert all(g["truncated"] for g in got)
+        assert [g["url"] for g in got] == [r["url"] for r in recs[:-1]]
+        with pytest.raises(ValueError, match="malformed"):
+            parse_wet_bytes(cut, strict=True)
+        # mid-stream corruption (bad deflate bytes, framing intact)
+        bad = bytearray(raw)
+        bad[len(raw) // 2] ^= 0xFF
+        got2 = parse_wet_bytes(bytes(bad), source="m.wet.gz")
+        assert all(g["truncated"] for g in got2)
+        assert len(got2) < len(recs)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestRayRead:
