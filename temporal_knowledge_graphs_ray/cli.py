@@ -178,6 +178,7 @@ def cmd_curate(args) -> int:
         max_dup_fraction=args.max_dup_fraction,
         quality_model=args.quality_model,
         min_quality_score=args.min_quality_score,
+        paragraph_dedup_sep=args.paradedup_sep,
     )
     print(json.dumps(report))
     ray.shutdown()
@@ -727,6 +728,9 @@ def main(argv=None) -> int:
                    help="saved TextClassifierModel .npz; adds the "
                         "model-based quality-filter leg")
     p.add_argument("--min-quality-score", type=float, default=0.5)
+    p.add_argument("--paradedup-sep", default=None,
+                   help="paragraph delimiter; adds the CCNet "
+                        "paragraph-dedup leg at the funnel head")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("sample")

@@ -6,6 +6,10 @@ in the standard curation order so a user gets the whole story in one
 call):
 
     read documents
+      -> optional CCNet paragraph dedup (``paragraph_dedup_sep``):
+         repeated paragraphs drop corpus-wide before any signal is
+         computed (stages/paradedup.py; CCNet's ordering — downstream
+         filters must see the deduped text)
       -> ONE map_batches pass computing language id + quality signals +
          content fingerprint (text is read once; all per-doc signals come
          out of the same kernel call)
@@ -77,6 +81,8 @@ def curate_corpus(
     dup_window_tokens: int = 50,
     quality_model=None,
     min_quality_score: float = 0.5,
+    paragraph_dedup_sep: str | None = None,
+    paragraph_min_chars: int = 1,
 ) -> dict:
     """documents Dataset -> curated Parquet under ``out_dir``; returns the
     funnel report (counts per stage)."""
@@ -91,6 +97,19 @@ def curate_corpus(
 
     report: dict = {}
     report["input_docs"] = ds.count()
+
+    # optional CCNet paragraph-dedup leg, FIRST (CCNet's order: dedup
+    # rewrites the text, so every downstream signal/filter must see the
+    # deduped text, not the boilerplate-laden original). Docs that lose
+    # every paragraph drop here.
+    if paragraph_dedup_sep is not None:
+        from ..stages.paradedup import dedup_paragraphs
+
+        ds = dedup_paragraphs(
+            ds.select_columns([id_col, text_col]), text_col=text_col,
+            id_col=id_col, sep=paragraph_dedup_sep,
+            min_chars=paragraph_min_chars).materialize()
+        report["after_paragraph_dedup"] = ds.count()
 
     sig = ds.map_batches(_signal_stage(text_col, id_col),
                          batch_format="pyarrow", batch_size=1024)

@@ -130,3 +130,41 @@ def test_curation_model_quality_filter(tmp_path):
     assert report["after_model_filter"] == 30
     kept = set(rd.read_parquet(out).to_pandas()["doc_id"])
     assert kept == {i for i in range(60) if i % 2 == 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_paragraph_dedup_leg(tmp_path):
+    """The optional CCNet paragraph-dedup leg at the funnel head: a
+    boilerplate paragraph shared by every doc survives only in the
+    smallest doc_id; a doc that is ONLY boilerplate drops entirely; the
+    downstream signal/filter legs see the deduped text."""
+    import numpy as np
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.default_rng(7)
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa").split()
+    boiler = "subscribe to our newsletter for more updates every day"
+    texts = [boiler + "\n" + " ".join(rng.choice(words, size=40))
+             for _ in range(6)]
+    texts.append(boiler)  # doc 6: nothing but the boilerplate
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(7)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    out = str(tmp_path / "curated")
+    report = curate_corpus(ds, out, min_words=5, max_punct_ratio=1.0,
+                           paragraph_dedup_sep="\n")
+    assert report["input_docs"] == 7
+    assert report["after_paragraph_dedup"] == 6  # doc 6 fully deduped
+    kept = rd.read_parquet(out).to_pandas().set_index("doc_id")
+    assert 6 not in kept.index
+    # doc 0 (smallest id) keeps the boilerplate; docs 1-5 lose it
+    assert kept.loc[0, "text"].startswith(boiler + "\n")
+    for i in range(1, 6):
+        assert boiler not in kept.loc[i, "text"]
+    # n_words was computed on the DEDUPED text (9 boilerplate words
+    # stripped from docs 1-5)
+    assert int(kept.loc[1, "n_words"]) == 40
