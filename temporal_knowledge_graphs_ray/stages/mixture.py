@@ -68,23 +68,14 @@ def mix_corpora(corpora: dict, weights: dict[str, float],
             raise ValueError(f"corpus {name!r} already has reserved "
                              f"mixture column(s) {sorted(taken)}")
     if counts is None:
-        # ONE count job for all corpora: key-column-only probes (the
-        # plan's projection pushdown reads just key_col + filter
-        # columns, not text payloads) tagged with the corpus name,
-        # unioned, counted by one grouped aggregate — N sequential
-        # count jobs collapse into one and the corpora scan in parallel
-        probes = []
-        for name in sorted(corpora):
-            def tagc(t: pa.Table, _name=name) -> pa.Table:
-                return pa.table({_CORPUS_COL: pa.array(
-                    [_name] * t.num_rows, pa.string())})
-
-            probes.append(corpora[name].select_columns([key_col])
-                          .map_batches(tagc, batch_format="pyarrow"))
-        pu = probes[0].union(*probes[1:]) if len(probes) > 1 else probes[0]
-        counts = {k: 0 for k in corpora}
-        for row in pu.groupby(_CORPUS_COL).count().take_all():
-            counts[row[_CORPUS_COL]] = int(row["count()"])
+        # count over the key column only: the plan's projection pushdown
+        # reads just (key_col + filter columns) from Parquet instead of
+        # dragging full text payloads through a row-count pass. One
+        # streaming shuffle-free count job per corpus — a fused
+        # union + groupby(corpus).count() was measured SLOWER (it
+        # exchanges every probe row where count() exchanges nothing)
+        counts = {k: ds.select_columns([key_col]).count()
+                  for k, ds in corpora.items()}
     fracs = mixture_plan(counts, weights, scale=scale)
 
     tagged = []
