@@ -162,6 +162,9 @@ def cmd_curate(args) -> int:
 
     if not args.documents and not args.wet:
         raise SystemExit("curate: one of --documents / --wet is required")
+    if args.documents and args.wet:
+        raise SystemExit("curate: --documents and --wet are mutually "
+                         "exclusive — pass exactly one input")
     _init_ray(args.num_cpus)
     if args.wet:
         from .sources.wet import read_wet, wet_to_documents
@@ -253,6 +256,8 @@ def cmd_classify(args) -> int:
         fit_classifier,
     )
 
+    if args.documents and not args.out:
+        raise SystemExit("classify: --documents requires --out")
     _init_ray(args.num_cpus)
     info = {"model": args.model}
     if args.train_labels:

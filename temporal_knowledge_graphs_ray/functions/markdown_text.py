@@ -27,7 +27,9 @@ from __future__ import annotations
 
 import re
 
-_HEADER_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
+# Content after the hashes is optional: '# ' / '#' render as an EMPTY
+# <h1> in Python-Markdown, and get_text(strip=True) drops empty nodes.
+_HEADER_RE = re.compile(r"^(#{1,6})(?:\s+(.*?))?\s*#*\s*$")
 _ULIST_RE = re.compile(r"^\s*[-*+]\s+(.*)$")
 _OLIST_RE = re.compile(r"^\s*\d+[.)]\s+(.*)$")
 _HRULE_RE = re.compile(r"^\s*([-*_])\s*(\1\s*){2,}$")
@@ -47,9 +49,14 @@ def _inline(text: str) -> str:
 
 
 def markdown_to_text(md: str) -> str:
+    # Line splitting matches the reference chain, not str.splitlines():
+    # Python-Markdown normalizes \r\n / \r to \n and then splits on \n
+    # only, so unicode line/record separators (\x1e, \x85,  , ...)
+    # are ordinary in-line characters there.  str.splitlines() would
+    # split on them and change which fragments look like block starts.
     out: list[str] = []
     in_fence = False
-    for raw in md.splitlines():
+    for raw in md.replace("\r\n", "\n").replace("\r", "\n").split("\n"):
         stripped = raw.strip()
         if stripped.startswith("```") or stripped.startswith("~~~"):
             in_fence = not in_fence
@@ -64,7 +71,12 @@ def markdown_to_text(md: str) -> str:
             continue
         m = _HEADER_RE.match(stripped)
         if m:
-            out.append(_inline(m.group(2)))
+            # Empty block elements ('# ', '- ') contribute NO line:
+            # get_text(strip=True) drops empty strings, so the kernel
+            # contract is "no blank lines, every line stripped".
+            text = _inline(m.group(2) or "")
+            if text:
+                out.append(text)
             continue
         m = _BLOCKQUOTE_RE.match(stripped)
         if m:
@@ -73,9 +85,23 @@ def markdown_to_text(md: str) -> str:
             continue
         m = _ULIST_RE.match(raw) or _OLIST_RE.match(raw)
         if m:
-            out.append(_inline(m.group(1)))
+            text = _inline(m.group(1))
+            if text:
+                out.append(text)
             continue
         line = _inline(stripped)
         if line:
             out.append(line)
-    return "\n".join(out)
+    # Final normalization: block parsing above is \n-based (matching
+    # Python-Markdown), but the kernel contract — "no blank lines, every
+    # line stripped" — must hold under str.splitlines() too, whose
+    # unicode line breaks (\x1e, \x85,  , ...) can survive _inline
+    # in the INTERIOR of a fragment ('a\x1e\x1eb').  Re-split each
+    # fragment on every linebreak definition and drop empties.
+    lines: list[str] = []
+    for frag in out:
+        for piece in frag.splitlines():
+            piece = piece.strip()
+            if piece:
+                lines.append(piece)
+    return "\n".join(lines)

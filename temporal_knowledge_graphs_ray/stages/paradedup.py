@@ -58,6 +58,15 @@ def split_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
         # null-text docs produce no paragraphs and therefore drop —
         # exactly the SQL oracle's unnest(string_split(NULL)) semantics
         t = t.filter(pc.is_valid(t[text_col]))
+        if t.num_rows == 0:
+            # all-null (or empty) batch: np.repeat below would choke on
+            # the shape-(1,) cumsum seed vs zero counts — return the
+            # empty exploded table directly.
+            return pa.table({
+                id_col: t[id_col],
+                _IDX_COL: pa.array([], pa.int64()),
+                _PARA_COL: pa.array([], pa.string()),
+            })
         lists = pc.split_pattern(t[text_col], pattern=sep)
         lists = pa.chunked_array([lists]).combine_chunks() \
             if isinstance(lists, pa.Array) else lists.combine_chunks()

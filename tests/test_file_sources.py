@@ -78,14 +78,54 @@ def test_read_documents_dispatch(tmp_path):
 
 
 class TestMarkdownFuzz:
-    from hypothesis import given, settings
+    from hypothesis import example, given, settings
     from hypothesis import strategies as st
 
     @given(st.text(max_size=400))
+    # seed corpus: historical contract violations (empty block elements,
+    # unicode-linebreak fragments) stay pinned regardless of the draw
+    @example("-\t\x1e0")
+    @example("# ")
+    @example("1. ")
+    @example("- ")
+    @example("a\x1e\x1eb")
+    @example("x\x85\x85y ")
     @settings(max_examples=200, deadline=None)
     def test_markdown_to_text_never_raises(self, md):
         out = markdown_to_text(md)
         assert isinstance(out, str)
-        # contract: no blank lines, every line stripped
+        # contract: no blank lines, every line stripped — under BOTH
+        # line-break definitions (\n and str.splitlines())
         for line in out.splitlines():
             assert line == line.strip() and line != ""
+        if out:
+            for line in out.split("\n"):
+                assert line == line.strip() and line != ""
+
+
+class TestMarkdownLineBreaks:
+    """Pin the splitlines-vs-\\n divergence decision: block structure is
+    parsed on \\n only (Python-Markdown normalizes \\r\\n/\\r then splits
+    on \\n — document_loader.py:142-167's chain), while OUTPUT lines are
+    normalized so no splitlines()-visible blank survives."""
+
+    def test_unicode_separator_is_not_a_block_boundary(self):
+        # \x1e inside a line must not start a new block: '-\t\x1e0' is
+        # ONE list item whose body strips to '0' — splitlines() parsing
+        # would see fragments '-\t' (empty item) and '0'.
+        assert markdown_to_text("-\t\x1e0") == "0"
+
+    def test_crlf_and_cr_normalize(self):
+        assert markdown_to_text("# A\r\nb\rc") == "A\nb\nc"
+
+    def test_empty_block_elements_drop(self):
+        assert markdown_to_text("# ") == ""
+        assert markdown_to_text("#") == ""
+        assert markdown_to_text("1. ") == ""
+        assert markdown_to_text("- ") == ""
+        assert markdown_to_text("> ") == ""
+
+    def test_interior_unicode_breaks_renormalize(self):
+        # interior \x1e\x1e would leave a splitlines()-blank; the kernel
+        # re-splits and drops it
+        assert markdown_to_text("a\x1e\x1eb").splitlines() == ["a", "b"]

@@ -100,3 +100,24 @@ def test_duckdb_parity_on_testdata_and_layout_invariance():
     # non-vacuous: the tiny vocabulary repeats segments across docs
     full = pd.DataFrame(rows, columns=["doc_id", "text"])
     assert a["text"].str.len().sum() < full["text"].str.len().sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_all_null_batch_drops_not_crashes():
+    # regression: a batch whose text values are ALL null used to crash
+    # split_paragraphs (np.repeat shape mismatch on empty counts);
+    # null-text docs must simply drop, per the adjacent comment.
+    ds = _docs([(1, None), (2, None)])
+    exploded = split_paragraphs(ds)
+    assert exploded.schema().names == ["doc_id", "para_idx", "para"]
+    assert exploded.count() == 0
+    out = dedup_paragraphs(ds).to_pandas()
+    assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixed_null_batch_keeps_valid_docs():
+    ds = _docs([(1, None), (2, "a\nb"), (3, None), (4, "a\nc")])
+    out = _run(ds)
+    assert list(out["doc_id"]) == [2, 4]
+    assert list(out["text"]) == ["a\nb", "c"]
