@@ -537,6 +537,26 @@ def _textstat(fn_name: str):
     return run
 
 
+def _paragraph_dedup(sf_dir: str):
+    """CCNet-style exact paragraph dedup over the documents table
+    (stages/paradedup.py) — keep the first occurrence of every
+    paragraph corpus-wide, reassemble documents."""
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.paradedup import (
+        dedup_paragraphs,
+    )
+
+    return dedup_paragraphs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _paradedup_sql(table: str) -> str:
+    from temporal_knowledge_graphs_ray.stages.paradedup import (
+        paragraph_dedup_sql,
+    )
+
+    return paragraph_dedup_sql(table)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from temporal_knowledge_graphs_ray.pipelines import queries as q
 
@@ -566,12 +586,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # JSON / loaders
         "json_props": q.q_json_props,
         "doc_stats": q.q_doc_stats,
-        # text analysis (token/chunk stats merged into one pass; language
-        # ID + quality + fingerprint merged into one pass — the driver
-        # judges at most 50 queries, so near-duplicate entries are
-        # consolidated; each merged kernel is also one read of the text
-        # column instead of several)
-        "doc_token_counts": _textstat("token_stats_stage"),
+        # text analysis (language ID + quality + fingerprint + token/chunk
+        # stats all merged into ONE pass — the driver judges at most 50
+        # queries, so near-duplicate entries are consolidated; the merged
+        # kernel is also one read of the text column instead of three)
         "doc_text_stats": _textstat("text_stats_stage"),
         "extract_text_roundtrip": q.q_extract_text_roundtrip,
         # dedup
@@ -579,10 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": _minhash_dedup,
         "simhash_pairs": _simhash_pairs,
         "ngram_jaccard": _ngram_jaccard,
-        # paragraph_dedup (stages/paradedup.py) is NOT registered: the
-        # driver judges at most 50 queries and all 50 slots are taken by
-        # green entries; its exact-oracle gate lives in
-        # tests/test_paradedup.py + tests/test_queries_duckdb-style parity
+        "paragraph_dedup": _paragraph_dedup,
         # similarity search
         "knn_topk": _knn_topk,
         "cosine_threshold": _cosine_threshold,
@@ -817,14 +832,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
         """,
-        "doc_token_counts": f"""
-            SELECT doc_id,
-                   CAST(length(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))
-                        AS BIGINT) AS n_tokens,
-                   GREATEST(1, CAST((length(regexp_extract_all(text,
-                       '{_TOKEN_RE_SQL}')) + 89) // 90 AS BIGINT)) AS n_chunks
-            FROM documents
-        """,
+        "paragraph_dedup": _paradedup_sql("documents"),
         "doc_text_stats": f"""
             WITH c AS (SELECT doc_id, text, {lang_counts} FROM documents)
             SELECT doc_id, c_en, c_de, c_fr, c_es,
@@ -851,7 +859,11 @@ def oracle_sql() -> dict[str, str]:
                         / length(regexp_extract_all(text, '[A-Za-z0-9]+'))
                         ELSE 0.0 END AS stop_ratio,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-                       AS fingerprint
+                       AS fingerprint,
+                   CAST(length(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))
+                        AS BIGINT) AS n_tokens,
+                   GREATEST(1, CAST((length(regexp_extract_all(text,
+                       '{_TOKEN_RE_SQL}')) + 89) // 90 AS BIGINT)) AS n_chunks
             FROM c
         """,
         "extract_text_roundtrip": f"""

@@ -42,6 +42,13 @@ def _init_ray(num_cpus: int | None) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
+def _distinct_count(ds, col: str) -> int:
+    """COUNT(DISTINCT col) without materializing the node-grain table on
+    the driver: one groupby shuffle, then a row count of the (small)
+    group table — driver holds a scalar."""
+    return ds.groupby(col).count().count()
+
+
 def _pages_dataset(args):
     import ray.data as rd
 
@@ -650,22 +657,27 @@ def cmd_analytics(args) -> int:
                 (int(x) for x in dd["n_nodes"])))
     if "triangles" in which:
         report["triangles"] = triangle_count(edges)
+    # Scalar reports below stay DISTRIBUTED: the node-grain tables
+    # (clustering coefficients, component/community labels) are never
+    # pulled to the driver — mean via Dataset.mean, distinct counts via
+    # groupby().count().count(), so driver memory is independent of
+    # node count.
     if "clustering" in which:
-        lc = local_clustering(edges).to_pandas()
-        report["avg_clustering"] = round(
-            float(lc["clustering"].mean()), 6) if len(lc) else 0.0
+        mean = local_clustering(edges).mean("clustering")
+        report["avg_clustering"] = round(float(mean), 6) \
+            if mean is not None else 0.0
     if "kcore" in which:
         report["k_core_nodes"] = k_core(edges, args.k).count()
         report["k"] = args.k
     if "components" in which:
         comp = connected_components(edges)
-        report["components"] = comp.to_pandas()["component"].nunique()
+        report["components"] = _distinct_count(comp, "component")
     if "pagerank" in which:
         pr = pagerank(edges)
         report["pagerank_top5"] = pr.head(5)["entity_id"].tolist()
     if "communities" in which:
         lp = label_propagation(edges, rounds=args.lpa_rounds)
-        report["communities"] = lp.to_pandas()["community"].nunique()
+        report["communities"] = _distinct_count(lp, "community")
     print(json.dumps(report))
     ray.shutdown()
     return 0

@@ -42,16 +42,24 @@ class EmbeddingStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         nonempty = [t if t and t.strip() else "" for t in texts]
-        vecs = self._encode(nonempty)
+        vecs = self._encode(nonempty).astype(np.float32, copy=False)
         # empty texts -> zero vector (reference returns zeros for empties)
-        for i, t in enumerate(nonempty):
-            if not t:
-                vecs[i] = 0.0
+        empty_mask = np.fromiter((not t for t in nonempty), dtype=bool,
+                                 count=len(nonempty))
+        if empty_mask.any():
+            vecs[empty_mask] = 0.0
+        # zero-copy list<float32> from the flat buffer: offsets + values,
+        # no per-row Python list boxing (the old
+        # pa.array([v.tolist() ...]) boxed every float of every vector
+        # and dominated the dense-leg wall time)
+        n = len(nonempty)
+        flat = pa.array(np.ascontiguousarray(vecs).reshape(-1),
+                        type=pa.float32())
+        offsets = pa.array(
+            np.arange(0, (n + 1) * self.dim, self.dim, dtype=np.int32),
+            type=pa.int32())
         return batch.append_column(
-            self.out_col,
-            pa.array([v.tolist() for v in vecs.astype(np.float32)],
-                     pa.list_(pa.float32())),
-        )
+            self.out_col, pa.ListArray.from_arrays(offsets, flat))
 
 
 def embed_documents(ds, text_col: str = "text",

@@ -73,9 +73,19 @@ def mix_corpora(corpora: dict, weights: dict[str, float],
         # dragging full text payloads through a row-count pass. One
         # streaming shuffle-free count job per corpus — a fused
         # union + groupby(corpus).count() was measured SLOWER (it
-        # exchanges every probe row where count() exchanges nothing)
-        counts = {k: ds.select_columns([key_col]).count()
-                  for k, ds in corpora.items()}
+        # exchanges every probe row where count() exchanges nothing).
+        # The N jobs are submitted CONCURRENTLY (each .count() blocks
+        # its thread on a separate Ray job): previously they ran
+        # sequentially and the serialized per-job latency dominated
+        # mix_corpora wall time.
+        from concurrent.futures import ThreadPoolExecutor
+
+        names = sorted(corpora)
+        with ThreadPoolExecutor(max_workers=len(names)) as pool:
+            futs = {k: pool.submit(
+                        corpora[k].select_columns([key_col]).count)
+                    for k in names}
+            counts = {k: f.result() for k, f in futs.items()}
     fracs = mixture_plan(counts, weights, scale=scale)
 
     tagged = []

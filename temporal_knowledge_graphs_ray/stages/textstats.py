@@ -127,16 +127,20 @@ def quality_fingerprint_stage(ds, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 
 
-def text_stats_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Language ID + quality signals + fingerprint in ONE pass over the
-    text column — the full per-document text-analysis bundle (language_id
-    and quality_fingerprint merged so the driver registry stays within its
-    50-query budget while covering both operators)."""
+def text_stats_stage(ds, text_col: str = "text", id_col: str = "doc_id",
+                     chunk_size: int = 100, chunk_overlap: int = 10):
+    """Language ID + quality signals + fingerprint + token/chunk counts
+    in ONE pass over the text column — the full per-document
+    text-analysis bundle (language_id, quality_fingerprint AND
+    token_stats merged so the driver registry stays within its 50-query
+    budget while covering all the operators; one read of the text column
+    instead of three)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         counts = [stopword_counts(t) for t in texts]
         sigs = [quality_signals(t) for t in texts]
+        n_tokens = [count_tokens(t) for t in texts]
         arrays = [batch[id_col]]
         names = [id_col]
         for lang in LANG_ORDER:
@@ -153,6 +157,11 @@ def text_stats_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
             names.append(key)
         arrays.append(pa.array([fingerprint(t) for t in texts], pa.string()))
         names.append("fingerprint")
+        arrays.append(pa.array(n_tokens, pa.int64()))
+        names.append("n_tokens")
+        arrays.append(pa.array([estimate_chunks(n, chunk_size, chunk_overlap)
+                                for n in n_tokens], pa.int64()))
+        names.append("n_chunks")
         return pa.Table.from_arrays(arrays, names=names)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)

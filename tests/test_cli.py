@@ -286,3 +286,29 @@ def test_curate_wet_subcommand(tmp_path):
         f"SELECT count(*), count(DISTINCT doc_id) FROM "
         f"read_parquet('{out}/*.parquet')").fetchone()
     assert got == (15, 15)
+
+
+def test_analytics_subcommand_distributed_scalars(tmp_path):
+    # fixture graph: triangle {1,2,3} + disjoint edge {4,5}; the report's
+    # scalars (distinct components/communities, mean clustering) must be
+    # computed WITHOUT driver-side node-grain materialization and still
+    # match the values the old to_pandas()/nunique path produced.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    kg = tmp_path / "kg"
+    (kg / "edges").mkdir(parents=True)
+    pq.write_table(pa.table({
+        "subj_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "obj_id": pa.array([2, 3, 1, 5], pa.int64()),
+    }), str(kg / "edges" / "part0.parquet"))
+
+    rep = _run(["analytics", "--kg", str(kg), "--k", "2",
+                "--metrics", "components,clustering,communities,kcore"],
+               tmp_path)
+    assert rep["components"] == 2
+    # triangle nodes have clustering 1.0, the pendant pair 0.0 -> 3/5
+    assert rep["avg_clustering"] == 0.6
+    # LPA on two disjoint dense-ish pieces settles on >=2 communities
+    assert rep["communities"] >= 2
+    assert rep["k_core_nodes"] == 3  # k=2: only the triangle survives
