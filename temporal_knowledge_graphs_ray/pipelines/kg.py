@@ -85,6 +85,19 @@ NODES_SCHEMA = pa.schema([
 ])
 
 
+class _LlmStageFromFactory:
+    """Actor wrapper: builds the LLM client from its factory ONCE per
+    actor in ``__init__`` (the factory closes over config only, so it
+    serializes into the actor cleanly), then delegates every batch to
+    the wrapped LLM-shaped stage."""
+
+    def __init__(self, factory, cfg, stage_cls):
+        self._stage = stage_cls(factory(), cfg=cfg)
+
+    def __call__(self, batch):
+        return self._stage(batch)
+
+
 def _require_current_url_hash(out_dir: str) -> None:
     """Refuse to build on an output partitioned with a DIFFERENT url->part
     hash: every part-addressing operation (resume filter, increment
@@ -649,7 +662,26 @@ def build_kg(
         make_chunk_stage(cfg), batch_format="pyarrow",
         batch_size=cfg.chunk_batch_size,
     )
-    if as_tasks:
+    # the live-LLM path is one env setting away: with TKG_LLM_API_BASE
+    # set, extraction runs the LLM-shaped actor stage against that
+    # endpoint (client built once per actor, bounded retry, failure ->
+    # zero entities); unset, the deterministic extractor stays the
+    # default (functions/llm_client.py — reference settings.py:27-31)
+    from ..functions.llm_client import client_factory_from_env
+
+    llm_factory = client_factory_from_env()
+    if llm_factory is not None:
+        from ..stages.entities import LlmEntityExtractorStage
+
+        chunk_ents = chunks.map_batches(
+            _LlmStageFromFactory,
+            fn_constructor_kwargs={"factory": llm_factory, "cfg": cfg,
+                                   "stage_cls": LlmEntityExtractorStage},
+            batch_format="pyarrow",
+            batch_size=cfg.ner_batch_size,
+            concurrency=ner_conc,
+        )
+    elif as_tasks:
         chunk_ents = chunks.map_batches(
             EntityExtractorStage(cfg), batch_format="pyarrow",
             batch_size=cfg.ner_batch_size,

@@ -433,6 +433,13 @@ class AnswerStage:
     """
 
     def __init__(self, client_factory=None, max_attempts: int = 3):
+        if client_factory is None:
+            # live path is one env setting away (TKG_LLM_API_BASE):
+            # the actor builds its HTTP client here, once — unset, the
+            # deterministic renderer stays the default
+            from ..functions.llm_client import client_factory_from_env
+
+            client_factory = client_factory_from_env()
         self._client = (client_factory or DeterministicLlm)()
         self._max_attempts = max_attempts
 

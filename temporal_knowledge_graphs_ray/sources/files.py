@@ -67,21 +67,21 @@ def load_pdf_text(path: str, reader_factory=None) -> str:
     """PDF -> text: per-page extract_text, failed pages skipped, pages
     joined with blank lines (reference document_loader.py:104-140).
 
-    ``reader_factory(fileobj) -> reader`` defaults to ``PyPDF2.PdfReader``;
-    the library is not in this container, so without an injected factory
-    this raises NotImplementedError (honest stub — the dispatch, schema
-    and join semantics are exercised with a fake in tests).
+    ``reader_factory(fileobj) -> reader`` defaults to ``PyPDF2.PdfReader``
+    when importable, else the vendored pure-stdlib ``MiniPdfReader``
+    (functions/pdf_text.py) which handles the uncompressed/FlateDecode
+    simple-PDF subset and raises NotImplementedError outside it —
+    inject reader_factory= to use any other backend.
     """
     if reader_factory is None:
         try:
             import PyPDF2  # noqa: F401
 
             reader_factory = PyPDF2.PdfReader
-        except ImportError as e:
-            raise NotImplementedError(
-                "PDF extraction needs PyPDF2 (absent from this container); "
-                "inject reader_factory= to use another backend"
-            ) from e
+        except ImportError:
+            from ..functions.pdf_text import MiniPdfReader
+
+            reader_factory = MiniPdfReader
     parts = []
     with open(path, "rb") as f:
         reader = reader_factory(f)

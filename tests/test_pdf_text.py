@@ -1,0 +1,155 @@
+"""Vendored simple-PDF text extraction (functions/pdf_text.py) against
+REAL PDF bytes built by the writer below: FlateDecode + uncompressed
+content streams, catalog page-tree order, literal/hex string escapes,
+honest NotImplementedError gates outside the subset.
+
+The expected strings are the recorded PyPDF2 contract for these
+fixtures (document_loader.py:104-140's backend): text-showing operators
+emit their strings, line-advancing operators emit a newline, pages join
+with blank lines in load_pdf_text.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from temporal_knowledge_graphs_ray.functions.pdf_text import MiniPdfReader
+from temporal_knowledge_graphs_ray.sources.files import load_pdf_text
+
+
+def build_pdf(page_streams: list[bytes], compress: list[bool]) -> bytes:
+    """Minimal classic-layout PDF writer: catalog -> pages -> page/content
+    object pairs, a real xref table and trailer."""
+    objects: list[bytes] = []
+    n_pages = len(page_streams)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, (stream, comp) in enumerate(zip(page_streams, compress)):
+        content_num = 4 + 2 * i
+        objects.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_num} 0 R "
+            f"/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 "
+            f"/BaseFont /Helvetica >> >> >> >>".encode())
+        body = zlib.compress(stream) if comp else stream
+        filt = b"/Filter /FlateDecode " if comp else b""
+        objects.append(b"<< " + filt + b"/Length " +
+                       str(len(body)).encode() + b" >>\nstream\n" +
+                       body + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, obj in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objects) + 1).encode() +
+            b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode() +
+            b"\n%%EOF\n")
+    return bytes(out)
+
+
+PAGE1 = (b"BT\n/F1 12 Tf\n72 720 Td\n(Hello World) Tj\n"
+         b"0 -14 Td\n(Second line) Tj\nET\n")
+PAGE2 = b"BT\n/F1 12 Tf\n72 720 Td\n(Page two) Tj\nET\n"
+
+
+def test_flate_and_uncompressed_pages(tmp_path):
+    pdf = build_pdf([PAGE1, PAGE2], [True, False])
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(pdf)
+    # recorded PyPDF2 contract for this fixture
+    assert load_pdf_text(str(p)) == \
+        "Hello World\nSecond line\n\nPage two"
+
+
+def test_reader_page_grain(tmp_path):
+    pdf = build_pdf([PAGE1, PAGE2], [False, True])
+    reader = MiniPdfReader(pdf)
+    assert len(reader.pages) == 2
+    assert reader.pages[0].extract_text() == "Hello World\nSecond line"
+    assert reader.pages[1].extract_text() == "Page two"
+
+
+def test_tj_array_hex_and_escapes():
+    stream = (b"BT\n[(A) -120 (B)] TJ\nT*\n<48 69> Tj\n"
+              b"0 -10 Td\n(par\\(en\\) \\134 \\101) Tj\nET\n")
+    pdf = build_pdf([stream], [True])
+    reader = MiniPdfReader(pdf)
+    # TJ pieces concatenate (kerning numbers dropped); T* breaks the
+    # line; hex <4869> is "Hi"; escapes: \( \) \134='\' \101='A'
+    assert reader.pages[0].extract_text() == "AB\nHi\npar(en) \\ A"
+
+
+def test_quote_operators_advance_line():
+    stream = b"BT\n(first) Tj\n(second) '\n(third) \"\nET\n"
+    pdf = build_pdf([stream], [False])
+    # ' and " move to the next line before showing
+    assert MiniPdfReader(pdf).pages[0].extract_text() == \
+        "first\nsecond\nthird"
+
+
+def test_utf16be_string():
+    text = "café — ok"
+    hexs = (b"\xfe\xff" + text.encode("utf-16-be")).hex().encode()
+    stream = b"BT\n<" + hexs + b"> Tj\nET\n"
+    pdf = build_pdf([stream], [True])
+    assert MiniPdfReader(pdf).pages[0].extract_text() == text
+
+
+def test_unsupported_filter_page_skipped(tmp_path):
+    good = b"BT\n(kept) Tj\nET\n"
+    lost = b"BT\n(lost page) Tj\nET\n"  # distinct /Length from page 1
+    pdf = build_pdf([good, lost], [False, False])
+    # corrupt page 2's filter to an unsupported one
+    pdf = pdf.replace(b"<< /Length " + str(len(lost)).encode(),
+                      b"<< /Filter /LZWDecode /Length " +
+                      str(len(lost)).encode(), 1)
+    p = tmp_path / "mixed.pdf"
+    p.write_bytes(pdf)
+    # reference semantics: failing pages are skipped, not fatal
+    assert load_pdf_text(str(p)) == "kept"
+
+
+def test_non_pdf_raises_not_implemented(tmp_path):
+    with pytest.raises(NotImplementedError):
+        MiniPdfReader(b"not a pdf at all")
+    p = tmp_path / "x.pdf"
+    p.write_bytes(b"%PDF-fake")
+    with pytest.raises(NotImplementedError):
+        load_pdf_text(str(p))
+
+
+def test_encrypted_refused():
+    pdf = build_pdf([PAGE1], [True])
+    pdf = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(NotImplementedError):
+        MiniPdfReader(pdf)
+
+
+def test_incremental_update_latest_wins():
+    pdf = build_pdf([PAGE2], [False])
+    # append a redefinition of the content object (object 4): classic
+    # incremental-update layout — the later definition must win
+    new_stream = b"BT\n(updated) Tj\nET\n"
+    append = (b"4 0 obj\n<< /Length " + str(len(new_stream)).encode() +
+              b" >>\nstream\n" + new_stream + b"\nendstream\nendobj\n")
+    assert MiniPdfReader(pdf + append).pages[0].extract_text() == "updated"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_documents_real_pdf(tmp_path):
+    from temporal_knowledge_graphs_ray.sources.files import read_documents
+
+    p = tmp_path / "real.pdf"
+    p.write_bytes(build_pdf([PAGE1, PAGE2], [True, True]))
+    out = read_documents([str(p)]).to_pandas()
+    assert out.iloc[0]["text"] == "Hello World\nSecond line\n\nPage two"
+    assert out.iloc[0]["content_type"] == "pdf"
