@@ -79,6 +79,7 @@ def curate_corpus(
     join_partitions: int | None = None,
     max_dup_fraction: float | None = None,
     dup_window_tokens: int = 50,
+    flag_broadcast_limit: int = 200_000,
     quality_model=None,
     min_quality_score: float = 0.5,
     paragraph_dedup_sep: str | None = None,
@@ -182,22 +183,27 @@ def curate_corpus(
 
     # optional substring-duplication leg (Lee et al. window spans):
     # docs whose exact-duplicated-token fraction exceeds the cap drop.
-    # Driver state is the flagged-id set only — like the near-dup drop
-    # set, a small fraction of the corpus by construction (the cap
-    # targets boilerplate/template outliers).
+    # Small flag sets (the normal case — the cap targets boilerplate
+    # outliers) apply as a broadcast is_in filter; above the gate
+    # (e.g. a user setting max_dup_fraction low on a template-heavy
+    # corpus) the flags stay dataset-resident and apply via a
+    # distributed anti-join, so driver memory never depends on how
+    # many docs the cap flags.
     if max_dup_fraction is not None:
         from ..stages.substring_dedup import substring_dup_stats
 
         stats = substring_dup_stats(
             curated, window_tokens=dup_window_tokens,
             text_col=text_col, id_col=id_col)
-        flagged = stats.map_batches(
+        flagged_ds = stats.map_batches(
             lambda t: t.filter(pc.greater(
                 t["dup_fraction"], pa.scalar(max_dup_fraction)))
             .select([id_col]),
-            batch_format="pyarrow").to_pandas()
-        report["substring_dup_dropped"] = len(flagged)
-        if len(flagged):
+            batch_format="pyarrow").materialize()
+        n_flagged = flagged_ds.count()
+        report["substring_dup_dropped"] = n_flagged
+        if 0 < n_flagged <= flag_broadcast_limit:
+            flagged = flagged_ds.to_pandas()
             # stats normalizes ids to string; compare in string space
             flag_arr = pa.array(sorted(flagged[id_col]), pa.string())
             curated = curated.map_batches(
@@ -206,6 +212,22 @@ def curate_corpus(
                                        value_set=flag_arr))),
                 batch_format="pyarrow",
             )
+        elif n_flagged:
+            import ray
+
+            _SKEY = "_substr_flag_key"
+            flags = flagged_ds.map_batches(
+                lambda t: pa.table({
+                    _SKEY: t[id_col].cast(pa.string())}),
+                batch_format="pyarrow")
+            keyed = curated.map_batches(
+                lambda t: t.append_column(
+                    _SKEY, t[id_col].cast(pa.string())),
+                batch_format="pyarrow")
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            curated = keyed.join(
+                flags, "left_anti", max(2, min(64, ncpu // 2)),
+                on=(_SKEY,)).drop_columns([_SKEY])
 
     shutil.rmtree(out_dir, ignore_errors=True)
     from ..stages.blocks import coalesce_blocks

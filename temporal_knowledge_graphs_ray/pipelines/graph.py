@@ -24,16 +24,182 @@ import pyarrow.compute as pc
 
 from ..functions.rounding import round_half_away
 
+# above this many nodes the driver stops holding the score/degree
+# vectors (O(#nodes) floats) and the power iteration runs with
+# DATASET-RESIDENT state instead — see _power_iteration_dataset
+DRIVER_NODE_CUTOFF = 5_000_000
+
+
+def _power_iteration_dataset(edges2, state, *, damping: float,
+                             max_iters: int, tol: float,
+                             normalize: bool, uniform_teleport: float = 0.0,
+                             redistribute_dangling: bool = False,
+                             num_partitions: int | None = None):
+    """Power iteration with NO O(#nodes) driver state: the score vector
+    lives as a node-grain Dataset and every update is a join/shuffle.
+
+    ``edges2``: (src, dst) message edges (both directions already
+    emitted for undirected traversal). ``state``: (node, deg, tele,
+    score) with deg > 0 for every node that appears as a src. Per
+    iteration: one edges×state join (the unavoidable cost of not
+    broadcasting), a groupby(dst) sum, a state join to apply the
+    update, and scalar-only aggregates for dangling mass, the
+    normalizer and the convergence delta — the driver never holds more
+    than a scalar. This is the billion-node path; the broadcast path
+    stays the default below DRIVER_NODE_CUTOFF because joins per
+    iteration cost far more than one ray.put at sane sizes.
+    """
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(64, ncpu // 2))
+    n_nodes = state.count()
+    state = state.materialize()
+    for _ in range(max_iters):
+        if redistribute_dangling:
+            dangling = state.filter(expr="deg <= 0").sum("score")
+            dmass = float(dangling or 0.0)
+        else:
+            dmass = 0.0
+
+        src_state = state.map_batches(
+            lambda t: pa.table({"src": t["node"], "s_deg": t["deg"],
+                                "s_score": t["score"]}),
+            batch_format="pyarrow",
+        ).filter(expr="s_score > 0")
+        msgs = edges2.join(src_state, "inner", num_partitions,
+                           on=("src",))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            c = (np.asarray(t["s_score"].to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
+                 / np.asarray(t["s_deg"].to_numpy(zero_copy_only=False),
+                              dtype=np.float64))
+            # map-side combine before the wide aggregate
+            tbl = pa.table({"node": t["dst"], "c": pa.array(c)})
+            return tbl.group_by("node").aggregate([("c", "sum")]) \
+                .rename_columns(["node", "c"])
+
+        contribs = (msgs.map_batches(contrib, batch_format="pyarrow")
+                    .groupby("node").aggregate(Sum("c", alias_name="c")))
+
+        joined = state.join(contribs, "left_outer", num_partitions,
+                            on=("node",))
+
+        extra = damping * dmass / n_nodes if redistribute_dangling else 0.0
+
+        def update(t: pa.Table, _extra=extra) -> pa.Table:
+            c = np.nan_to_num(np.asarray(
+                t["c"].to_numpy(zero_copy_only=False), dtype=np.float64))
+            tele = np.asarray(t["tele"].to_numpy(zero_copy_only=False),
+                              dtype=np.float64)
+            raw = (1.0 - damping) * (tele + uniform_teleport) \
+                + damping * c + _extra
+            return pa.table({
+                "node": t["node"], "deg": t["deg"], "tele": t["tele"],
+                "score": t["score"], "raw": pa.array(raw),
+            })
+
+        staged = joined.map_batches(update,
+                                    batch_format="pyarrow").materialize()
+        denom = float(staged.sum("raw") or 0.0) if normalize else 1.0
+        if denom <= 0:
+            denom = 1.0
+
+        def finish(t: pa.Table, _denom=denom) -> pa.Table:
+            raw = np.asarray(t["raw"].to_numpy(zero_copy_only=False),
+                             dtype=np.float64) / _denom
+            old = np.asarray(t["score"].to_numpy(zero_copy_only=False),
+                             dtype=np.float64)
+            return pa.table({
+                "node": t["node"], "deg": t["deg"], "tele": t["tele"],
+                "score": pa.array(raw),
+                "delta": pa.array(np.abs(raw - old)),
+            })
+
+        staged = staged.map_batches(finish,
+                                    batch_format="pyarrow").materialize()
+        delta = float(staged.sum("delta") or 0.0)
+        state = staged.drop_columns(["delta"])
+        if delta < tol:
+            break
+    return state
+
+
+def _ppr_dataset_resident(edges_ds, deg_ds, seed_ids: list[str], *,
+                          damping: float, max_iters: int,
+                          tol: float) -> pd.DataFrame:
+    """PPR above DRIVER_NODE_CUTOFF: score/teleport/degree live as a
+    node-grain Dataset; the driver holds seeds + scalars only. Equality
+    with the broadcast path is pinned by tests/test_graph_sharded.py
+    (forced-sharded run, 1e-9)."""
+    # seed membership without a node-grain driver pull (vectorized
+    # is_in probe; result is at most |seed_ids| rows)
+    seed_arr = pa.array(sorted(set(seed_ids)), pa.string())
+    present = (deg_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["node"], value_set=seed_arr)),
+        batch_format="pyarrow").take_all() if len(seed_arr) else [])
+    seeds = sorted({r["node"] for r in present})
+    if not seeds:
+        # fallback mirrors the broadcast path: the smallest node id
+        seeds = [deg_ds.select_columns(["node"])
+                 .sort("node").limit(1).take_all()[0]["node"]]
+    w = 1.0 / len(seeds)
+    seed_frozen = frozenset(seeds)
+
+    def init_state(t: pa.Table) -> pa.Table:
+        node = t["node"].to_pylist()
+        tele = np.fromiter((w if n in seed_frozen else 0.0 for n in node),
+                           dtype=np.float64, count=len(node))
+        return pa.table({
+            "node": t["node"],
+            "deg": pc.cast(t["deg"], pa.float64()),
+            "tele": pa.array(tele),
+            "score": pa.array(tele),  # start at the teleport vector
+        })
+
+    state = deg_ds.map_batches(init_state, batch_format="pyarrow")
+
+    # undirected: each edge contributes both directions
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["subj_id"].cast(pa.string()).combine_chunks()
+        b = t["obj_id"].cast(pa.string()).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    edges2 = edges_ds.map_batches(both_dirs,
+                                  batch_format="pyarrow").materialize()
+    final = _power_iteration_dataset(
+        edges2, state, damping=damping, max_iters=max_iters, tol=tol,
+        normalize=True)
+    out = (final.filter(expr="score > 0")
+           .select_columns(["node", "score"]).to_pandas()
+           .rename(columns={"node": "entity_id"}))
+    out["score"] = round_half_away(out["score"].to_numpy(), 8)
+    out = out[out["score"] > 0]
+    return out.sort_values(["score", "entity_id"],
+                           ascending=[False, True], ignore_index=True)
+
 
 def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
         max_iters: int = 20, tol: float = 1e-6,
-        asof=None, local_edge_cutoff: int = 500_000) -> pd.DataFrame:
+        asof=None, local_edge_cutoff: int = 500_000,
+        driver_node_cutoff: int = DRIVER_NODE_CUTOFF) -> pd.DataFrame:
     """Personalized PageRank over (subj_id, obj_id[, valid_from]) edges.
 
     Returns (entity_id, score) sorted desc, rounded to 8. Edges are
     treated as undirected for traversal like the reference's
     ``-[r:RELATES_TO]-`` pattern (ppr_traversal.py:281-299); an ``asof``
     timestamp applies the V8 validity filter first.
+
+    Three regimes by size: bounded graphs iterate locally in numpy;
+    mid-size graphs iterate distributed with the score vector broadcast
+    per round (driver holds O(#nodes) floats); above
+    ``driver_node_cutoff`` nodes the state goes DATASET-RESIDENT
+    (_power_iteration_dataset) and the driver holds only scalars.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -48,7 +214,7 @@ def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
     edges_ds = edges_ds.select_columns(cols).materialize()
 
     # undirected adjacency: each edge contributes both directions
-    out_deg_df = (
+    deg_ds = (
         edges_ds.map_batches(
             lambda t: pa.Table.from_pydict({
                 "node": t["subj_id"].to_pylist() + t["obj_id"].to_pylist(),
@@ -57,11 +223,20 @@ def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
             batch_format="pyarrow",
         )
         .groupby("node").aggregate(Sum("one", alias_name="deg"))
-        .to_pandas()
+        .materialize()
     )
-    degree = dict(zip(out_deg_df["node"], out_deg_df["deg"]))
-    if not degree:
+    node_count = deg_ds.count()
+    if node_count == 0:
         return pd.DataFrame({"entity_id": [], "score": []})
+
+    if node_count > driver_node_cutoff and \
+            edges_ds.count() > local_edge_cutoff:
+        return _ppr_dataset_resident(edges_ds, deg_ds, seed_ids,
+                                     damping=damping, max_iters=max_iters,
+                                     tol=tol)
+
+    out_deg_df = deg_ds.to_pandas()
+    degree = dict(zip(out_deg_df["node"], out_deg_df["deg"]))
 
     seeds = [s for s in seed_ids if s in degree] or sorted(degree)[:1]
     scores = {s: 1.0 / len(seeds) for s in seeds}
@@ -760,9 +935,46 @@ def connected_components(edges_ds, num_partitions: int = 64,
         batch_format="pyarrow")
 
 
+def _pagerank_dataset_resident(pairs, deg_ds, *, damping: float,
+                               max_iters: int, tol: float) -> pd.DataFrame:
+    """Directed PageRank above DRIVER_NODE_CUTOFF: dataset-resident
+    state, dangling mass redistributed via a per-iteration scalar
+    aggregate — the driver never holds the node vector."""
+    n_nodes = deg_ds.count()
+    inv_n = 1.0 / n_nodes
+
+    def init_state(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "node": t["node"],
+            "deg": pc.cast(t["outdeg"], pa.float64()),
+            # uniform teleport folds in via uniform_teleport= below, so
+            # the tele COLUMN is zero; score starts uniform
+            "tele": pa.array(np.zeros(n)),
+            "score": pa.array(np.full(n, inv_n)),
+        })
+
+    state = deg_ds.map_batches(init_state, batch_format="pyarrow")
+
+    edges2 = pairs.map_batches(
+        lambda t: pa.table({"src": t["subj_id"].cast(pa.string()),
+                            "dst": t["obj_id"].cast(pa.string())}),
+        batch_format="pyarrow").materialize()
+    final = _power_iteration_dataset(
+        edges2, state, damping=damping, max_iters=max_iters, tol=tol,
+        normalize=False, uniform_teleport=inv_n,
+        redistribute_dangling=True)
+    out = (final.select_columns(["node", "score"]).to_pandas()
+           .rename(columns={"node": "entity_id"}))
+    out["score"] = round_half_away(out["score"].to_numpy(), 8)
+    return out.sort_values(["score", "entity_id"],
+                           ascending=[False, True], ignore_index=True)
+
+
 def pagerank(edges_ds, damping: float = 0.85, max_iters: int = 30,
              tol: float = 1e-9,
-             local_edge_cutoff: int = 500_000) -> pd.DataFrame:
+             local_edge_cutoff: int = 500_000,
+             driver_node_cutoff: int = DRIVER_NODE_CUTOFF) -> pd.DataFrame:
     """Global DIRECTED PageRank over (subj_id -> obj_id) edges.
 
     Complements ``ppr`` (seeded, undirected): uniform teleport over ALL
@@ -810,12 +1022,18 @@ def pagerank(edges_ds, damping: float = 0.85, max_iters: int = 30,
             return tbl.group_by("node").aggregate([("out1", "sum")]) \
                 .rename_columns(["node", "out1"])
 
-        deg_df = (pairs.map_batches(endpoints, batch_format="pyarrow")
+        deg_ds = (pairs.map_batches(endpoints, batch_format="pyarrow")
                   .groupby("node")
                   .aggregate(Sum("out1", alias_name="outdeg"))
-                  .to_pandas())
-        if deg_df.empty:
+                  .materialize())
+        node_count = deg_ds.count()
+        if node_count == 0:
             return pd.DataFrame({"entity_id": [], "score": []})
+        if node_count > driver_node_cutoff:
+            return _pagerank_dataset_resident(
+                pairs, deg_ds, damping=damping, max_iters=max_iters,
+                tol=tol)
+        deg_df = deg_ds.to_pandas()
         names_sorted = sorted(deg_df["node"])
         node_ix_of = {n: i for i, n in enumerate(names_sorted)}
         n_nodes = len(names_sorted)

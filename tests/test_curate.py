@@ -168,3 +168,44 @@ def test_curation_paragraph_dedup_leg(tmp_path):
     # n_words was computed on the DEDUPED text (9 boilerplate words
     # stripped from docs 1-5)
     assert int(kept.loc[1, "n_words"]) == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_substring_cap_anti_join_above_gate(tmp_path):
+    """flag_broadcast_limit=0 forces the dataset-resident anti-join
+    path for the flagged-id drop; the output must be identical to the
+    broadcast path's — including when MANY docs are flagged (a user
+    setting the cap low on a template-heavy corpus)."""
+    import numpy as np
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.default_rng(7)
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa").split()
+    phrase = " ".join(rng.choice(words, size=12))
+    texts = [" ".join(rng.choice(words, size=40)) for _ in range(8)]
+    # 12 boilerplate docs -> MORE flagged than clean survivors
+    texts += [" ".join([phrase] * 5) + f" tail{i}" for i in range(12)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    out_b = str(tmp_path / "broadcast")
+    rep_b = curate_corpus(ds, out_b, min_words=5, max_punct_ratio=1.0,
+                          jaccard_threshold=1.01,
+                          max_dup_fraction=0.5, dup_window_tokens=8)
+    out_a = str(tmp_path / "antijoin")
+    rep_a = curate_corpus(ds, out_a, min_words=5, max_punct_ratio=1.0,
+                          jaccard_threshold=1.01,
+                          max_dup_fraction=0.5, dup_window_tokens=8,
+                          flag_broadcast_limit=0)
+    assert rep_a["substring_dup_dropped"] == \
+        rep_b["substring_dup_dropped"] > 8  # the gate actually engaged
+    kept_b = rd.read_parquet(out_b).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    kept_a = rd.read_parquet(out_a).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert list(kept_a["doc_id"]) == list(kept_b["doc_id"])
+    assert list(kept_a.columns) == list(kept_b.columns)
