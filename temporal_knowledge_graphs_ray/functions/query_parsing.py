@@ -83,6 +83,85 @@ def parse_temporal_query(query: str) -> TemporalContext:
     return TemporalContext(True, tfilter, found)
 
 
+_TEMPORAL_LLM_PROMPT = """Analyze this query and extract temporal information.
+
+Query: {query}
+
+Return a JSON object with the following structure:
+{{
+    "has_temporal_reference": true/false,
+    "temporal_type": "latest" | "point_in_time" | "time_range" | "history" | null,
+    "dates": [
+        {{"date": "YYYY-MM-DD", "type": "start" | "end" | "point"}}
+    ],
+    "temporal_phrase": "extracted phrase or null"
+}}
+
+Return only valid JSON, no additional text."""
+
+_JSON_OBJ_RE = re.compile(r"\{.*\}", re.DOTALL)
+
+
+def parse_temporal_with_llm(query: str, client) -> TemporalContext | None:
+    """LLM leg of M13 (temporal_retrieval.py:62-147): prompt the model
+    for the structured temporal JSON, extract the first {...} blob, map
+    temporal_type + dates onto the TemporalFilter factories exactly as
+    the reference does. Returns None when no JSON object is found
+    (caller falls back); client/JSON errors propagate to the caller's
+    try (same failure boundary as the reference's
+    parse_temporal_context, :47-60)."""
+    import json
+
+    content = client(_TEMPORAL_LLM_PROMPT.format(query=query))
+    m = _JSON_OBJ_RE.search(content)
+    if not m:
+        return None
+    data = json.loads(m.group())
+    if not data.get("has_temporal_reference", False):
+        return TemporalContext(has_temporal_reference=False)
+    tfilter: TemporalFilter | None = None
+    ttype = data.get("temporal_type")
+    dates = data.get("dates", [])
+    if ttype == "latest":
+        tfilter = TemporalFilter.latest()
+    elif ttype == "history":
+        tfilter = TemporalFilter.history()
+    elif ttype == "point_in_time" and dates:
+        tfilter = TemporalFilter(
+            query_type=TemporalQueryType.POINT_IN_TIME,
+            timestamp=datetime.fromisoformat(dates[0]["date"]),
+        )
+    elif ttype == "time_range" and len(dates) >= 2:
+        tfilter = TemporalFilter(
+            query_type=TemporalQueryType.TIME_RANGE,
+            start_time=datetime.fromisoformat(dates[0]["date"]),
+            end_time=datetime.fromisoformat(dates[1]["date"]),
+        )
+    return TemporalContext(True, tfilter,
+                           [data.get("temporal_phrase", "") or ""])
+
+
+def parse_temporal_query_llm_first(query: str,
+                                   client=None) -> TemporalContext:
+    """The reference's dispatcher (temporal_retrieval.py:37-60): try the
+    LLM parse, fall back to the keyword parser on any failure. With no
+    client injected, the env-configured endpoint (TKG_LLM_API_BASE) is
+    used when set; unset, this IS the keyword parser."""
+    if client is None:
+        from .llm_client import client_factory_from_env
+
+        factory = client_factory_from_env()
+        client = factory() if factory is not None else None
+    if client is not None:
+        try:
+            result = parse_temporal_with_llm(query, client)
+            if result is not None:
+                return result
+        except Exception:  # noqa: BLE001 - reference falls back on any
+            pass
+    return parse_temporal_query(query)
+
+
 def extract_query_entities(query: str) -> list[str]:
     """Capitalized sequences minus question words; order-preserving dedup
     (graph_search.py:432-448)."""

@@ -133,9 +133,12 @@ def classify_query_type(query: str) -> str:
 def understand_queries(queries: list[dict]) -> list[dict]:
     """Node 1 over the (small) query list: adds query_type, the parsed
     TemporalContext and the detected entity names (graph.py:115-161)."""
+    from ..functions.query_parsing import parse_temporal_query_llm_first
+
     out = []
     for q in queries:
-        tc = parse_temporal_query(q["query"])
+        # keyword parser unless TKG_LLM_API_BASE routes the LLM leg
+        tc = parse_temporal_query_llm_first(q["query"])
         out.append({
             **q,
             "query_type": classify_query_type(q["query"]),

@@ -158,3 +158,90 @@ def test_env_switches_kg_extraction_to_llm_stage(llm_server, monkeypatch):
            .to_pandas())
     assert [e["name"] for e in out.iloc[0]["entities"]] == ["Acme"]
     assert out.iloc[0]["entities"][0]["type"] == "ORGANIZATION"
+
+
+class TestLlmTemporalParsing:
+    """M13's LLM leg (temporal_retrieval.py:62-147) with canned clients."""
+
+    def _ctx(self, canned: str):
+        from temporal_knowledge_graphs_ray.functions.query_parsing import (
+            parse_temporal_with_llm,
+        )
+
+        return parse_temporal_with_llm("q", lambda prompt: canned)
+
+    def test_point_in_time(self):
+        from temporal_knowledge_graphs_ray.functions.temporal_filter import (
+            TemporalQueryType,
+        )
+
+        ctx = self._ctx('{"has_temporal_reference": true, '
+                        '"temporal_type": "point_in_time", '
+                        '"dates": [{"date": "2024-01-21", "type": "point"}],'
+                        ' "temporal_phrase": "on 21. Januar 2024"}')
+        assert ctx.has_temporal_reference
+        assert ctx.temporal_filter.query_type == \
+            TemporalQueryType.POINT_IN_TIME
+        assert ctx.temporal_filter.timestamp.year == 2024
+        assert ctx.temporal_keywords == ["on 21. Januar 2024"]
+
+    def test_time_range_and_latest_and_history(self):
+        from temporal_knowledge_graphs_ray.functions.temporal_filter import (
+            TemporalQueryType,
+        )
+
+        rng = self._ctx('{"has_temporal_reference": true, '
+                        '"temporal_type": "time_range", "dates": '
+                        '[{"date": "2020-01-01", "type": "start"}, '
+                        '{"date": "2023-12-31", "type": "end"}], '
+                        '"temporal_phrase": "Between 2020 and 2023"}')
+        assert rng.temporal_filter.query_type == TemporalQueryType.TIME_RANGE
+        assert rng.temporal_filter.start_time.year == 2020
+        assert rng.temporal_filter.end_time.year == 2023
+        latest = self._ctx('{"has_temporal_reference": true, '
+                           '"temporal_type": "latest", "dates": [], '
+                           '"temporal_phrase": "latest"}')
+        assert latest.temporal_filter.query_type == TemporalQueryType.LATEST
+        hist = self._ctx('{"has_temporal_reference": true, '
+                         '"temporal_type": "history", "dates": [], '
+                         '"temporal_phrase": null}')
+        assert hist.temporal_filter.query_type == TemporalQueryType.HISTORY
+        assert hist.temporal_keywords == [""]
+
+    def test_no_reference_and_no_json(self):
+        ctx = self._ctx('{"has_temporal_reference": false}')
+        assert not ctx.has_temporal_reference
+        assert self._ctx("no json here at all") is None
+
+    def test_markdown_wrapped_json(self):
+        # reference extracts the first {...} blob from chatty output
+        ctx = self._ctx('Sure!\n```json\n{"has_temporal_reference": true, '
+                        '"temporal_type": "latest", "dates": [], '
+                        '"temporal_phrase": "now"}\n```')
+        assert ctx.has_temporal_reference
+
+    def test_dispatcher_falls_back_on_failure(self):
+        from temporal_knowledge_graphs_ray.functions.query_parsing import (
+            parse_temporal_query,
+            parse_temporal_query_llm_first,
+        )
+
+        def broken(prompt):
+            raise ConnectionError("down")
+
+        q = "What changed between 2020 and 2023?"
+        got = parse_temporal_query_llm_first(q, client=broken)
+        want = parse_temporal_query(q)
+        assert got.has_temporal_reference == want.has_temporal_reference
+        assert got.temporal_keywords == want.temporal_keywords
+
+    def test_dispatcher_unset_env_is_keyword_parser(self, monkeypatch):
+        from temporal_knowledge_graphs_ray.functions.query_parsing import (
+            parse_temporal_query,
+            parse_temporal_query_llm_first,
+        )
+
+        monkeypatch.delenv("TKG_LLM_API_BASE", raising=False)
+        q = "What is the latest on Acme?"
+        assert parse_temporal_query_llm_first(q).temporal_keywords == \
+            parse_temporal_query(q).temporal_keywords
