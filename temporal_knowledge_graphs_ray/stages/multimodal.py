@@ -116,7 +116,7 @@ class DecodeStage:
                     raise
         if not self.fake:
             raise NotImplementedError(
-                "only BMP/PPM decode without an image/audio library "
+                "only BMP/PPM/PNG decode without an image/audio library "
                 "(none present in this container); construct "
                 "DecodeStage(fake=True) for the deterministic stand-in "
                 "on other formats"

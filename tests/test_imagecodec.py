@@ -191,3 +191,171 @@ class TestFakeModeSniffCollision:
         assert len(rs) == 2
         with pytest.raises(Exception):
             decode_media(rd.from_arrow(tbl), fake=False).to_pandas()
+
+
+class TestPng:
+    """Pure zlib+numpy PNG: round-trip, every filter type, every
+    supported color type, loud gates outside the subset."""
+
+    def _rand(self, h, w, seed=0):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def test_roundtrip_rgb(self):
+        from temporal_knowledge_graphs_ray.functions.imagecodec import (
+            decode_png,
+            encode_png,
+        )
+
+        img = self._rand(13, 7)
+        out = decode_png(encode_png(img))
+        np.testing.assert_array_equal(out, img)
+
+    def test_sniff_and_decode_image_dispatch(self):
+        from temporal_knowledge_graphs_ray.functions.imagecodec import (
+            decode_image,
+            encode_png,
+            sniff_format,
+        )
+
+        img = self._rand(4, 5, seed=3)
+        payload = encode_png(img)
+        assert sniff_format(payload) == "png"
+        got, fmt = decode_image(payload)
+        assert fmt == "png"
+        np.testing.assert_array_equal(got, img)
+
+    def _build_png(self, scanlines: bytes, w, h, ctype, plte=None):
+        import struct
+        import zlib
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(scanlines)) \
+            + chunk(b"IEND", b"")
+
+    def test_all_filter_types_reverse(self):
+        # forward-filter a known image with each filter per row, then
+        # assert the decoder reconstructs the original pixels
+        from temporal_knowledge_graphs_ray.functions.imagecodec import (
+            decode_png,
+        )
+
+        img = self._rand(5, 6, seed=9).astype(np.int64)
+        h, w = 5, 6
+        bpp = 3
+        flat = img.reshape(h, w * bpp)
+        lines = bytearray()
+        prev = np.zeros(w * bpp, dtype=np.int64)
+        for y, ftype in enumerate([0, 1, 2, 3, 4]):
+            cur = flat[y]
+            if ftype == 0:
+                enc = cur
+            elif ftype == 1:
+                left = np.concatenate([np.zeros(bpp, np.int64),
+                                       cur[:-bpp]])
+                enc = (cur - left) % 256
+            elif ftype == 2:
+                enc = (cur - prev) % 256
+            elif ftype == 3:
+                left = np.concatenate([np.zeros(bpp, np.int64),
+                                       cur[:-bpp]])
+                enc = (cur - (left + prev) // 2) % 256
+            else:  # Paeth
+                enc = np.zeros(w * bpp, dtype=np.int64)
+                for x in range(w * bpp):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa_, pb, pcc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pcc) else \
+                        (b if pb <= pcc else c)
+                    enc[x] = (cur[x] - pred) % 256
+            lines.append(ftype)
+            lines.extend(int(v) for v in enc)
+            prev = cur
+        got = decode_png(self._build_png(bytes(lines), w, h, 2))
+        np.testing.assert_array_equal(got, img.astype(np.uint8))
+
+    def test_gray_rgba_palette_types(self):
+        from temporal_knowledge_graphs_ray.functions.imagecodec import (
+            decode_png,
+        )
+
+        # gray (type 0): value replicated to RGB
+        gray = bytes([0, 10, 20, 0, 30, 40])  # 2 rows of 2 px
+        out = decode_png(self._build_png(gray, 2, 2, 0))
+        np.testing.assert_array_equal(out[0, 0], [10, 10, 10])
+        np.testing.assert_array_equal(out[1, 1], [40, 40, 40])
+        # RGBA (type 6): alpha dropped
+        rgba = bytes([0, 1, 2, 3, 255, 4, 5, 6, 0])
+        out = decode_png(self._build_png(rgba, 2, 1, 6))
+        np.testing.assert_array_equal(out[0, 0], [1, 2, 3])
+        np.testing.assert_array_equal(out[0, 1], [4, 5, 6])
+        # gray+alpha (type 4)
+        ga = bytes([0, 77, 200, 99, 10])
+        out = decode_png(self._build_png(ga, 2, 1, 4))
+        np.testing.assert_array_equal(out[0, 0], [77, 77, 77])
+        # palette (type 3)
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+        idx = bytes([0, 2, 1, 0])  # filter byte + pixels [2, 1, 0], w=3
+        out = decode_png(self._build_png(idx, 3, 1, 3, plte=plte))
+        np.testing.assert_array_equal(out[0, 0], [0, 0, 255])   # pal[2]
+        np.testing.assert_array_equal(out[0, 1], [0, 255, 0])   # pal[1]
+        np.testing.assert_array_equal(out[0, 2], [255, 0, 0])   # pal[0]
+
+    def test_rejects_outside_subset(self):
+        import struct
+        import zlib
+
+        from temporal_knowledge_graphs_ray.functions.imagecodec import (
+            decode_png,
+            encode_png,
+        )
+
+        with pytest.raises(ValueError):
+            decode_png(b"\x89PNG\r\n\x1a\n" + b"garbage")
+        # 16-bit depth refused loudly
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+        p16 = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(7)))
+               + chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            decode_png(p16)
+        # truncated pixel data
+        img = np.zeros((2, 2, 3), np.uint8)
+        good = encode_png(img)
+        with pytest.raises(Exception):
+            decode_png(good[:-20])
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_png_flows_through_decode_stage(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.functions.imagecodec import (
+            encode_png,
+        )
+        from temporal_knowledge_graphs_ray.stages.multimodal import (
+            decode_media,
+        )
+
+        img = self._rand(8, 12, seed=5)
+        tbl = pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "media_type": pa.array(["image"], pa.string()),
+            "payload": pa.array([encode_png(img)], pa.binary()),
+        })
+        out = decode_media(rd.from_arrow(tbl), fake=False).to_pandas()
+        assert (int(out.iloc[0]["width"]), int(out.iloc[0]["height"]),
+                int(out.iloc[0]["channels"])) == (12, 8, 3)
