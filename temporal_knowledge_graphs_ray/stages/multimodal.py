@@ -5,11 +5,13 @@ metadata. The Ray-side plumbing — schema, actor-pool signature, small
 batch sizes for large payloads, output layout — is real and tested.
 
 Decode/resize are REAL for the formats a bare numpy container can
-handle: 24-bit BMP and binary PPM decode to pixel arrays and resize via
-a genuine nearest-neighbor kernel (functions/imagecodec.py). Compressed
-formats (JPEG/PNG/video) stay behind an honest NotImplementedError gate
-— ``fake=True`` substitutes a deterministic stand-in so the pipeline
-shape is still exercised end-to-end for arbitrary payloads.
+handle: 24-bit BMP, binary PPM and 8-bit PNG decode to pixel arrays and
+resize via a genuine nearest-neighbor kernel (functions/imagecodec.py);
+PCM/float WAV decodes to sample arrays with real resample/framing/
+feature kernels (functions/audiocodec.py). The remaining compressed
+formats (JPEG / MP3 / video) stay behind an honest NotImplementedError
+gate — ``fake=True`` substitutes a deterministic stand-in so the
+pipeline shape is still exercised end-to-end for arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -329,5 +331,200 @@ def embed_media(ds, dim: int = 64, concurrency=(1, 4),
                 batch_size: int = 128):
     return ds.map_batches(
         MediaFeatureStage, fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+# ------------------------------------------------------------- audio ----
+
+AUDIO_META_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("n_bytes", pa.int64()),
+    ("sample_rate", pa.int32()),
+    ("channels", pa.int32()),
+    ("n_samples", pa.int64()),
+    ("duration_sec", pa.float64()),
+])
+
+AUDIO_FEATURES_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("n_frames", pa.int64()),
+    ("rms_mean", pa.float32()),
+    ("rms_max", pa.float32()),
+    ("zcr_mean", pa.float32()),
+])
+
+AUDIO_RESAMPLED_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("sample_rate", pa.int32()),
+    ("n_samples", pa.int64()),
+    ("payload", pa.binary()),
+])
+
+
+def synth_audio_table(n: int, seed: int = 11, max_sec: float = 2.0,
+                      rates=(8000, 16000)) -> pa.Table:
+    """Deterministic REAL WAV payloads: per-clip sine + noise mix, pure
+    function of (n, seed) so decode/feature results are assertable."""
+    import numpy as np
+
+    from ..functions import audiocodec
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, nbytes = [], [], []
+    for i in range(n):
+        rate = int(rates[i % len(rates)])
+        dur = float(rng.uniform(0.2, max_sec))
+        t = np.arange(int(rate * dur)) / rate
+        freq = float(rng.uniform(80, 2000))
+        wave = (0.6 * np.sin(2 * np.pi * freq * t)
+                + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
+        ch = 1 if i % 3 else 2
+        samples = np.stack([wave] * ch, axis=1) if ch > 1 else wave
+        payload = audiocodec.encode_wav(samples, rate)
+        ids.append(i)
+        payloads.append(payload)
+        nbytes.append(len(payload))
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()),
+         pa.array(payloads, pa.binary()),
+         pa.array(["audio"] * n, pa.string()),
+         pa.array(nbytes, pa.int64())],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class AudioDecodeStage:
+    """Actor-pool WAV metadata decode: payload -> (rate, channels,
+    samples, duration). PCM/float WAV is real (functions/audiocodec.py);
+    compressed audio raises NotImplementedError unless ``fake=True``
+    substitutes the deterministic stand-in."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def _decode(self, payload: bytes) -> tuple[int, int, int]:
+        from ..functions import audiocodec
+
+        if audiocodec.sniff_wav(payload):
+            try:
+                samples, rate = audiocodec.decode_wav(payload)
+                return rate, samples.shape[1], samples.shape[0]
+            except ValueError:
+                if not self.fake:
+                    raise
+        if not self.fake:
+            raise NotImplementedError(
+                "only PCM/float WAV decodes without an audio library "
+                "(none present in this container); construct "
+                "AudioDecodeStage(fake=True) for the deterministic "
+                "stand-in on other formats")
+        n = len(payload)
+        return (8000 + n % 8000, n % 2 + 1, n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [self._decode(p) for p in batch["payload"].to_pylist()]
+        nb = [len(p) for p in batch["payload"].to_pylist()]
+        return pa.Table.from_arrays(
+            [batch["media_id"].cast(pa.int64()),
+             pa.array(nb, pa.int64()),
+             pa.array([m[0] for m in metas], pa.int32()),
+             pa.array([m[1] for m in metas], pa.int32()),
+             pa.array([m[2] for m in metas], pa.int64()),
+             pa.array([m[2] / m[0] for m in metas], pa.float64())],
+            schema=AUDIO_META_SCHEMA,
+        )
+
+
+class AudioFeatureStage:
+    """Actor-pool per-clip features: downmix to mono, frame, per-frame
+    RMS/ZCR, aggregate per clip — the vectorized feature-extraction leg
+    of an audio training pipeline."""
+
+    def __init__(self, frame_len: int = 1024, hop: int | None = None):
+        self.frame_len = frame_len
+        self.hop = hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions import audiocodec
+
+        out = {k: [] for k in ("n_frames", "rms_mean", "rms_max",
+                               "zcr_mean")}
+        for payload in batch["payload"].to_pylist():
+            samples, _rate = audiocodec.decode_wav(payload)
+            mono = samples.mean(axis=1).astype(np.float32)
+            frames = audiocodec.frame_samples(mono, self.frame_len,
+                                              self.hop)
+            feats = audiocodec.frame_features(frames)
+            out["n_frames"].append(frames.shape[0])
+            out["rms_mean"].append(
+                float(feats["rms"].mean()) if frames.shape[0] else 0.0)
+            out["rms_max"].append(
+                float(feats["rms"].max()) if frames.shape[0] else 0.0)
+            out["zcr_mean"].append(
+                float(feats["zcr"].mean()) if frames.shape[0] else 0.0)
+        return pa.Table.from_arrays(
+            [batch["media_id"].cast(pa.int64()),
+             pa.array(out["n_frames"], pa.int64()),
+             pa.array(out["rms_mean"], pa.float32()),
+             pa.array(out["rms_max"], pa.float32()),
+             pa.array(out["zcr_mean"], pa.float32())],
+            schema=AUDIO_FEATURES_SCHEMA,
+        )
+
+
+class AudioResampleStage:
+    """Actor-pool resample: decode, linear-resample to ``target_rate``,
+    downmix stays as-is, re-encode 16-bit PCM."""
+
+    def __init__(self, target_rate: int = 16000):
+        self.target_rate = target_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import audiocodec
+
+        ids, rates, ns, payloads = [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            samples, rate = audiocodec.decode_wav(payload)
+            res = audiocodec.resample_linear(samples, rate,
+                                             self.target_rate)
+            ids.append(mid)
+            rates.append(self.target_rate)
+            ns.append(res.shape[0])
+            payloads.append(audiocodec.encode_wav(res, self.target_rate))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array(rates, pa.int32()),
+             pa.array(ns, pa.int64()),
+             pa.array(payloads, pa.binary())],
+            schema=AUDIO_RESAMPLED_SCHEMA,
+        )
+
+
+def decode_audio(ds, fake: bool = False, concurrency=(1, 4),
+                 batch_size: int = 64):
+    return ds.map_batches(
+        AudioDecodeStage, fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def audio_features(ds, frame_len: int = 1024, hop: int | None = None,
+                   concurrency=(1, 4), batch_size: int = 64):
+    return ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"frame_len": frame_len, "hop": hop},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def resample_audio(ds, target_rate: int = 16000, concurrency=(1, 4),
+                   batch_size: int = 32):
+    return ds.map_batches(
+        AudioResampleStage,
+        fn_constructor_kwargs={"target_rate": target_rate},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
