@@ -63,7 +63,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         (length,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + length]
         if tag == b"fmt ":
-            if length < 16:
+            if length < 16 or len(body) < 16:
                 raise ValueError("truncated fmt chunk")
             fmt_info = struct.unpack_from("<HHIIHH", body, 0)
         elif tag == b"data":

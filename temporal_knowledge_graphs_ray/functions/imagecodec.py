@@ -254,6 +254,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(body) < length:
             raise ValueError("truncated PNG chunk")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("malformed IHDR chunk")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat += body
@@ -274,7 +276,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     bpp = _PNG_CHANNELS[ctype]
     stride = w * bpp
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG pixel stream: {e}") from e
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     img = _png_unfilter(raw, h, stride, bpp).reshape(h, w, bpp)

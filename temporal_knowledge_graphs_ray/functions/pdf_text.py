@@ -102,6 +102,8 @@ class _Lexer:
         out: dict = {}
         while True:
             self._skip_ws()
+            if self.pos >= len(self.data):
+                raise ValueError("EOF in dict")
             if self.data.startswith(b">>", self.pos):
                 self.pos += 2
                 return out
@@ -113,12 +115,16 @@ class _Lexer:
         out: list = []
         while True:
             self._skip_ws()
-            if self.pos < len(self.data) and self.data[self.pos] == 0x5D:
+            if self.pos >= len(self.data):
+                raise ValueError("EOF in array")
+            if self.data[self.pos] == 0x5D:
                 self.pos += 1
                 return out
             out.append(self.parse_value())
 
     def _parse_name(self) -> str:
+        if self.pos >= len(self.data):
+            raise ValueError("EOF where a name was expected")
         if self.data[self.pos] != 0x2F:
             raise ValueError(f"expected name at {self.pos}")
         self.pos += 1
@@ -265,7 +271,10 @@ class _Doc:
             try:
                 lex = _Lexer(data, m.end())
                 val = lex.parse_value()
-            except (ValueError, RecursionError):
+            except (ValueError, RecursionError, IndexError, KeyError):
+                # malformed object: skip it, keep scanning — the honest
+                # gates (NotImplementedError) fire later if nothing
+                # parseable remains
                 continue
             stream: bytes | None = None
             lex._skip_ws()
@@ -328,7 +337,11 @@ class _Doc:
         for f in filters:
             f = self.resolve(f)
             if f == "FlateDecode":
-                stream = zlib.decompress(stream)
+                try:
+                    stream = zlib.decompress(stream)
+                except zlib.error as e:
+                    raise ValueError(f"corrupt FlateDecode stream: {e}") \
+                        from e
             else:
                 raise NotImplementedError(
                     f"/{f} filter is outside the vendored subset "
@@ -398,7 +411,8 @@ def _extract_stream_text(content: bytes) -> str:
         if c == 0x28 or c == 0x3C or c == 0x5B or c == 0x2F:
             try:
                 stack.append(lex.parse_value())
-            except ValueError:
+            except (ValueError, IndexError):
+                # truncated/garbled tail: keep the text gathered so far
                 break
             continue
         m = _OP_RE.match(data, lex.pos)

@@ -118,12 +118,25 @@ def load_file_text(path: str, reader_factory=None) -> tuple[str, str]:
 
 
 def read_documents(paths: list[str], *, parallelism: int = 0,
-                   reader_factory=None):
+                   reader_factory=None, on_error: str = "raise"):
     """Dispatch loader as a Ray Dataset: one row per file with the
-    reference's Document metadata plus the extracted text."""
+    reference's Document metadata plus the extracted text.
+
+    ``on_error``: ``"raise"`` (default — the reference re-raises after
+    logging, document_loader.py:138-140) fails the job on the first
+    unreadable file; ``"skip"`` drops unreadable files and keeps going —
+    at web scale one poison PDF among a million files must not kill a
+    cluster job (the skip is logged per file; count the output rows
+    against ``len(paths)`` to audit drops).
+    """
+    import logging
+
     import ray
     import ray.data as rd
 
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', "
+                         f"got {on_error!r}")
     if not parallelism:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
@@ -133,7 +146,15 @@ def read_documents(paths: list[str], *, parallelism: int = 0,
         rows = []
         for p in batch["item"]:
             p = str(p)
-            ctype, text = load_file_text(p, reader_factory)
+            try:
+                ctype, text = load_file_text(p, reader_factory)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                logging.getLogger(__name__).warning(
+                    "read_documents: skipping unreadable file %s", p,
+                    exc_info=True)
+                continue
             rows.append({
                 "source": os.path.abspath(p),
                 "title": os.path.splitext(os.path.basename(p))[0],

@@ -168,3 +168,27 @@ class TestAudioStages:
             decode_audio(rd.from_arrow(tbl), fake=False).to_pandas()
         out = decode_audio(rd.from_arrow(tbl), fake=True).to_pandas()
         assert len(out) == 1  # deterministic stand-in
+
+
+def test_mutation_fuzz_exception_contract():
+    """Corrupted/truncated WAV payloads raise only ValueError /
+    NotImplementedError (the decode-stage policy types) — e.g. a
+    declared-16 fmt chunk whose body was cut must not leak
+    struct.error. Seeded mutations of a real encoded WAV."""
+    import random
+
+    from temporal_knowledge_graphs_ray.functions import audiocodec
+
+    rng = random.Random(20260820)
+    base = audiocodec.encode_wav(
+        np.sin(np.linspace(0, 10, 500)).astype(np.float32).reshape(-1, 1),
+        8000)
+    for _ in range(4000):
+        b = bytearray(base)
+        for _m in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        blob = bytes(b)[: rng.randrange(4, len(b) + 1)]
+        try:
+            audiocodec.decode_wav(blob)
+        except (ValueError, NotImplementedError):
+            pass

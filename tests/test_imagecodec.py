@@ -359,3 +359,31 @@ class TestPng:
         out = decode_media(rd.from_arrow(tbl), fake=False).to_pandas()
         assert (int(out.iloc[0]["width"]), int(out.iloc[0]["height"]),
                 int(out.iloc[0]["channels"])) == (12, 8, 3)
+
+
+def test_mutation_fuzz_exception_contract():
+    """Corrupted/truncated image payloads must raise only ValueError /
+    NotImplementedError — never zlib.error / struct.error / IndexError —
+    because DecodeStage's strict-mode policy and the fake-fallback both
+    key on those two types. Seeded mutations over all three codecs."""
+    import random
+
+    from temporal_knowledge_graphs_ray.functions import imagecodec
+
+    rng = random.Random(20260820)
+    arr = np.arange(10 * 10 * 3, dtype=np.uint8).reshape(10, 10, 3)
+    cases = [
+        (imagecodec.encode_png(arr), imagecodec.decode_png),
+        (imagecodec.encode_bmp(arr), imagecodec.decode_bmp),
+        (imagecodec.encode_ppm(arr), imagecodec.decode_ppm),
+    ]
+    for base, fn in cases:
+        for _ in range(1500):
+            b = bytearray(base)
+            for _m in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            blob = bytes(b)[: rng.randrange(2, len(b) + 1)]
+            try:
+                fn(blob)
+            except (ValueError, NotImplementedError):
+                pass  # the decode contract

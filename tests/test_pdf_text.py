@@ -153,3 +153,61 @@ def test_read_documents_real_pdf(tmp_path):
     out = read_documents([str(p)]).to_pandas()
     assert out.iloc[0]["text"] == "Hello World\nSecond line\n\nPage two"
     assert out.iloc[0]["content_type"] == "pdf"
+
+
+def test_mutation_fuzz_exception_contract():
+    """Arbitrary corruption of real PDF bytes must surface only the
+    honest gates (NotImplementedError) or parse errors (ValueError) at
+    construction — never IndexError/KeyError leaking from the lexer —
+    and per-page extraction stays within load_pdf_text's skip net.
+    Seeded mutations of the fixture PDF, including the historical
+    IndexError repro (a delimiter spliced into an open dict)."""
+    import random
+
+    base = build_pdf([PAGE1, PAGE2], [True, False])
+    rng = random.Random(20260820)
+    corpus = [
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog\n",     # EOF in dict
+        base.replace(b"<< /Type /Catalog", b"<<)/Type /Catalog", 1),
+        base[: len(base) // 3],                        # truncated body
+        b"%PDF-1.4\n1 0 obj\n[ (a) (b)\n",             # EOF in array
+    ]
+    for _ in range(400):
+        b = bytearray(base)
+        for _m in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        corpus.append(bytes(b)[: rng.randrange(20, len(b) + 1)])
+    for blob in corpus:
+        try:
+            reader = MiniPdfReader(blob)
+        except (NotImplementedError, ValueError):
+            continue
+        for page in reader.pages:
+            try:
+                page.extract_text()
+            except Exception as e:  # the per-page skip net's contract
+                assert isinstance(e, (NotImplementedError, ValueError)), \
+                    (type(e).__name__, blob[:80])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_documents_on_error_skip(tmp_path):
+    from temporal_knowledge_graphs_ray.sources.files import read_documents
+
+    good = tmp_path / "good.pdf"
+    good.write_bytes(build_pdf([PAGE1], [True]))
+    poison = tmp_path / "poison.pdf"
+    poison.write_bytes(b"%PDF-fake garbage, no objects")
+    txt = tmp_path / "plain.txt"
+    txt.write_text("plain text doc")
+
+    # default: the reference's raise semantics (document_loader.py:138)
+    with pytest.raises(Exception):
+        read_documents([str(good), str(poison), str(txt)]).to_pandas()
+
+    out = read_documents([str(good), str(poison), str(txt)],
+                         on_error="skip").to_pandas()
+    assert sorted(out["filename"]) == ["good.pdf", "plain.txt"]
+
+    with pytest.raises(ValueError):
+        read_documents([str(good)], on_error="ignore")
