@@ -383,11 +383,15 @@ def run_bench() -> dict:
     shutil.rmtree(exp_dir, ignore_errors=True)
 
     from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+        remove_duplicate_spans,
         substring_dup_stats,
     )
 
     timed("substring_dup_stats",
           lambda: substring_dup_stats(docs, window_tokens=20).to_pandas())
+    timed("substring_remove",
+          lambda: remove_duplicate_spans(docs, window_tokens=20)
+          .count())
 
     # ---- whole-graph analytics over the KG built above ----
     from temporal_knowledge_graphs_ray.pipelines.graph import (

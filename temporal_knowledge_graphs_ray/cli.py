@@ -312,20 +312,39 @@ def cmd_semdedup(args) -> int:
 
 
 def cmd_dupspans(args) -> int:
-    """Per-doc exact substring-duplication stats (Lee et al. windows)."""
+    """Per-doc exact substring-duplication stats (Lee et al. windows);
+    with --remove, rewrite the corpus keeping only each duplicated
+    window's globally-first occurrence (ExactSubstr removal)."""
     import ray
     import ray.data as rd
 
     from .stages.blocks import coalesce_blocks
-    from .stages.substring_dedup import substring_dup_stats
 
     _init_ray(args.num_cpus)
+    import pyarrow.compute as pc
+
+    if args.remove:
+        from .stages.substring_dedup import remove_duplicate_spans
+
+        out = remove_duplicate_spans(
+            rd.read_parquet(args.documents),
+            window_tokens=args.window_tokens).materialize()
+        coalesce_blocks(out).write_parquet(args.out)
+        n_cut = out.map_batches(
+            lambda t: t.filter(pc.not_equal(t["removed_tokens"], 0)),
+            batch_format="pyarrow").count()
+        print(json.dumps({
+            "out": args.out, "rows": out.count(), "docs_cut": n_cut,
+            "removed_tokens": int(out.sum(on="removed_tokens") or 0)}))
+        ray.shutdown()
+        return 0
+
+    from .stages.substring_dedup import substring_dup_stats
+
     out = substring_dup_stats(
         rd.read_parquet(args.documents),
         window_tokens=args.window_tokens).materialize()
     coalesce_blocks(out).write_parquet(args.out)
-    import pyarrow.compute as pc
-
     n_dup = out.map_batches(
         lambda t: t.filter(pc.not_equal(t["dup_tokens"], 0)),
         batch_format="pyarrow").count()
@@ -805,6 +824,10 @@ def main(argv=None) -> int:
     p.add_argument("--documents", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--window-tokens", type=int, default=50)
+    p.add_argument("--remove", action="store_true",
+                   help="rewrite the corpus with non-first occurrences "
+                        "of duplicated windows cut out (ExactSubstr "
+                        "removal) instead of writing stats")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("paradedup")

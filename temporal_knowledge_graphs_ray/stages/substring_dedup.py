@@ -343,3 +343,320 @@ def substring_dup_stats(ds, window_tokens: int = 50,
              .union(spans.map_batches(span_rows, batch_format="pyarrow")))
     return (mixed.map_batches(bucket_doc, batch_format="pyarrow")
             .groupby("bucket").map_groups(fold, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# Span REMOVAL — the second half of Lee et al. 2021's ExactSubstr recipe:
+# detection above finds duplicated windows; this rewrites the corpus so
+# each duplicated >= w-token window KEEPS exactly its globally-first
+# occurrence (smallest (doc_id-as-string, pos), the same deterministic
+# "first" as paradedup's keep_first) and every other occurrence is cut
+# out of the text. Self-repeats within one document cut too (only the
+# first occurrence survives anywhere).
+# --------------------------------------------------------------------------
+
+
+def _token_char_spans(text: str) -> tuple[list, np.ndarray, np.ndarray]:
+    """Tokens of ``text`` (the _TOKEN_RE-over-lower() tokenization every
+    substring kernel uses) WITH char offsets into the ORIGINAL string.
+
+    Offsets come from finditer over ``text.lower()``; when lower()
+    changes the string length (a handful of expanding code points, e.g.
+    'İ' -> 'i̇') a per-char cumulative map converts lowered offsets back
+    to original chars, rounding outward so a cut never leaves half an
+    original character behind."""
+    low = text.lower()
+    spans = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(low)]
+    if not spans:
+        z = np.empty(0, dtype=np.int64)
+        return [], z, z
+    starts = np.fromiter((s for s, _ in spans), np.int64, len(spans))
+    ends = np.fromiter((e for _, e in spans), np.int64, len(spans))
+    toks = [low[s:e] for s, e in spans]
+    if len(low) != len(text):
+        # cum[i] = offset in low where original char i begins
+        lens = np.fromiter((len(c.lower()) for c in text), np.int64,
+                           len(text))
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        starts = np.searchsorted(cum, starts, side="right") - 1
+        ends = np.searchsorted(cum, ends - 1, side="right")
+    return toks, starts, ends
+
+
+def remove_duplicate_spans(ds, window_tokens: int = 50,
+                           id_col: str = "doc_id",
+                           text_col: str = "text", seed: int = 7,
+                           num_partitions: int = 64,
+                           broadcast_max: int = 4_000_000):
+    """ExactSubstr removal: rewrite ``text`` so every duplicated
+    ``window_tokens``-token window survives only at its globally-first
+    occurrence. Returns ``(id_col, text_col, removed_tokens)``; docs
+    whose every token was cut DROP (the paradedup contract). Docs
+    shorter than ``window_tokens`` tokens pass through untouched.
+
+    Dataflow: count pass (map-side combined partials) -> duplicated-hash
+    set -> ONLY windows bearing a duplicated hash shuffle to the
+    keep-first ranking (bucketed by whash; the dup-window tail is tiny
+    next to the corpus, so the rank shuffle moves a sliver of the window
+    table) -> non-first occurrences span-merge per doc -> one bucketed
+    doc co-location applies the char-level cuts. The duplicated-hash set
+    broadcasts below ``broadcast_max`` (32 MB of int64s); above it the
+    filter runs as the house mixed-union bucketed groupby, so driver
+    memory never depends on how duplicated the corpus is.
+
+    Caveat (inherent to one-pass window semantics, shared with Lee et
+    al.'s implementation): cutting a span can create a NEW adjacency
+    that itself duplicates elsewhere; a fixed point needs re-running.
+    """
+    import ray
+    import ray.data as rd
+
+    windows = ds.select_columns([id_col, text_col]).map_batches(
+        _window_rows(window_tokens, id_col, text_col, seed),
+        batch_format="pyarrow").materialize()
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["whash"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({
+            "whash": pa.array(u, pa.int64()),
+            "n": pa.array(c.astype(np.int64)),
+            "bucket": pa.array((u % num_partitions).astype(np.int32))})
+
+    def dup_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["whash"].to_numpy()
+        u, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=g["n"].to_numpy())
+        return pd.DataFrame({"whash": u[tot >= 2]})
+
+    dup_hashes = (windows.map_batches(partial_counts,
+                                      batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(dup_in_bucket, batch_format="pandas")
+                  .materialize())
+    n_dup = dup_hashes.count()
+
+    def id_str(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "whash": t["whash"],
+            id_col: t[id_col].cast(pa.string()),
+            "pos": t["pos"]})
+
+    if n_dup == 0:
+        dup_windows = rd.from_arrow(pa.table({
+            "whash": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.string()),
+            "pos": pa.array([], pa.int64())}))
+    elif n_dup <= broadcast_max:
+        hs = np.sort(dup_hashes.to_pandas()["whash"]
+                     .to_numpy(dtype=np.int64))
+        hs_ref = ray.put(hs)
+
+        def keep_dup(t: pa.Table) -> pa.Table:
+            marked = ray.get(hs_ref)
+            w = t["whash"].to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(marked, w), 0, len(marked) - 1)
+            return id_str(t.filter(pa.array(marked[idx] == w)))
+
+        dup_windows = windows.map_batches(keep_dup,
+                                          batch_format="pyarrow")
+    else:
+        def as_marker(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "whash": t["whash"],
+                id_col: pa.nulls(n, pa.string()),
+                "pos": pa.nulls(n, pa.int64())})
+
+        def bucket_w(t: pa.Table) -> pa.Table:
+            b = (t["whash"].to_numpy(zero_copy_only=False)
+                 % num_partitions).astype(np.int32)
+            return t.append_column("bucket", pa.array(b))
+
+        def keep_marked(g: pd.DataFrame) -> pd.DataFrame:
+            marked = set(g.loc[g["pos"].isna(), "whash"])
+            rows = g[g["pos"].notna()]
+            out = rows[rows["whash"].isin(marked)]
+            return out[["whash", id_col, "pos"]]
+
+        dup_windows = (windows.map_batches(id_str,
+                                           batch_format="pyarrow")
+                       .union(dup_hashes.map_batches(
+                           as_marker, batch_format="pyarrow"))
+                       .map_batches(bucket_w, batch_format="pyarrow")
+                       .groupby("bucket")
+                       .map_groups(keep_marked, batch_format="pandas"))
+
+    # ---- keep-first ranking: co-locate every occurrence of each dup
+    # hash, flag all but the smallest (id, pos) ----
+    def bucket_h(t: pa.Table) -> pa.Table:
+        b = (t["whash"].to_numpy(zero_copy_only=False)
+             % num_partitions).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    def flag_non_first(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({id_col: pd.Series(dtype="object"),
+                                 "pos": pd.Series(dtype="int64")})
+        g = g.sort_values(["whash", id_col, "pos"], kind="mergesort")
+        h = g["whash"].to_numpy()
+        first = np.r_[True, h[1:] != h[:-1]]
+        out = g[~first]
+        return out[[id_col, "pos"]]
+
+    flagged = (dup_windows.map_batches(bucket_h, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(flag_non_first, batch_format="pandas"))
+
+    # ---- span merge per doc (same chain rule as duplicate_spans) ----
+    def bucket_doc_pd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (hash64_vec(df[id_col].to_list())
+                        % np.uint64(num_partitions)).astype(np.int32)
+        return df
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {id_col: "object", "span_start": "int64",
+                "span_end": "int64"}
+        if not len(g):
+            return pd.DataFrame({c: pd.Series(dtype=d)
+                                 for c, d in cols.items()})
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy(dtype=np.int64)
+        b = np.flatnonzero(np.r_[True, (ids[1:] != ids[:-1])
+                                 | (pos[1:] > pos[:-1] + window_tokens)])
+        e = np.r_[b[1:], len(pos)]
+        return pd.DataFrame({
+            id_col: ids[b],
+            "span_start": pos[b],
+            "span_end": pos[e - 1] + window_tokens})
+
+    spans = (flagged.map_batches(bucket_doc_pd, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(merge_spans, batch_format="pandas"))
+
+    # ---- apply cuts: docs + spans co-located per doc bucket ----
+    def doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col].cast(pa.string()),
+            text_col: t[text_col].cast(pa.large_string()),
+            "span_start": pa.nulls(t.num_rows, pa.int64()),
+            "span_end": pa.nulls(t.num_rows, pa.int64())})
+
+    def span_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col].cast(pa.string()),
+            text_col: pa.nulls(t.num_rows, pa.large_string()),
+            "span_start": t["span_start"].cast(pa.int64()),
+            "span_end": t["span_end"].cast(pa.int64())})
+
+    def bucket_doc_pa(t: pa.Table) -> pa.Table:
+        b = (hash64_vec(t[id_col].to_pylist())
+             % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    def apply_cuts(g: pd.DataFrame) -> pd.DataFrame:
+        # doc rows carry null span_start (never null text — a null-text
+        # doc is still a doc row and passes through untouched)
+        docs = g[g["span_start"].isna()]
+        sp = g[g["span_start"].notna()]
+        by_doc: dict = {}
+        for i, s, e in zip(sp[id_col].to_numpy(),
+                           sp["span_start"].to_numpy(dtype=np.int64),
+                           sp["span_end"].to_numpy(dtype=np.int64)):
+            by_doc.setdefault(i, []).append((int(s), int(e)))
+        out_id, out_text, out_rm = [], [], []
+        for i, text in zip(docs[id_col].to_numpy(),
+                           docs[text_col].to_numpy()):
+            cuts = by_doc.get(i)
+            if not cuts or text is None:
+                out_id.append(i); out_text.append(text); out_rm.append(0)
+                continue
+            toks, starts, ends = _token_char_spans(text)
+            n = len(toks)
+            removed = 0
+            pieces, cursor = [], 0
+            for s, e in sorted(cuts):
+                e = min(e, n)
+                if s >= n or s >= e:
+                    continue
+                removed += e - s
+                cs, ce = int(starts[s]), int(ends[e - 1])
+                if cs > cursor:
+                    pieces.append(text[cursor:cs])
+                cursor = max(cursor, ce)
+            pieces.append(text[cursor:])
+            if removed >= n:
+                continue  # fully-cut doc drops
+            out_id.append(i)
+            out_text.append("".join(pieces))
+            out_rm.append(removed)
+        return pd.DataFrame({
+            id_col: pd.Series(out_id, dtype="object"),
+            text_col: pd.Series(out_text, dtype="object"),
+            "removed_tokens": pd.Series(out_rm, dtype="int64")})
+
+    mixed = (ds.select_columns([id_col, text_col])
+             .map_batches(doc_rows, batch_format="pyarrow")
+             .union(spans.map_batches(span_rows, batch_format="pyarrow")))
+    return (mixed.map_batches(bucket_doc_pa, batch_format="pyarrow")
+            .groupby("bucket").map_groups(apply_cuts,
+                                          batch_format="pandas"))
+
+
+def remove_duplicate_spans_sequential(rows: list[dict],
+                                      window_tokens: int = 50,
+                                      id_col: str = "doc_id",
+                                      text_col: str = "text",
+                                      seed: int = 7) -> list[dict]:
+    """Single-process oracle for remove_duplicate_spans: one dict over
+    the whole corpus, occurrences ranked by (id-as-string, pos), cuts
+    applied with the identical char-offset rule. O(corpus) memory —
+    tests only."""
+    occ: dict[int, list[tuple[str, int]]] = {}
+    toks_cache: dict[str, tuple] = {}
+    for r in rows:
+        i = str(r[id_col])
+        toks, starts, ends = _token_char_spans(r[text_col] or "")
+        toks_cache[i] = (toks, starts, ends, r[text_col])
+        wh = _window_hashes(r[text_col] or "", window_tokens, seed)
+        for p, h in enumerate(wh.tolist()):
+            occ.setdefault(h, []).append((i, p))
+    flagged: dict[str, list[int]] = {}
+    for h, lst in occ.items():
+        if len(lst) < 2:
+            continue
+        for i, p in sorted(lst)[1:]:
+            flagged.setdefault(i, []).append(p)
+    out = []
+    for r in rows:
+        i = str(r[id_col])
+        toks, starts, ends, text = toks_cache[i]
+        poss = sorted(flagged.get(i, []))
+        if not poss or text is None:
+            out.append({id_col: i, text_col: text, "removed_tokens": 0})
+            continue
+        spans, cur_s, cur_e = [], poss[0], poss[0] + window_tokens
+        for p in poss[1:]:
+            if p > cur_e:
+                spans.append((cur_s, cur_e)); cur_s = p
+            cur_e = p + window_tokens
+        spans.append((cur_s, cur_e))
+        n = len(toks)
+        removed, pieces, cursor = 0, [], 0
+        for s, e in spans:
+            e = min(e, n)
+            if s >= n or s >= e:
+                continue
+            removed += e - s
+            cs, ce = int(starts[s]), int(ends[e - 1])
+            if cs > cursor:
+                pieces.append(text[cursor:cs])
+            cursor = max(cursor, ce)
+        pieces.append(text[cursor:])
+        if removed >= n:
+            continue
+        out.append({id_col: i, text_col: "".join(pieces),
+                    "removed_tokens": removed})
+    return out

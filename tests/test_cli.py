@@ -312,3 +312,32 @@ def test_analytics_subcommand_distributed_scalars(tmp_path):
     # LPA on two disjoint dense-ish pieces settles on >=2 communities
     assert rep["communities"] >= 2
     assert rep["k_core_nodes"] == 3  # k=2: only the triangle survives
+
+
+def test_dupspans_remove_subcommand(tmp_path):
+    out_dir = str(tmp_path / "dr")
+    rep = _run(["dupspans", "--documents", f"{SF}/documents.parquet",
+                "--out", out_dir, "--window-tokens", "20", "--remove"],
+               tmp_path)
+    assert 0 < rep["rows"] <= 500
+    assert rep["docs_cut"] > 0 and rep["removed_tokens"] > 0
+    # the rewritten corpus matches the library sequential oracle
+    from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+        remove_duplicate_spans_sequential,
+    )
+
+    src = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    want = remove_duplicate_spans_sequential(
+        src.to_dict("records"), window_tokens=20)
+    got = duckdb.sql(
+        f"SELECT doc_id, text, removed_tokens FROM "
+        f"read_parquet('{out_dir}/*.parquet') ORDER BY CAST(doc_id AS BIGINT)"
+    ).df()
+    want.sort(key=lambda r: int(r["doc_id"]))
+    assert list(got["doc_id"]) == [r["doc_id"] for r in want]
+    assert list(got["text"]) == [r["text"] for r in want]
+    assert list(got["removed_tokens"]) == [r["removed_tokens"]
+                                           for r in want]

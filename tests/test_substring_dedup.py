@@ -200,3 +200,110 @@ def test_union_markback_path_identical():
                                   ignore_index=True))
     assert len(a) > 0
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------- removal --
+
+
+def _words(seed: int, n: int) -> str:
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "bravo", "cedar", "delta", "ember", "futon",
+             "gamma", "hotel", "igloo", "jumbo", "karma", "lemon"]
+    return " ".join(vocab[i] for i in rng.integers(0, len(vocab), n))
+
+
+def _removal_corpus():
+    shared = _words(99, 2 * W)  # a 2W-token passage copied around
+    return (
+        [1, 2, 3, 4, 5, 6, 7],
+        [
+            f"{_words(1, 30)} {shared} {_words(2, 25)}",   # first occurrence
+            f"{_words(3, 12)} {shared} {_words(4, 40)}",   # later copy: cut
+            shared,                                         # pure copy: drops
+            _words(5, 30),                                  # untouched
+            "too short",                                    # < W tokens
+            f"{_words(6, 20)} {shared} tail {shared}",      # copy + self-repeat
+            None,                                           # null text
+        ],
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRemoveDuplicateSpans:
+    def _run(self, ids, texts, blocks=None, **kw):
+        from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+            remove_duplicate_spans,
+        )
+
+        out = (remove_duplicate_spans(_ds(ids, texts, blocks),
+                                      window_tokens=W, **kw)
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        return out
+
+    def _oracle(self, ids, texts):
+        from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+            remove_duplicate_spans_sequential,
+        )
+
+        rows = [{"doc_id": i, "text": t} for i, t in zip(ids, texts)]
+        out = remove_duplicate_spans_sequential(rows, window_tokens=W)
+        return sorted(out, key=lambda r: r["doc_id"])
+
+    def test_matches_sequential_oracle(self):
+        ids, texts = _removal_corpus()
+        got = self._run(ids, texts)
+        want = self._oracle(ids, texts)
+        assert list(got["doc_id"]) == [str(r["doc_id"]) for r in want]
+        assert list(got["text"]) == [r["text"] for r in want]
+        assert list(got["removed_tokens"]) == [r["removed_tokens"]
+                                               for r in want]
+
+    def test_keep_first_and_drop_semantics(self):
+        ids, texts = _removal_corpus()
+        got = self._run(ids, texts).set_index("doc_id")
+        # doc 1 (globally-first occurrence by (id, pos)) keeps its text
+        assert got.loc["1", "text"] == texts[0]
+        assert got.loc["1", "removed_tokens"] == 0
+        # doc 2's copy is cut: the shared passage no longer appears
+        shared = _words(99, 2 * W)
+        assert shared not in got.loc["2", "text"]
+        assert got.loc["2", "removed_tokens"] >= 2 * W
+        # doc 3 was nothing but the passage: fully-cut docs drop
+        assert "3" not in got.index
+        # untouched / short / null docs pass through byte-identical
+        assert got.loc["4", "text"] == texts[3]
+        assert got.loc["5", "text"] == texts[4]
+        assert got.loc["7", "text"] is None
+        # doc 6 loses both its copy and its self-repeat
+        assert shared not in got.loc["6", "text"]
+
+    def test_layout_invariance_and_forced_union_path(self):
+        ids, texts = _removal_corpus()
+        base = self._run(ids, texts)
+        reparted = self._run(ids, texts, blocks=7)
+        forced = self._run(ids, texts, broadcast_max=0,
+                           num_partitions=3)
+        for other in (reparted, forced):
+            assert list(base["doc_id"]) == list(other["doc_id"])
+            assert list(base["text"]) == list(other["text"])
+            assert list(base["removed_tokens"]) == \
+                list(other["removed_tokens"])
+
+    def test_no_duplicates_is_identity(self):
+        ids = [1, 2, 3]
+        texts = [_words(10, 40), _words(11, 40), _words(12, 40)]
+        got = self._run(ids, texts)
+        assert list(got["text"]) == texts
+        assert got["removed_tokens"].sum() == 0
+
+    def test_expanding_lowercase_offsets(self):
+        # 'İ'.lower() expands to two chars: the cut must still remove
+        # whole ORIGINAL characters and match the oracle exactly
+        shared = _words(99, 2 * W)
+        texts = [f"İstanbul {shared} kalesi", f"İzmir {shared} İstanbul",
+                 _words(20, 30)]
+        ids = [1, 2, 3]
+        got = self._run(ids, texts)
+        want = self._oracle(ids, texts)
+        assert list(got["text"]) == [r["text"] for r in want]
+        assert shared not in got.set_index("doc_id").loc["2", "text"]
