@@ -189,6 +189,7 @@ def cmd_curate(args) -> int:
         quality_model=args.quality_model,
         min_quality_score=args.min_quality_score,
         paragraph_dedup_sep=args.paradedup_sep,
+        substring_removal_window=args.substr_remove_window,
     )
     print(json.dumps(report))
     ray.shutdown()
@@ -767,6 +768,12 @@ def main(argv=None) -> int:
     p.add_argument("--paradedup-sep", default=None,
                    help="paragraph delimiter; adds the CCNet "
                         "paragraph-dedup leg at the funnel head")
+    p.add_argument("--substr-remove-window", type=int, default=None,
+                   help="window tokens; adds the ExactSubstr span-"
+                        "REMOVAL leg at the funnel head (cuts non-first "
+                        "occurrences of duplicated windows out of the "
+                        "text — the rewrite alternative to "
+                        "--max-dup-fraction's whole-doc cap)")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("sample")

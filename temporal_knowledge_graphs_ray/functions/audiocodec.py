@@ -119,7 +119,8 @@ def frame_samples(mono: np.ndarray, frame_len: int,
     """(n,) -> (n_frames, frame_len) strided windows (tail dropped)."""
     if mono.ndim != 1:
         raise ValueError("frame_samples expects mono (n,)")
-    hop = hop or frame_len
+    if hop is None:
+        hop = frame_len
     if frame_len < 1 or hop < 1:
         raise ValueError("frame_len and hop must be >= 1")
     n_frames = 1 + (len(mono) - frame_len) // hop if len(mono) >= frame_len \

@@ -27,9 +27,14 @@ from __future__ import annotations
 
 import re
 
-# Content after the hashes is optional: '# ' / '#' render as an EMPTY
-# <h1> in Python-Markdown, and get_text(strip=True) drops empty nodes.
-_HEADER_RE = re.compile(r"^(#{1,6})(?:\s+(.*?))?\s*#*\s*$")
+# Python-Markdown's HashHeaderProcessor regex is
+# ``(?P<level>#{1,6})(?P<header>(?:\\.|[^\\])*?)#*(?:\n|$)`` — NO
+# whitespace required after the hashes (``#Header`` is an h1 there,
+# unlike CommonMark), content is lazy with greedy trailing ``#*``
+# stripped, and the result is ``.strip()``-ed. '# ' / '#' / '#######'
+# therefore render as an EMPTY header, and get_text(strip=True) drops
+# empty nodes.
+_HEADER_RE = re.compile(r"^(#{1,6})(.*?)\s*#*\s*$")
 _ULIST_RE = re.compile(r"^\s*[-*+]\s+(.*)$")
 _OLIST_RE = re.compile(r"^\s*\d+[.)]\s+(.*)$")
 _HRULE_RE = re.compile(r"^\s*([-*_])\s*(\1\s*){2,}$")

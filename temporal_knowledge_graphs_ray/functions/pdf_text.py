@@ -257,10 +257,21 @@ class _Doc:
         self._check_encryption()
 
     def _check_encryption(self) -> None:
-        for m in re.finditer(rb"/Encrypt\b", self.data):
-            # only refuse when /Encrypt appears inside a trailer dict
-            tail = self.data[max(0, m.start() - 4096):m.start()]
-            if b"trailer" in tail or b"<<" in tail:
+        """Refuse only when an /Encrypt KEY exists in a trailer dict
+        (classic layout) or an /XRef-type object dict (xref-stream
+        trailer) — page text merely MENTIONING '/Encrypt' must not
+        refuse a readable document."""
+        for m in re.finditer(rb"trailer\b", self.data):
+            try:
+                d = _Lexer(self.data, m.end()).parse_value()
+            except (ValueError, RecursionError, IndexError):
+                continue
+            if isinstance(d, dict) and "Encrypt" in d:
+                raise NotImplementedError(
+                    "encrypted PDFs are outside the vendored subset")
+        for _num, (val, _s) in self.objects.items():
+            if isinstance(val, dict) and val.get("Type") == "XRef" \
+                    and "Encrypt" in val:
                 raise NotImplementedError(
                     "encrypted PDFs are outside the vendored subset")
 

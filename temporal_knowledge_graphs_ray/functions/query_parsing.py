@@ -132,6 +132,11 @@ def parse_temporal_with_llm(query: str, client) -> TemporalContext | None:
             timestamp=datetime.fromisoformat(dates[0]["date"]),
         )
     elif ttype == "time_range" and len(dates) >= 2:
+        # POSITIONAL by design: the reference maps dates[0]->start and
+        # dates[1]->end and never reads each date's "type" field, even
+        # though its own prompt asks the model to emit one
+        # (temporal_retrieval.py:136-137 vs the :82 prompt schema).
+        # Replicated verbatim — parity over prompt-order robustness.
         tfilter = TemporalFilter(
             query_type=TemporalQueryType.TIME_RANGE,
             start_time=datetime.fromisoformat(dates[0]["date"]),

@@ -10,6 +10,10 @@ call):
          repeated paragraphs drop corpus-wide before any signal is
          computed (stages/paradedup.py; CCNet's ordering — downstream
          filters must see the deduped text)
+      -> optional ExactSubstr span removal (``substring_removal_window``):
+         non-first occurrences of duplicated >= w-token windows are cut
+         out of the text (stages/substring_dedup.py, Lee et al. 2021 —
+         the rewrite alternative to the whole-doc cap below)
       -> ONE map_batches pass computing language id + quality signals +
          content fingerprint (text is read once; all per-doc signals come
          out of the same kernel call)
@@ -84,6 +88,7 @@ def curate_corpus(
     min_quality_score: float = 0.5,
     paragraph_dedup_sep: str | None = None,
     paragraph_min_chars: int = 1,
+    substring_removal_window: int | None = None,
 ) -> dict:
     """documents Dataset -> curated Parquet under ``out_dir``; returns the
     funnel report (counts per stage)."""
@@ -111,6 +116,24 @@ def curate_corpus(
             id_col=id_col, sep=paragraph_dedup_sep,
             min_chars=paragraph_min_chars).materialize()
         report["after_paragraph_dedup"] = ds.count()
+
+    # optional ExactSubstr REMOVAL leg (Lee et al. 2021), also at the
+    # head and for the same reason: it rewrites text, so every
+    # downstream signal must see the cut text. Runs after paragraph
+    # dedup when both are set (paragraph grain first, then spans).
+    # Fully-cut docs drop here. Alternative to the max_dup_fraction CAP
+    # below (cap drops whole docs; removal keeps them minus the spans).
+    if substring_removal_window is not None:
+        from ..stages.substring_dedup import remove_duplicate_spans
+
+        ds = remove_duplicate_spans(
+            ds.select_columns([id_col, text_col]), text_col=text_col,
+            id_col=id_col,
+            window_tokens=substring_removal_window).materialize()
+        report["after_substring_removal"] = ds.count()
+        report["substring_removed_tokens"] = int(
+            ds.sum(on="removed_tokens") or 0)
+        ds = ds.drop_columns(["removed_tokens"])
 
     sig = ds.map_batches(_signal_stage(text_col, id_col),
                          batch_format="pyarrow", batch_size=1024)

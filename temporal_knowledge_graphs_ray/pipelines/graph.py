@@ -30,6 +30,40 @@ from ..functions.rounding import round_half_away
 DRIVER_NODE_CUTOFF = 5_000_000
 
 
+def _maybe_dataset(df: pd.DataFrame, as_dataset: bool):
+    """Wrap a (entity_id, score) frame as a Dataset when asked — the
+    small-graph paths stay pandas-shaped internally, but as_dataset
+    callers get ONE return type across all three size regimes."""
+    if not as_dataset:
+        return df
+    import ray.data as rd
+
+    if df.empty:
+        return rd.from_arrow(pa.table({
+            "entity_id": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64())}))
+    return rd.from_pandas(df.reset_index(drop=True))
+
+
+def _round_score_dataset(final, drop_zero: bool):
+    """(node, ..., score) iteration state -> (entity_id, score) rounded
+    to 8 — the shared distributed tail of the dataset-resident
+    PageRank/PPR paths. PPR drops zero scores (unreached nodes);
+    pagerank keeps every node like its pandas path."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        s = round_half_away(
+            np.asarray(t["score"].to_numpy(zero_copy_only=False),
+                       dtype=np.float64), 8)
+        out = pa.table({"entity_id": t["node"].cast(pa.string()),
+                        "score": pa.array(s)})
+        if drop_zero:
+            out = out.filter(pc.greater(out["score"], pa.scalar(0.0)))
+        return out
+
+    return final.map_batches(proj, batch_format="pyarrow")
+
+
 def _power_iteration_dataset(edges2, state, *, damping: float,
                              max_iters: int, tol: float,
                              normalize: bool, uniform_teleport: float = 0.0,
@@ -131,7 +165,7 @@ def _power_iteration_dataset(edges2, state, *, damping: float,
 
 def _ppr_dataset_resident(edges_ds, deg_ds, seed_ids: list[str], *,
                           damping: float, max_iters: int,
-                          tol: float) -> pd.DataFrame:
+                          tol: float, as_dataset: bool = False):
     """PPR above DRIVER_NODE_CUTOFF: score/teleport/degree live as a
     node-grain Dataset; the driver holds seeds + scalars only. Equality
     with the broadcast path is pinned by tests/test_graph_sharded.py
@@ -175,11 +209,13 @@ def _ppr_dataset_resident(edges_ds, deg_ds, seed_ids: list[str], *,
     final = _power_iteration_dataset(
         edges2, state, damping=damping, max_iters=max_iters, tol=tol,
         normalize=True)
-    out = (final.filter(expr="score > 0")
-           .select_columns(["node", "score"]).to_pandas()
-           .rename(columns={"node": "entity_id"}))
-    out["score"] = round_half_away(out["score"].to_numpy(), 8)
-    out = out[out["score"] > 0]
+    scored = _round_score_dataset(final, drop_zero=True)
+    if as_dataset:
+        # billion-node return: the full node-grain result never lands
+        # on the driver — distributed sort keeps the ordering contract
+        return scored.sort(["score", "entity_id"],
+                           descending=[True, False])
+    out = scored.to_pandas()
     return out.sort_values(["score", "entity_id"],
                            ascending=[False, True], ignore_index=True)
 
@@ -187,7 +223,8 @@ def _ppr_dataset_resident(edges_ds, deg_ds, seed_ids: list[str], *,
 def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
         max_iters: int = 20, tol: float = 1e-6,
         asof=None, local_edge_cutoff: int = 500_000,
-        driver_node_cutoff: int = DRIVER_NODE_CUTOFF) -> pd.DataFrame:
+        driver_node_cutoff: int = DRIVER_NODE_CUTOFF,
+        as_dataset: bool = False):
     """Personalized PageRank over (subj_id, obj_id[, valid_from]) edges.
 
     Returns (entity_id, score) sorted desc, rounded to 8. Edges are
@@ -200,6 +237,12 @@ def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
     per round (driver holds O(#nodes) floats); above
     ``driver_node_cutoff`` nodes the state goes DATASET-RESIDENT
     (_power_iteration_dataset) and the driver holds only scalars.
+
+    ``as_dataset=True`` returns the same (entity_id, score) result as a
+    node-grain ``ray.data.Dataset`` (distributed sort, same ordering) —
+    the billion-node companion to the dataset-resident iteration, so the
+    FULL result never lands on the driver; the default pandas return
+    stays for the reference-parity callers.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -227,13 +270,14 @@ def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
     )
     node_count = deg_ds.count()
     if node_count == 0:
-        return pd.DataFrame({"entity_id": [], "score": []})
+        return _maybe_dataset(
+                pd.DataFrame({"entity_id": [], "score": []}), as_dataset)
 
     if node_count > driver_node_cutoff and \
             edges_ds.count() > local_edge_cutoff:
         return _ppr_dataset_resident(edges_ds, deg_ds, seed_ids,
                                      damping=damping, max_iters=max_iters,
-                                     tol=tol)
+                                     tol=tol, as_dataset=as_dataset)
 
     out_deg_df = deg_ds.to_pandas()
     degree = dict(zip(out_deg_df["node"], out_deg_df["deg"]))
@@ -277,8 +321,9 @@ def ppr(edges_ds, seed_ids: list[str], damping: float = 0.85,
             "score": round_half_away(vec, 8),
         })
         out = out[out["score"] > 0]
-        return out.sort_values(["score", "entity_id"],
-                               ascending=[False, True], ignore_index=True)
+        out = out.sort_values(["score", "entity_id"],
+                              ascending=[False, True], ignore_index=True)
+        return _maybe_dataset(out, as_dataset)
 
     # ---- distributed path: vectorized contribution passes ----
     # node ids are mapped to dense ints ONCE (broadcast key array + degree
@@ -936,7 +981,8 @@ def connected_components(edges_ds, num_partitions: int = 64,
 
 
 def _pagerank_dataset_resident(pairs, deg_ds, *, damping: float,
-                               max_iters: int, tol: float) -> pd.DataFrame:
+                               max_iters: int, tol: float,
+                               as_dataset: bool = False):
     """Directed PageRank above DRIVER_NODE_CUTOFF: dataset-resident
     state, dangling mass redistributed via a per-iteration scalar
     aggregate — the driver never holds the node vector."""
@@ -964,9 +1010,13 @@ def _pagerank_dataset_resident(pairs, deg_ds, *, damping: float,
         edges2, state, damping=damping, max_iters=max_iters, tol=tol,
         normalize=False, uniform_teleport=inv_n,
         redistribute_dangling=True)
-    out = (final.select_columns(["node", "score"]).to_pandas()
-           .rename(columns={"node": "entity_id"}))
-    out["score"] = round_half_away(out["score"].to_numpy(), 8)
+    scored = _round_score_dataset(final, drop_zero=False)
+    if as_dataset:
+        # billion-node return: the full node-grain result never lands
+        # on the driver — distributed sort keeps the ordering contract
+        return scored.sort(["score", "entity_id"],
+                           descending=[True, False])
+    out = scored.to_pandas()
     return out.sort_values(["score", "entity_id"],
                            ascending=[False, True], ignore_index=True)
 
@@ -974,7 +1024,8 @@ def _pagerank_dataset_resident(pairs, deg_ds, *, damping: float,
 def pagerank(edges_ds, damping: float = 0.85, max_iters: int = 30,
              tol: float = 1e-9,
              local_edge_cutoff: int = 500_000,
-             driver_node_cutoff: int = DRIVER_NODE_CUTOFF) -> pd.DataFrame:
+             driver_node_cutoff: int = DRIVER_NODE_CUTOFF,
+             as_dataset: bool = False):
     """Global DIRECTED PageRank over (subj_id -> obj_id) edges.
 
     Complements ``ppr`` (seeded, undirected): uniform teleport over ALL
@@ -990,6 +1041,11 @@ def pagerank(edges_ds, damping: float = 0.85, max_iters: int = 30,
     combine. Driver state is O(#nodes) floats — for graphs whose node
     vector exceeds driver memory, shard the broadcast by entity hash (the
     documented ppr caveat applies verbatim).
+
+    ``as_dataset=True`` returns (entity_id, score) as a node-grain
+    ``ray.data.Dataset`` (distributed sort, same ordering) so the full
+    result never lands on the driver — pair it with the dataset-resident
+    iteration for the billion-node path.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -1003,7 +1059,8 @@ def pagerank(edges_ds, damping: float = 0.85, max_iters: int = 30,
         # to feed an in-process iteration
         etab = pairs.to_pandas()
         if etab.empty:
-            return pd.DataFrame({"entity_id": [], "score": []})
+            return _maybe_dataset(
+                pd.DataFrame({"entity_id": [], "score": []}), as_dataset)
         names_sorted = sorted(set(etab["subj_id"]) | set(etab["obj_id"]))
         node_ix_of = {n: i for i, n in enumerate(names_sorted)}
         n_nodes = len(names_sorted)
@@ -1028,11 +1085,12 @@ def pagerank(edges_ds, damping: float = 0.85, max_iters: int = 30,
                   .materialize())
         node_count = deg_ds.count()
         if node_count == 0:
-            return pd.DataFrame({"entity_id": [], "score": []})
+            return _maybe_dataset(
+                pd.DataFrame({"entity_id": [], "score": []}), as_dataset)
         if node_count > driver_node_cutoff:
             return _pagerank_dataset_resident(
                 pairs, deg_ds, damping=damping, max_iters=max_iters,
-                tol=tol)
+                tol=tol, as_dataset=as_dataset)
         deg_df = deg_ds.to_pandas()
         names_sorted = sorted(deg_df["node"])
         node_ix_of = {n: i for i, n in enumerate(names_sorted)}
@@ -1096,5 +1154,6 @@ def pagerank(edges_ds, damping: float = 0.85, max_iters: int = 30,
         "entity_id": names_sorted,
         "score": round_half_away(score, 8),
     })
-    return out.sort_values(["score", "entity_id"],
-                           ascending=[False, True], ignore_index=True)
+    out = out.sort_values(["score", "entity_id"],
+                          ascending=[False, True], ignore_index=True)
+    return _maybe_dataset(out, as_dataset)

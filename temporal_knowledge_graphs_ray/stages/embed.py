@@ -52,11 +52,14 @@ class EmbeddingStage:
         # no per-row Python list boxing (the old
         # pa.array([v.tolist() ...]) boxed every float of every vector
         # and dominated the dense-leg wall time)
-        n = len(nonempty)
+        # offsets step by the ENCODER'S actual width, not cfg.embed_dim
+        # — an _encode override returning a different dim (the documented
+        # real-model seam) must not silently misalign rows
+        n, dim = vecs.shape
         flat = pa.array(np.ascontiguousarray(vecs).reshape(-1),
                         type=pa.float32())
         offsets = pa.array(
-            np.arange(0, (n + 1) * self.dim, self.dim, dtype=np.int32),
+            np.arange(0, (n + 1) * dim, dim, dtype=np.int32),
             type=pa.int32())
         return batch.append_column(
             self.out_col, pa.ListArray.from_arrays(offsets, flat))

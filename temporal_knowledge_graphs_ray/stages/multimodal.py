@@ -423,8 +423,9 @@ class AudioDecodeStage:
         return (8000 + n % 8000, n % 2 + 1, n)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        metas = [self._decode(p) for p in batch["payload"].to_pylist()]
-        nb = [len(p) for p in batch["payload"].to_pylist()]
+        payloads = batch["payload"].to_pylist()
+        metas = [self._decode(p) for p in payloads]
+        nb = [len(p) for p in payloads]
         return pa.Table.from_arrays(
             [batch["media_id"].cast(pa.int64()),
              pa.array(nb, pa.int64()),

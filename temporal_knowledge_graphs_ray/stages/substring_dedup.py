@@ -65,6 +65,138 @@ def _window_hashes(text: str, w: int, seed: int) -> np.ndarray:
                 >> np.uint64(1)).astype(np.int64)
 
 
+def _partial_counts_fn(num_partitions: int):
+    """Map-side combined (whash, n, bucket) partial counts."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["whash"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({
+            "whash": pa.array(u, pa.int64()),
+            "n": pa.array(c.astype(np.int64)),
+            "bucket": pa.array((u % num_partitions).astype(np.int32))})
+
+    return fn
+
+
+def _dup_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    h = g["whash"].to_numpy()
+    u, inv = np.unique(h, return_inverse=True)
+    # counts are ints; float64 bincount is exact below 2^53
+    tot = np.bincount(inv, weights=g["n"].to_numpy())
+    return pd.DataFrame({"whash": u[tot >= 2]})
+
+
+def _dup_hash_set(windows, *, num_partitions: int, cache_windows: bool):
+    """Duplicated window hashes as (hs_small ndarray | None,
+    dup_hashes Dataset | None, n_dup) — shared by detection
+    (duplicate_spans) and removal (remove_duplicate_spans).
+
+    Driver-merge gate: when the windows table is small (known for free
+    in cache mode), the per-block partial counts fit the driver
+    (<= 24 bytes/row) and one np.unique/bincount replaces the whole
+    grouped shuffle. Above the gate — or when streaming — the
+    distributed bucketed path runs."""
+    partials = windows.map_batches(_partial_counts_fn(num_partitions),
+                                   batch_format="pyarrow")
+    if cache_windows and windows.count() <= 4_000_000:
+        pdf = partials.to_pandas()
+        if len(pdf):
+            u, inv = np.unique(pdf["whash"].to_numpy(),
+                               return_inverse=True)
+            tot = np.bincount(inv, weights=pdf["n"].to_numpy())
+            hs_small = u[tot >= 2].astype(np.int64)
+        else:
+            hs_small = np.empty(0, dtype=np.int64)
+        return hs_small, None, len(hs_small)
+    dup_hashes = (partials.groupby("bucket")
+                  .map_groups(_dup_in_bucket, batch_format="pandas"))
+    if cache_windows:
+        # bounded by distinct duplicated windows; lets count() + the
+        # chosen mark-back reuse one execution
+        dup_hashes = dup_hashes.materialize()
+    return None, dup_hashes, dup_hashes.count()
+
+
+def _mark_back(windows, hs_small, dup_hashes, n_dup, *, id_col: str,
+               num_partitions: int, broadcast_max: int,
+               keep_hash: bool):
+    """Window rows bearing a duplicated hash, ids cast to string:
+    (id, pos) rows, plus whash when ``keep_hash``. The dup-hash set
+    broadcasts (one ray.put + vectorized searchsorted filter, no
+    shuffle) below ``broadcast_max``; above it the house mixed-union
+    bucketed groupby co-locates hashes with window rows, so driver
+    memory never depends on how duplicated the corpus is."""
+    import ray
+
+    def project(flt: pa.Table) -> pa.Table:
+        cols = {id_col: flt[id_col].cast(pa.string()),
+                "pos": flt["pos"]}
+        if keep_hash:
+            cols = {"whash": flt["whash"], **cols}
+        return pa.table(cols)
+
+    if n_dup <= broadcast_max:
+        hs = (np.sort(hs_small) if hs_small is not None
+              else (np.sort(dup_hashes.to_pandas()["whash"]
+                            .to_numpy(dtype=np.int64))
+                    if n_dup else np.empty(0, dtype=np.int64)))
+        hs_ref = ray.put(hs)
+
+        def keep_flagged(t: pa.Table) -> pa.Table:
+            marked = ray.get(hs_ref)  # zero-copy from the object store
+            w = t["whash"].to_numpy(zero_copy_only=False)
+            if len(marked):
+                idx = np.clip(np.searchsorted(marked, w), 0,
+                              len(marked) - 1)
+                mask = marked[idx] == w
+            else:
+                mask = np.zeros(len(w), dtype=bool)
+            return project(t.filter(pa.array(mask)))
+
+        return windows.map_batches(keep_flagged, batch_format="pyarrow")
+
+    # big side: co-locate dup hashes with window rows, no Dataset.join
+    if dup_hashes is None:  # driver-merged set, forced distributed
+        import ray.data as rd
+
+        dup_hashes = rd.from_arrow(
+            pa.table({"whash": pa.array(hs_small, pa.int64())}))
+
+    def id_str(t: pa.Table) -> pa.Table:
+        return pa.table({"whash": t["whash"],
+                         id_col: t[id_col].cast(pa.string()),
+                         "pos": t["pos"]})
+
+    def as_marker(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "whash": t["whash"],
+            id_col: pa.nulls(n, pa.string()),
+            "pos": pa.nulls(n, pa.int64())})
+
+    def bucket_w(t: pa.Table) -> pa.Table:
+        b = (t["whash"].to_numpy(zero_copy_only=False)
+             % num_partitions).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    out_cols = (["whash", id_col, "pos"] if keep_hash
+                else [id_col, "pos"])
+
+    def keep_marked(g: pd.DataFrame) -> pd.DataFrame:
+        marked = set(g.loc[g["pos"].isna(), "whash"])
+        rows = g[g["pos"].notna()]
+        out = rows[rows["whash"].isin(marked)]
+        return out[out_cols]
+
+    return (windows.map_batches(id_str, batch_format="pyarrow")
+            .union(dup_hashes.map_batches(as_marker,
+                                          batch_format="pyarrow"))
+            .map_batches(bucket_w, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(keep_marked, batch_format="pandas"))
+
+
 def duplicate_spans(ds, window_tokens: int = 50, id_col: str = "doc_id",
                     text_col: str = "text", seed: int = 7,
                     num_partitions: int = 64,
@@ -91,122 +223,18 @@ def duplicate_spans(ds, window_tokens: int = 50, id_col: str = "doc_id",
     the count pass either way (with ``cache_windows=False`` the losing
     union path would re-run it, so the gate also decides how often the
     window hashing recomputes)."""
-    import ray
-
     windows = ds.select_columns([id_col, text_col]).map_batches(
         _window_rows(window_tokens, id_col, text_col, seed),
         batch_format="pyarrow")
     if cache_windows:
         windows = windows.materialize()
 
-    # ---- count pass: map-side combined partial counts, tiny rows ----
-    def partial_counts(t: pa.Table) -> pa.Table:
-        u, c = np.unique(t["whash"].to_numpy(zero_copy_only=False),
-                         return_counts=True)
-        return pa.table({
-            "whash": pa.array(u, pa.int64()),
-            "n": pa.array(c.astype(np.int64)),
-            "bucket": pa.array((u % num_partitions).astype(np.int32))})
-
-    def dup_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        h = g["whash"].to_numpy()
-        u, inv = np.unique(h, return_inverse=True)
-        # counts are ints; float64 bincount is exact below 2^53
-        tot = np.bincount(inv, weights=g["n"].to_numpy())
-        return pd.DataFrame({"whash": u[tot >= 2]})
-
-    partials = windows.map_batches(partial_counts,
-                                   batch_format="pyarrow")
-    # Driver-merge gate: when the windows table is small (known for
-    # free in cache mode), the per-block partial counts fit the driver
-    # (<= 24 bytes/row) and one np.unique/bincount replaces the whole
-    # grouped shuffle. Above the gate — or when streaming — take the
-    # distributed bucketed path.
-    hs_small: np.ndarray | None = None
-    if cache_windows and windows.count() <= 4_000_000:
-        pdf = partials.to_pandas()
-        if len(pdf):
-            u, inv = np.unique(pdf["whash"].to_numpy(),
-                               return_inverse=True)
-            tot = np.bincount(inv, weights=pdf["n"].to_numpy())
-            hs_small = u[tot >= 2].astype(np.int64)
-        else:
-            hs_small = np.empty(0, dtype=np.int64)
-        n_dup = len(hs_small)
-        dup_hashes = None
-    else:
-        dup_hashes = (partials.groupby("bucket")
-                      .map_groups(dup_in_bucket, batch_format="pandas"))
-        if cache_windows:
-            # bounded by distinct duplicated windows; lets count() +
-            # the chosen mark-back reuse one execution
-            dup_hashes = dup_hashes.materialize()
-        n_dup = dup_hashes.count()
-
-    def id_str(t: pa.Table) -> pa.Table:
-        return t.set_column(t.schema.get_field_index(id_col), id_col,
-                            t[id_col].cast(pa.string()))
-
-    if n_dup <= broadcast_max:
-        # ---- mark-back, small side: broadcast + vectorized filter ----
-        # (n_dup == 0 yields a schema-less empty frame — skip the column)
-        if hs_small is not None:
-            hs = np.sort(hs_small)
-        else:
-            hs = (np.sort(dup_hashes.to_pandas()["whash"]
-                          .to_numpy(dtype=np.int64))
-                  if n_dup else np.empty(0, dtype=np.int64))
-        hs_ref = ray.put(hs)
-
-        def keep_flagged(t: pa.Table) -> pa.Table:
-            marked = ray.get(hs_ref)  # zero-copy from the object store
-            w = t["whash"].to_numpy(zero_copy_only=False)
-            if len(marked):
-                idx = np.clip(np.searchsorted(marked, w), 0,
-                              len(marked) - 1)
-                mask = marked[idx] == w
-            else:
-                mask = np.zeros(len(w), dtype=bool)
-            flt = t.filter(pa.array(mask))
-            return pa.table({
-                id_col: flt[id_col].cast(pa.string()),
-                "pos": flt["pos"]})
-
-        flagged = windows.map_batches(keep_flagged,
-                                      batch_format="pyarrow")
-    else:
-        # ---- mark-back, big side: co-locate via mixed-union groupby --
-        if dup_hashes is None:  # driver-merged set, forced distributed
-            import ray.data as rd
-
-            dup_hashes = rd.from_arrow(
-                pa.table({"whash": pa.array(hs_small, pa.int64())}))
-
-        def bucket_w(t: pa.Table) -> pa.Table:
-            b = (t["whash"].to_numpy(zero_copy_only=False)
-                 % num_partitions).astype(np.int32)
-            return t.append_column("bucket", pa.array(b))
-
-        def as_marker(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            return pa.table({
-                "whash": t["whash"],
-                id_col: pa.nulls(n, pa.string()),
-                "pos": pa.nulls(n, pa.int64()),
-            })
-
-        def keep_marked(g: pd.DataFrame) -> pd.DataFrame:
-            marked = set(g.loc[g["pos"].isna(), "whash"])
-            rows = g[g["pos"].notna()]
-            out = rows[rows["whash"].isin(marked)]
-            return out[[id_col, "pos"]]
-
-        flagged = (windows.map_batches(id_str, batch_format="pyarrow")
-                   .union(dup_hashes.map_batches(as_marker,
-                                                 batch_format="pyarrow"))
-                   .map_batches(bucket_w, batch_format="pyarrow")
-                   .groupby("bucket")
-                   .map_groups(keep_marked, batch_format="pandas"))
+    hs_small, dup_hashes, n_dup = _dup_hash_set(
+        windows, num_partitions=num_partitions,
+        cache_windows=cache_windows)
+    flagged = _mark_back(windows, hs_small, dup_hashes, n_dup,
+                         id_col=id_col, num_partitions=num_partitions,
+                         broadcast_max=broadcast_max, keep_hash=False)
 
     # ---- span pass: merge overlapping flagged windows per doc ----
     def bucket_doc(df: pd.DataFrame) -> pd.DataFrame:
@@ -387,6 +415,7 @@ def remove_duplicate_spans(ds, window_tokens: int = 50,
                            id_col: str = "doc_id",
                            text_col: str = "text", seed: int = 7,
                            num_partitions: int = 64,
+                           cache_windows: bool = True,
                            broadcast_max: int = 4_000_000):
     """ExactSubstr removal: rewrite ``text`` so every duplicated
     ``window_tokens``-token window survives only at its globally-first
@@ -403,89 +432,35 @@ def remove_duplicate_spans(ds, window_tokens: int = 50,
     broadcasts below ``broadcast_max`` (32 MB of int64s); above it the
     filter runs as the house mixed-union bucketed groupby, so driver
     memory never depends on how duplicated the corpus is.
+    ``cache_windows`` carries duplicate_spans' semantics: True (default)
+    materializes the window table once for its two consumers; at 100 TB
+    prefer False — both consumers recompute the cheap hashing pass and
+    everything streams with no corpus-sized object-store residency.
 
     Caveat (inherent to one-pass window semantics, shared with Lee et
     al.'s implementation): cutting a span can create a NEW adjacency
     that itself duplicates elsewhere; a fixed point needs re-running.
     """
-    import ray
-    import ray.data as rd
+    # ids travel as strings through the union/groupby plumbing; the
+    # OUTPUT corpus restores the input id dtype (an int64-keyed corpus
+    # must not come back string-keyed)
+    _sch = ds.schema()
+    id_type = dict(zip(_sch.names, _sch.types))[id_col]
 
     windows = ds.select_columns([id_col, text_col]).map_batches(
         _window_rows(window_tokens, id_col, text_col, seed),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow")
+    if cache_windows:
+        windows = windows.materialize()
 
-    def partial_counts(t: pa.Table) -> pa.Table:
-        u, c = np.unique(t["whash"].to_numpy(zero_copy_only=False),
-                         return_counts=True)
-        return pa.table({
-            "whash": pa.array(u, pa.int64()),
-            "n": pa.array(c.astype(np.int64)),
-            "bucket": pa.array((u % num_partitions).astype(np.int32))})
-
-    def dup_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        h = g["whash"].to_numpy()
-        u, inv = np.unique(h, return_inverse=True)
-        tot = np.bincount(inv, weights=g["n"].to_numpy())
-        return pd.DataFrame({"whash": u[tot >= 2]})
-
-    dup_hashes = (windows.map_batches(partial_counts,
-                                      batch_format="pyarrow")
-                  .groupby("bucket")
-                  .map_groups(dup_in_bucket, batch_format="pandas")
-                  .materialize())
-    n_dup = dup_hashes.count()
-
-    def id_str(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "whash": t["whash"],
-            id_col: t[id_col].cast(pa.string()),
-            "pos": t["pos"]})
-
-    if n_dup == 0:
-        dup_windows = rd.from_arrow(pa.table({
-            "whash": pa.array([], pa.int64()),
-            id_col: pa.array([], pa.string()),
-            "pos": pa.array([], pa.int64())}))
-    elif n_dup <= broadcast_max:
-        hs = np.sort(dup_hashes.to_pandas()["whash"]
-                     .to_numpy(dtype=np.int64))
-        hs_ref = ray.put(hs)
-
-        def keep_dup(t: pa.Table) -> pa.Table:
-            marked = ray.get(hs_ref)
-            w = t["whash"].to_numpy(zero_copy_only=False)
-            idx = np.clip(np.searchsorted(marked, w), 0, len(marked) - 1)
-            return id_str(t.filter(pa.array(marked[idx] == w)))
-
-        dup_windows = windows.map_batches(keep_dup,
-                                          batch_format="pyarrow")
-    else:
-        def as_marker(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            return pa.table({
-                "whash": t["whash"],
-                id_col: pa.nulls(n, pa.string()),
-                "pos": pa.nulls(n, pa.int64())})
-
-        def bucket_w(t: pa.Table) -> pa.Table:
-            b = (t["whash"].to_numpy(zero_copy_only=False)
-                 % num_partitions).astype(np.int32)
-            return t.append_column("bucket", pa.array(b))
-
-        def keep_marked(g: pd.DataFrame) -> pd.DataFrame:
-            marked = set(g.loc[g["pos"].isna(), "whash"])
-            rows = g[g["pos"].notna()]
-            out = rows[rows["whash"].isin(marked)]
-            return out[["whash", id_col, "pos"]]
-
-        dup_windows = (windows.map_batches(id_str,
-                                           batch_format="pyarrow")
-                       .union(dup_hashes.map_batches(
-                           as_marker, batch_format="pyarrow"))
-                       .map_batches(bucket_w, batch_format="pyarrow")
-                       .groupby("bucket")
-                       .map_groups(keep_marked, batch_format="pandas"))
+    hs_small, dup_hashes, n_dup = _dup_hash_set(
+        windows, num_partitions=num_partitions,
+        cache_windows=cache_windows)
+    dup_windows = _mark_back(windows, hs_small, dup_hashes, n_dup,
+                             id_col=id_col,
+                             num_partitions=num_partitions,
+                             broadcast_max=broadcast_max,
+                             keep_hash=True)
 
     # ---- keep-first ranking: co-locate every occurrence of each dup
     # hash, flag all but the smallest (id, pos) ----
@@ -597,12 +572,18 @@ def remove_duplicate_spans(ds, window_tokens: int = 50,
             text_col: pd.Series(out_text, dtype="object"),
             "removed_tokens": pd.Series(out_rm, dtype="int64")})
 
+    def restore_id_type(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(id_col)
+        return t.set_column(i, id_col,
+                            pa.compute.cast(t[id_col], id_type))
+
     mixed = (ds.select_columns([id_col, text_col])
              .map_batches(doc_rows, batch_format="pyarrow")
              .union(spans.map_batches(span_rows, batch_format="pyarrow")))
     return (mixed.map_batches(bucket_doc_pa, batch_format="pyarrow")
             .groupby("bucket").map_groups(apply_cuts,
-                                          batch_format="pandas"))
+                                          batch_format="pandas")
+            .map_batches(restore_id_type, batch_format="pyarrow"))
 
 
 def remove_duplicate_spans_sequential(rows: list[dict],
@@ -635,7 +616,8 @@ def remove_duplicate_spans_sequential(rows: list[dict],
         toks, starts, ends, text = toks_cache[i]
         poss = sorted(flagged.get(i, []))
         if not poss or text is None:
-            out.append({id_col: i, text_col: text, "removed_tokens": 0})
+            out.append({id_col: r[id_col], text_col: text,
+                        "removed_tokens": 0})
             continue
         spans, cur_s, cur_e = [], poss[0], poss[0] + window_tokens
         for p in poss[1:]:
@@ -657,6 +639,6 @@ def remove_duplicate_spans_sequential(rows: list[dict],
         pieces.append(text[cursor:])
         if removed >= n:
             continue
-        out.append({id_col: i, text_col: "".join(pieces),
+        out.append({id_col: r[id_col], text_col: "".join(pieces),
                     "removed_tokens": removed})
     return out

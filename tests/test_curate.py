@@ -209,3 +209,44 @@ def test_curation_substring_cap_anti_join_above_gate(tmp_path):
         "doc_id", ignore_index=True)
     assert list(kept_a["doc_id"]) == list(kept_b["doc_id"])
     assert list(kept_a.columns) == list(kept_b.columns)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_substring_removal_leg(tmp_path):
+    """The optional ExactSubstr REMOVAL leg at the funnel head: a
+    shared >= w-token passage survives only in the smallest doc_id, a
+    doc that is ONLY the passage drops, and the downstream signal legs
+    see the cut text (n_words counts the post-cut words)."""
+    import numpy as np
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.default_rng(11)
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa").split()
+    shared = " ".join(rng.choice(words, size=16))  # 16-token passage
+    uniq = [" ".join(rng.choice(words, size=40)) for _ in range(3)]
+    texts = [
+        f"{uniq[0]} {shared}",   # doc 0: first occurrence, keeps it
+        f"{uniq[1]} {shared}",   # doc 1: copy cut
+        shared,                  # doc 2: only the passage -> drops
+        uniq[2],                 # doc 3: untouched
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(4)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    out = str(tmp_path / "curated")
+    report = curate_corpus(ds, out, min_words=5, max_punct_ratio=1.0,
+                           substring_removal_window=8)
+    assert report["input_docs"] == 4
+    assert report["after_substring_removal"] == 3
+    assert report["substring_removed_tokens"] >= 16
+    kept = rd.read_parquet(out).to_pandas().set_index("doc_id")
+    assert 2 not in kept.index
+    assert kept.loc[0, "text"] == texts[0]
+    assert shared not in kept.loc[1, "text"]
+    assert kept.loc[3, "text"] == texts[3]
+    # downstream signals computed on the CUT text
+    assert int(kept.loc[1, "n_words"]) == 40

@@ -129,3 +129,24 @@ class TestMarkdownLineBreaks:
         # interior \x1e\x1e would leave a splitlines()-blank; the kernel
         # re-splits and drops it
         assert markdown_to_text("a\x1e\x1eb").splitlines() == ["a", "b"]
+
+
+class TestMarkdownHeaderEdges:
+    """Python-Markdown 3.x ATX semantics: NO whitespace required after
+    the hashes (#Header is an h1, unlike CommonMark), lazy content with
+    greedy trailing #* stripped, empty headers drop via
+    get_text(strip=True)."""
+
+    def test_no_space_header(self):
+        assert markdown_to_text("#Header") == "Header"
+        assert markdown_to_text("##Sub##") == "Sub"
+
+    def test_seven_plus_hashes_is_empty_header(self):
+        # level caps at 6; the 7th hash is absorbed as a trailing
+        # closer, leaving an empty h6 that get_text drops
+        assert markdown_to_text("#######") == ""
+        assert markdown_to_text("####### x") == "# x"
+
+    def test_trailing_closers(self):
+        assert markdown_to_text("# x #") == "x"
+        assert markdown_to_text("#x #y") == "x #y"

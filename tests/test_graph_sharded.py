@@ -68,3 +68,26 @@ def test_ppr_sharded_missing_seeds_fallback():
     assert list(base["entity_id"]) == list(sharded["entity_id"])
     np.testing.assert_allclose(base["score"].to_numpy(),
                                sharded["score"].to_numpy(), atol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_as_dataset_return_equals_pandas_everywhere():
+    """as_dataset=True returns the same (entity_id, score) rows as a
+    Dataset in EVERY size regime — incl. the dataset-resident path,
+    whose full result then never lands on the driver."""
+    for forced in ({}, {"local_edge_cutoff": 0, "driver_node_cutoff": 0}):
+        pg_df = pagerank(_edges(FIXTURE), max_iters=ITERS, **forced)
+        pg_ds = pagerank(_edges(FIXTURE), max_iters=ITERS,
+                         as_dataset=True, **forced)
+        got = pg_ds.to_pandas()
+        assert list(got["entity_id"]) == list(pg_df["entity_id"])
+        np.testing.assert_allclose(got["score"].to_numpy(),
+                                   pg_df["score"].to_numpy(), atol=1e-9)
+
+        pp_df = ppr(_edges(FIXTURE), ["a"], max_iters=ITERS, **forced)
+        pp_ds = ppr(_edges(FIXTURE), ["a"], max_iters=ITERS,
+                    as_dataset=True, **forced)
+        got = pp_ds.to_pandas()
+        assert list(got["entity_id"]) == list(pp_df["entity_id"])
+        np.testing.assert_allclose(got["score"].to_numpy(),
+                                   pp_df["score"].to_numpy(), atol=1e-9)

@@ -50,3 +50,39 @@ class TestEmbeddingStage:
         assert all(v == 0.0 for v in rows[1])
         # non-empty -> unit norm
         assert abs(float(np.linalg.norm(rows[0])) - 1.0) < 1e-5
+
+
+def test_encode_override_with_different_dim():
+    """The documented real-model seam: an _encode override returning a
+    width other than cfg.embed_dim must produce correctly-aligned rows
+    (offsets derive from the encoder's actual output, not the config)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from temporal_knowledge_graphs_ray.stages.embed import EmbeddingStage
+
+    class FiveDim(EmbeddingStage):
+        def _encode(self, texts):
+            # row i = [i, i, i, i, i] so misalignment is detectable
+            n = len(texts)
+            return np.repeat(np.arange(n, dtype=np.float32)[:, None],
+                             5, axis=1)
+
+    stage = FiveDim()
+    batch = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["a", "b", "c"])})
+    out = stage(batch)["embedding"].to_pylist()
+    assert [len(v) for v in out] == [5, 5, 5]
+    assert out == [[float(i)] * 5 for i in range(3)]
+
+
+def test_frame_samples_hop_zero_raises():
+    import numpy as np
+    import pytest
+
+    from temporal_knowledge_graphs_ray.functions.audiocodec import (
+        frame_samples,
+    )
+
+    with pytest.raises(ValueError):
+        frame_samples(np.zeros(100, np.float32), 16, hop=0)

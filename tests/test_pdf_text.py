@@ -211,3 +211,20 @@ def test_read_documents_on_error_skip(tmp_path):
 
     with pytest.raises(ValueError):
         read_documents([str(good)], on_error="ignore")
+
+
+def test_text_mentioning_encrypt_is_not_refused():
+    """A readable page whose TEXT mentions '/Encrypt' must parse — only
+    an /Encrypt key in a trailer (or /XRef object) dict refuses."""
+    stream = b"BT\n(see the /Encrypt dictionary) Tj\nET\n"
+    pdf = build_pdf([stream], [False])
+    assert MiniPdfReader(pdf).pages[0].extract_text() == \
+        "see the /Encrypt dictionary"
+
+
+def test_xref_stream_encrypt_refused():
+    pdf = build_pdf([PAGE1], [True])
+    pdf += (b"9 0 obj\n<< /Type /XRef /Encrypt 10 0 R /Length 0 >>\n"
+            b"stream\n\nendstream\nendobj\n")
+    with pytest.raises(NotImplementedError):
+        MiniPdfReader(pdf)

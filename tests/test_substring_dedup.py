@@ -253,7 +253,7 @@ class TestRemoveDuplicateSpans:
         ids, texts = _removal_corpus()
         got = self._run(ids, texts)
         want = self._oracle(ids, texts)
-        assert list(got["doc_id"]) == [str(r["doc_id"]) for r in want]
+        assert list(got["doc_id"]) == [r["doc_id"] for r in want]
         assert list(got["text"]) == [r["text"] for r in want]
         assert list(got["removed_tokens"]) == [r["removed_tokens"]
                                                for r in want]
@@ -261,21 +261,23 @@ class TestRemoveDuplicateSpans:
     def test_keep_first_and_drop_semantics(self):
         ids, texts = _removal_corpus()
         got = self._run(ids, texts).set_index("doc_id")
+        # output ids keep the INPUT dtype (int64 here, not string)
+        assert got.index.dtype == "int64"
         # doc 1 (globally-first occurrence by (id, pos)) keeps its text
-        assert got.loc["1", "text"] == texts[0]
-        assert got.loc["1", "removed_tokens"] == 0
+        assert got.loc[1, "text"] == texts[0]
+        assert got.loc[1, "removed_tokens"] == 0
         # doc 2's copy is cut: the shared passage no longer appears
         shared = _words(99, 2 * W)
-        assert shared not in got.loc["2", "text"]
-        assert got.loc["2", "removed_tokens"] >= 2 * W
+        assert shared not in got.loc[2, "text"]
+        assert got.loc[2, "removed_tokens"] >= 2 * W
         # doc 3 was nothing but the passage: fully-cut docs drop
-        assert "3" not in got.index
+        assert 3 not in got.index
         # untouched / short / null docs pass through byte-identical
-        assert got.loc["4", "text"] == texts[3]
-        assert got.loc["5", "text"] == texts[4]
-        assert got.loc["7", "text"] is None
+        assert got.loc[4, "text"] == texts[3]
+        assert got.loc[5, "text"] == texts[4]
+        assert got.loc[7, "text"] is None
         # doc 6 loses both its copy and its self-repeat
-        assert shared not in got.loc["6", "text"]
+        assert shared not in got.loc[6, "text"]
 
     def test_layout_invariance_and_forced_union_path(self):
         ids, texts = _removal_corpus()
@@ -283,7 +285,8 @@ class TestRemoveDuplicateSpans:
         reparted = self._run(ids, texts, blocks=7)
         forced = self._run(ids, texts, broadcast_max=0,
                            num_partitions=3)
-        for other in (reparted, forced):
+        streaming = self._run(ids, texts, cache_windows=False)
+        for other in (reparted, forced, streaming):
             assert list(base["doc_id"]) == list(other["doc_id"])
             assert list(base["text"]) == list(other["text"])
             assert list(base["removed_tokens"]) == \
@@ -306,4 +309,4 @@ class TestRemoveDuplicateSpans:
         got = self._run(ids, texts)
         want = self._oracle(ids, texts)
         assert list(got["text"]) == [r["text"] for r in want]
-        assert shared not in got.set_index("doc_id").loc["2", "text"]
+        assert shared not in got.set_index("doc_id").loc[2, "text"]
