@@ -153,6 +153,14 @@ def run_bench() -> dict:
           lambda: exact_dedup(
               rd.read_parquet(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text"])).to_pandas())
+
+    from temporal_knowledge_graphs_ray.stages.urlfilter import dedup_by_url
+
+    timed("url_dedup",
+          lambda: dedup_by_url(
+              pages_from_documents(sf_dir).select_columns(
+                  ["url", "warc_ts"]),
+              ts_col="warc_ts").count())
     timed("minhash_lsh_dedup",
           lambda: minhash_lsh_dedup(
               rd.read_parquet(f"{sf_dir}/documents.parquet",

@@ -355,6 +355,27 @@ def cmd_dupspans(args) -> int:
     return 0
 
 
+def cmd_urldedup(args) -> int:
+    """URL-level dedup on the canonical spelling: one row per canonical
+    URL, latest --ts-col wins (recrawl supersession at corpus grain)."""
+    import ray
+    import ray.data as rd
+
+    from .stages.blocks import coalesce_blocks
+    from .stages.urlfilter import dedup_by_url
+
+    _init_ray(args.num_cpus)
+    src = rd.read_parquet(args.pages)
+    rows_in = src.count()
+    out = dedup_by_url(src, url_col=args.url_col,
+                       ts_col=args.ts_col or None).materialize()
+    coalesce_blocks(out).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows_in": rows_in,
+                      "rows_out": out.count()}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_paradedup(args) -> int:
     """CCNet-style paragraph dedup: drop non-first occurrences of each
     exact paragraph corpus-wide, reassemble docs."""
@@ -837,6 +858,16 @@ def main(argv=None) -> int:
                         "removal) instead of writing stats")
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("urldedup")
+    p.add_argument("--pages", required=True,
+                   help="pages Parquet path/dir with a url column")
+    p.add_argument("--out", required=True)
+    p.add_argument("--url-col", default="url")
+    p.add_argument("--ts-col", default="warc_ts",
+                   help="latest-wins timestamp column; pass '' to "
+                        "tie-break on the raw url only")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("paradedup")
     p.add_argument("--documents", required=True)
     p.add_argument("--out", required=True)
@@ -983,6 +1014,8 @@ def main(argv=None) -> int:
         return cmd_semdedup(args)
     if args.cmd == "dupspans":
         return cmd_dupspans(args)
+    if args.cmd == "urldedup":
+        return cmd_urldedup(args)
     if args.cmd == "paradedup":
         return cmd_paradedup(args)
     if args.cmd == "analytics":

@@ -52,3 +52,62 @@ def filter_domains(ds, domains, url_col: str = "url",
         return t.filter(hit if keep_hit else pc.invert(hit))
 
     return ds.map_batches(fil, batch_format="pyarrow", batch_size=65536)
+
+
+def canonicalize_urls(ds, url_col: str = "url",
+                      out_col: str = "canonical_url"):
+    """Append the canonical spelling of ``url_col`` (one streaming
+    pass; rules in functions/urlnorm.py). Non-URL strings pass through
+    unchanged, nulls stay null."""
+    from ..functions.urlnorm import canonicalize_url
+
+    def fn(t: pa.Table) -> pa.Table:
+        canon = [None if u is None else canonicalize_url(u)
+                 for u in t[url_col].to_pylist()]
+        return t.append_column(out_col, pa.array(canon, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+def dedup_by_url(ds, url_col: str = "url", ts_col: str | None = None,
+                 num_buckets: int = 64):
+    """URL-level dedup on the CANONICAL spelling: one surviving row per
+    canonical URL — the LATEST ``ts_col`` when given (recrawl
+    supersession at corpus grain), raw-``url_col``-ascending as the
+    deterministic tie-break either way. All input columns pass through
+    on the winner; a ``canonical_url`` column is added.
+
+    One bucketed uniform-hash shuffle (groupby(bucket of canonical) ->
+    vectorized per-bucket keep-first) — the house dedup shape; no
+    driver state. Null urls canonicalize to '' and dedup among
+    themselves (one null-url row survives — include a real id in
+    ``url_col`` upstream if that is not what you want)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import hash64_vec
+
+    canon = canonicalize_urls(ds, url_col=url_col)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        vals = [c or "" for c in t["canonical_url"].to_pylist()]
+        b = (hash64_vec(vals) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("_url_bucket", pa.array(b))
+
+    def keep_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_url_bucket"])
+        if not len(g):
+            return g
+        by = ["canonical_url"]
+        asc = [True]
+        if ts_col is not None:
+            by.append(ts_col)
+            asc.append(False)  # latest wins
+        by.append(url_col)
+        asc.append(True)
+        g = g.sort_values(by, ascending=asc, kind="mergesort")
+        return g.drop_duplicates("canonical_url", keep="first")
+
+    return (canon.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_url_bucket")
+            .map_groups(keep_best, batch_format="pandas"))

@@ -341,3 +341,24 @@ def test_dupspans_remove_subcommand(tmp_path):
     assert list(got["text"]) == [r["text"] for r in want]
     assert list(got["removed_tokens"]) == [r["removed_tokens"]
                                            for r in want]
+
+
+def test_urldedup_subcommand(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "pages.parquet"
+    pq.write_table(pa.table({
+        "url": pa.array(["HTTP://A.example:80/x?utm_source=1",
+                         "http://a.example/x",
+                         "http://a.example/y"], pa.string()),
+        "warc_ts": pa.array([1, 2, 1], pa.int64()),
+        "text": pa.array(["old", "new", "other"], pa.string())}), src)
+    out_dir = str(tmp_path / "u")
+    rep = _run(["urldedup", "--pages", str(src), "--out", out_dir],
+               tmp_path)
+    assert rep["rows_in"] == 3 and rep["rows_out"] == 2
+    got = duckdb.sql(
+        f"SELECT text FROM read_parquet('{out_dir}/*.parquet') "
+        f"ORDER BY canonical_url").df()
+    assert list(got["text"]) == ["new", "other"]

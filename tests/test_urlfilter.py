@@ -108,3 +108,135 @@ def test_bad_args(pages_path):
         filter_domains(ds, ["x.com"], mode="deny")
     with pytest.raises(ValueError, match="match"):
         filter_domains(ds, ["x.com"], match="suffix")
+
+
+# ----------------------------------------------------- canonical + dedup --
+
+
+class TestCanonicalizeUrl:
+    def test_rules(self):
+        from temporal_knowledge_graphs_ray.functions.urlnorm import (
+            canonicalize_url as c,
+        )
+
+        assert c("HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#frag") == \
+            "http://example.com/a?a=1&b=2"
+        assert c("https://example.com:443/") == "https://example.com/"
+        assert c("https://example.com") == "https://example.com/"
+        # non-default port, userinfo, percent case, trailing slash kept
+        assert c("https://example.com:8443/x") == \
+            "https://example.com:8443/x"
+        assert c("https://User:Pw@Example.com/X") == \
+            "https://User:Pw@example.com/X"
+        assert c("https://example.com/a/") == "https://example.com/a/"
+        # tracking params drop, incl. every utm_*
+        assert c("https://example.com/a?fbclid=z&utm_whatever=1") == \
+            "https://example.com/a"
+        # non-URLs/null pass through, never raise
+        assert c("not a url") == "not a url"
+        assert c("") == ""
+        assert c(None) == ""
+
+    def test_idempotent(self):
+        from temporal_knowledge_graphs_ray.functions.urlnorm import (
+            canonicalize_url as c,
+        )
+
+        for u in ["HTTP://A.B:80/x?b=2&a=1#f", "https://a.b/p?q=1",
+                  "ftp://Host/Path", "mailto:x@y", "//proto-relative/x"]:
+            once = c(u)
+            assert c(once) == once
+
+    def test_never_raises(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from temporal_knowledge_graphs_ray.functions.urlnorm import (
+            canonicalize_url as c,
+        )
+
+        @given(st.text(max_size=120))
+        @settings(max_examples=300, deadline=None)
+        def run(u):
+            assert isinstance(c(u), str)
+
+        run()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupByUrl:
+    def _pages(self):
+        rows = []
+        # 3 spellings of one resource at different timestamps, a
+        # distinct resource on the same host, a junk row, a null url
+        rows.append(("HTTP://News.Example.com:80/a?utm_source=t", 100, "v1"))
+        rows.append(("http://news.example.com/a", 300, "v3"))
+        rows.append(("http://news.example.com/a#frag", 200, "v2"))
+        rows.append(("http://news.example.com/b", 100, "other"))
+        rows.append(("not a url", 50, "junk"))
+        rows.append((None, 10, "nullurl"))
+        return pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.int64()),
+            "text": pa.array([r[2] for r in rows], pa.string())})
+
+    def test_keep_latest_matches_duckdb_oracle(self):
+        import duckdb
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.functions.urlnorm import (
+            canonicalize_url,
+        )
+        from temporal_knowledge_graphs_ray.stages.urlfilter import (
+            dedup_by_url,
+        )
+
+        tbl = self._pages()
+        got = (dedup_by_url(rd.from_arrow(tbl), ts_col="warc_ts")
+               .to_pandas().sort_values("canonical_url",
+                                        ignore_index=True))
+        src = tbl.to_pandas()
+        src["canonical_url"] = [
+            canonicalize_url(u) if u is not None else None
+            for u in src["url"]]
+        con = duckdb.connect()
+        con.register("pages", src)
+        want = con.execute("""
+            SELECT url, warc_ts, text, canonical_url FROM pages
+            QUALIFY row_number() OVER (
+              PARTITION BY coalesce(canonical_url, '')
+              ORDER BY warc_ts DESC, url ASC) = 1
+            ORDER BY canonical_url
+        """).df()
+        assert list(got["canonical_url"]) == list(want["canonical_url"])
+        assert list(got["text"]) == list(want["text"])
+        assert list(got["warc_ts"]) == list(want["warc_ts"])
+        # the latest recrawl of the canonical resource won
+        assert "v3" in set(got["text"])
+        assert {"v1", "v2"}.isdisjoint(set(got["text"]))
+
+    def test_layout_invariance_and_no_ts(self):
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.urlfilter import (
+            dedup_by_url,
+        )
+
+        tbl = self._pages()
+        base = (dedup_by_url(rd.from_arrow(tbl), ts_col="warc_ts",
+                             num_buckets=3)
+                .to_pandas().sort_values("canonical_url",
+                                         ignore_index=True))
+        rep = (dedup_by_url(rd.from_arrow(tbl).repartition(5),
+                            ts_col="warc_ts", num_buckets=3)
+               .to_pandas().sort_values("canonical_url",
+                                        ignore_index=True))
+        assert base.equals(rep)
+        # without ts: smallest RAW url wins deterministically — the
+        # uppercase 'HTTP://News...' spelling (v1) byte-sorts before
+        # the lowercase ones
+        nots = (dedup_by_url(rd.from_arrow(tbl)).to_pandas()
+                .sort_values("canonical_url", ignore_index=True))
+        assert "v1" in set(nots["text"])
+        assert {"v2", "v3"}.isdisjoint(set(nots["text"]))
+        assert len(nots) == len(base)
