@@ -666,7 +666,7 @@ def cmd_export(args) -> int:
         docs, args.out, text_col=args.text_col, id_col=args.id_col,
         token_budget=args.token_budget, seed=args.seed,
         num_shards=args.num_shards, normalize=not args.no_normalize,
-        vocab_size=args.vocab_size)
+        vocab_size=args.vocab_size, output_format=args.format)
     print(json.dumps({"out": args.out, **manifest}))
     ray.shutdown()
     return 0
@@ -937,6 +937,10 @@ def main(argv=None) -> int:
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--format", default="parquet",
+                   choices=("parquet", "jsonl"),
+                   help="shard file format (jsonl: one "
+                        "shard=K/part-0.jsonl per shard, same order)")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("incdedup")

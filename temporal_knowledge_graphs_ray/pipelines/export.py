@@ -49,7 +49,8 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
                          pack_buckets: int = 64,
                          vocab_size: int | None = None,
                          join_partitions: int | None = None,
-                         stage_cache: str = "memory") -> dict:
+                         stage_cache: str = "memory",
+                         output_format: str = "parquet") -> dict:
     """Run the export; returns (and writes) the manifest dict.
 
     ``stage_cache``: the normalized corpus has two-or-three consumers
@@ -57,7 +58,13 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
     materializes it in the object store (small/medium corpora);
     "disk" writes it to ``out_dir + ".norm"`` Parquet and re-reads —
     the 100 TB mode: nothing page-grain ever lives in the object
-    store (the kg.py stage_cache rule)."""
+    store (the kg.py stage_cache rule).
+
+    ``output_format``: "parquet" (default — ``shard=K/`` Hive dirs) or
+    "jsonl" (the common LLM-training handoff): one
+    ``shard=K/part-0.jsonl`` file per shard, rows in the same
+    deterministic (shard, pos) order, written by the shard's own group
+    task so the sink stays one-task-per-shard resumable."""
     import shutil
 
     from ..stages.blocks import coalesce_blocks
@@ -65,6 +72,9 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
     if stage_cache not in ("memory", "disk"):
         raise ValueError(f"stage_cache must be 'memory' or 'disk', "
                          f"got {stage_cache!r}")
+    if output_format not in ("parquet", "jsonl"):
+        raise ValueError(f"output_format must be 'parquet' or 'jsonl', "
+                         f"got {output_format!r}")
     shutil.rmtree(out_dir, ignore_errors=True)
     if normalize:
         docs = normalize_text_stage(docs, text_col=text_col)
@@ -115,12 +125,36 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
         g["pos"] = range(len(g))
         return g.drop(columns=["_rank"])
 
-    shuffled = (rows.map_batches(add_rank, batch_format="pyarrow")
-                .groupby("shard")
-                .map_groups(sort_shard, batch_format="pandas"))
+    if output_format == "jsonl":
+        # the shard group task sorts AND writes its own file: one task
+        # per shard end-to-end, same resumability grain as the Hive
+        # dirs, no whole-output pass through the driver
+        def sort_and_write_jsonl(g: pd.DataFrame) -> pd.DataFrame:
+            g = sort_shard(g)
+            shard = int(g["shard"].iloc[0])
+            d = os.path.join(out_dir, f"shard={shard}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, ".part-0.jsonl.tmp")
+            g.drop(columns=["shard"]).to_json(tmp, orient="records",
+                                              lines=True,
+                                              force_ascii=False)
+            os.replace(tmp, os.path.join(d, "part-0.jsonl"))
+            return pd.DataFrame({"shard": [shard],
+                                 "rows": [len(g)]})
 
-    coalesce_blocks(shuffled).write_parquet(out_dir,
-                                            partition_cols=["shard"])
+        os.makedirs(out_dir, exist_ok=True)
+        written = (rows.map_batches(add_rank, batch_format="pyarrow")
+                   .groupby("shard")
+                   .map_groups(sort_and_write_jsonl,
+                               batch_format="pandas"))
+        written.materialize()  # drive the writes
+    else:
+        shuffled = (rows.map_batches(add_rank, batch_format="pyarrow")
+                    .groupby("shard")
+                    .map_groups(sort_shard, batch_format="pandas"))
+
+        coalesce_blocks(shuffled).write_parquet(out_dir,
+                                                partition_cols=["shard"])
 
     # distributed report: the per-doc assignment table never lands on
     # the driver (packing_report_distributed)
@@ -135,6 +169,7 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
         "seed": seed,
         "normalized": normalize,
         "pack_buckets": pack_buckets,
+        "output_format": output_format,
     }
     if vocab_size:
         from ..stages.vocab import build_vocab

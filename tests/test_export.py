@@ -115,3 +115,31 @@ def test_distributed_report_equals_pandas_report():
     a = packing_report_distributed(packed, 512)
     b = packing_report(packed.to_pandas(), 512)
     assert a == b
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonl_format_identical_rows(tmp_path):
+    """output_format='jsonl' writes one shard=K/part-0.jsonl per shard
+    with EXACTLY the parquet export's rows in the same (shard, pos)
+    order."""
+    a = str(tmp_path / "pq")
+    b = str(tmp_path / "jl")
+    ma = _export(a)
+    mb = _export(b, output_format="jsonl")
+    assert mb["output_format"] == "jsonl"
+    assert {k: v for k, v in ma.items() if k != "output_format"} == \
+        {k: v for k, v in mb.items() if k != "output_format"}
+
+    want = _read_back(a)
+    import glob
+
+    frames = []
+    for path in glob.glob(f"{b}/shard=*/part-0.jsonl"):
+        df = pd.read_json(path, lines=True)
+        df["shard"] = int(path.split("shard=")[1].split("/")[0])
+        frames.append(df)
+    got = (pd.concat(frames).sort_values(["shard", "pos"],
+                                         ignore_index=True))
+    for col in ["doc_id", "seq_key", "n_tokens", "pos", "shard"]:
+        assert got[col].tolist() == want[col].tolist(), col
+    assert got["text"].tolist() == want["text"].tolist()
