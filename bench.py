@@ -264,6 +264,18 @@ def run_bench() -> dict:
               docs_src.filter(expr="source == 'src0'"),
               k=100, num_buckets=16384).to_pandas())
 
+    from temporal_knowledge_graphs_ray.stages.dsir import (
+        ccnet_buckets,
+        fit_hashed_lm,
+    )
+
+    def ccnet():
+        counts = fit_hashed_lm(docs_src.filter(expr="source == 'src0'"),
+                               num_buckets=16384)
+        return ccnet_buckets(docs_src, counts).count()
+
+    timed("ccnet_buckets", ccnet)
+
     from temporal_knowledge_graphs_ray.stages.sampling import weighted_sample
 
     def wsample():

@@ -140,7 +140,7 @@ def dsir_log_weights(ds, ratio: np.ndarray, text_col: str = "text",
 
 def lm_cross_entropy(ds, counts: np.ndarray, smoothing: float = 1.0,
                      text_col: str = "text", id_col: str = "doc_id",
-                     seed: int = 0):
+                     seed: int = 0, carry_cols: tuple = ()):
     """CCNet-style LM quality score: per-doc cross-entropy (bits per
     hashed feature) under the reference LM ``counts`` (from
     ``fit_hashed_lm`` over a trusted corpus). Low bits ⇒ target-like
@@ -165,11 +165,15 @@ def lm_cross_entropy(ds, counts: np.ndarray, smoothing: float = 1.0,
             n = int(c.sum())
             ns.append(n)
             bits.append(float(-(c @ lp[u]) / n) if n else 0.0)
-        return pa.table({id_col: t[id_col],
-                         "n_features": pa.array(ns, pa.int64()),
-                         "bits": pa.array(bits, pa.float64())})
+        cols = {id_col: t[id_col],
+                "n_features": pa.array(ns, pa.int64()),
+                "bits": pa.array(bits, pa.float64())}
+        for c in carry_cols:  # pass-throughs (e.g. a language column)
+            cols[c] = t[c]
+        return pa.table(cols)
 
-    return ds.select_columns([id_col, text_col]).map_batches(
+    keep = [id_col, text_col, *carry_cols]
+    return ds.select_columns(keep).map_batches(
         score, batch_format="pyarrow")
 
 
@@ -213,3 +217,82 @@ def dsir_select(raw_ds, target_ds, k: int, text_col: str = "text",
     return topk_rows(weights.map_batches(add_key, batch_format="pyarrow"),
                      keys=["sample_key", id_col],
                      descending=[True, False], k=k)
+
+
+def ccnet_buckets(ds, counts: np.ndarray, fracs=(1 / 3, 2 / 3),
+                  lang_col: str | None = None, text_col: str = "text",
+                  id_col: str = "doc_id", smoothing: float = 1.0,
+                  seed: int = 0, round_decimals: int = 4):
+    """CCNet's perplexity bucketing (Wenzek et al. 2020 §4.4): score
+    every doc with the trusted-corpus LM, split the corpus at the given
+    cumulative fractions of the score distribution — LOW bits = "head"
+    (most target-like), then "middle", then "tail". With ``lang_col``,
+    cutpoints are computed PER LANGUAGE (CCNet's per-language buckets);
+    otherwise one global split.
+
+    Returns (id[, lang], bits, bucket) — three buckets get the CCNet
+    names head/middle/tail, other frac counts get b0..bN. Scores round
+    to ``round_decimals`` before the quantile so the cutpoint pass is
+    an exact_quantiles over BOUNDED distinct values (range/1e-4 — the
+    scale contract exact_quantiles requires; DuckDB quantile_disc
+    reproduces the cutpoints exactly). Dataflow: one streaming score
+    pass, one bounded quantile aggregate, one broadcast assignment
+    pass — no corpus-sized shuffle, no driver residency beyond the
+    per-language cutpoint table.
+    """
+    import ray
+
+    from .quantiles import exact_quantiles
+
+    carry = (lang_col,) if lang_col else ()
+    scored = lm_cross_entropy(ds, counts, smoothing=smoothing,
+                              text_col=text_col, id_col=id_col,
+                              seed=seed, carry_cols=carry)
+
+    def add_rounded(t: pa.Table) -> pa.Table:
+        b = np.round(np.asarray(
+            t["bits"].to_numpy(zero_copy_only=False),
+            dtype=np.float64), round_decimals)
+        return t.append_column("bits_r", pa.array(b))
+
+    scored = scored.map_batches(add_rounded,
+                                batch_format="pyarrow").materialize()
+
+    qs = sorted(float(f) for f in fracs)
+    if not qs or qs[-1] >= 1.0 or qs[0] <= 0.0:
+        raise ValueError("fracs must be strictly inside (0, 1)")
+    cuts_df = exact_quantiles(scored, "bits_r", qs=qs, by=lang_col)
+    if lang_col:
+        cut_map = {k: np.asarray(sorted(g["value"]), dtype=np.float64)
+                   for k, g in cuts_df.groupby(lang_col)}
+    else:
+        cut_map = {None: np.asarray(sorted(cuts_df["value"]),
+                                    dtype=np.float64)}
+    cuts_ref = ray.put(cut_map)
+
+    n_buckets = len(qs) + 1
+    labels = (["head", "middle", "tail"] if n_buckets == 3
+              else [f"b{i}" for i in range(n_buckets)])
+
+    def assign(t: pa.Table) -> pa.Table:
+        cm = ray.get(cuts_ref)
+        bits_r = np.asarray(t["bits_r"].to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
+        if lang_col:
+            idx = np.empty(len(bits_r), dtype=np.int64)
+            langs = t[lang_col].to_pylist()
+            for lang in set(langs):
+                mask = np.fromiter((x == lang for x in langs), bool,
+                                   len(langs))
+                cuts = cm.get(lang)
+                # a language absent from the cutpoint table (all-null
+                # scores) buckets globally-last deterministically
+                idx[mask] = (np.searchsorted(cuts, bits_r[mask],
+                                             side="left")
+                             if cuts is not None else n_buckets - 1)
+        else:
+            idx = np.searchsorted(cm[None], bits_r, side="left")
+        lab = pa.array([labels[i] for i in idx], pa.string())
+        return t.drop_columns(["bits_r"]).append_column("bucket", lab)
+
+    return scored.map_batches(assign, batch_format="pyarrow")

@@ -189,3 +189,83 @@ def test_fit_hashed_lm_distributed_path_equal():
     b = fit_hashed_lm(docs, "text", num_buckets=512, driver_merge=False)
     assert (a == b).all()
     assert a.sum() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCcnetBuckets:
+    def _setup(self):
+        from temporal_knowledge_graphs_ray.stages.dsir import fit_hashed_lm
+
+        target, raw_ids, raw_texts = _corpora()
+        counts = fit_hashed_lm(_ds(list(range(len(target))), target),
+                               num_buckets=B)
+        return counts, raw_ids, raw_texts
+
+    def test_head_is_target_like_and_fracs_hold(self):
+        from temporal_knowledge_graphs_ray.stages.dsir import ccnet_buckets
+
+        counts, raw_ids, raw_texts = self._setup()
+        out = ccnet_buckets(_ds(raw_ids, raw_texts), counts).to_pandas()
+        assert set(out["bucket"]) <= {"head", "middle", "tail"}
+        # the 5 planted feline docs (ids 20-24) score most target-like
+        head_ids = set(out.loc[out["bucket"] == "head", "doc_id"])
+        assert set(range(20, 25)) <= head_ids
+        # cumulative fractions: head holds >= 1/3 (quantile_disc is
+        # inclusive at the cutpoint), tail < 2/3
+        n = len(out)
+        assert (out["bucket"] == "head").sum() >= n / 3 - 1
+        assert (out["bucket"] == "tail").sum() <= 2 * n / 3 + 1
+
+    def test_matches_duckdb_cutpoint_oracle(self):
+        import duckdb
+
+        from temporal_knowledge_graphs_ray.stages.dsir import ccnet_buckets
+
+        counts, raw_ids, raw_texts = self._setup()
+        out = (ccnet_buckets(_ds(raw_ids, raw_texts), counts)
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        scored = out[["doc_id", "bits"]].copy()
+        scored["bits_r"] = scored["bits"].round(4)
+        con = duckdb.connect()
+        con.register("scored", scored)
+        want = con.execute("""
+            WITH cuts AS (
+              SELECT quantile_disc(bits_r, 1.0/3) AS c1,
+                     quantile_disc(bits_r, 2.0/3) AS c2 FROM scored)
+            SELECT doc_id, CASE WHEN bits_r <= c1 THEN 'head'
+                                WHEN bits_r <= c2 THEN 'middle'
+                                ELSE 'tail' END AS bucket
+            FROM scored, cuts ORDER BY doc_id
+        """).df()
+        assert list(out["bucket"]) == list(want["bucket"])
+
+    def test_per_language_cutpoints_and_layout_invariance(self):
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.dsir import ccnet_buckets
+
+        counts, raw_ids, raw_texts = self._setup()
+        langs = ["en" if i % 2 else "de" for i in raw_ids]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(raw_ids, pa.int64()),
+            "text": pa.array(raw_texts, pa.string()),
+            "lang": pa.array(langs, pa.string())}))
+        by_lang = (ccnet_buckets(ds, counts, lang_col="lang")
+                   .to_pandas().sort_values("doc_id", ignore_index=True))
+        rep = (ccnet_buckets(ds.repartition(7), counts, lang_col="lang")
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        assert list(by_lang["bucket"]) == list(rep["bucket"])
+        # per-language: each language gets its own ~1/3 head
+        for lang in ("en", "de"):
+            g = by_lang[by_lang["lang"] == lang]
+            assert (g["bucket"] == "head").sum() >= len(g) / 3 - 1
+
+    def test_bad_fracs_raise(self):
+        import pytest as _pytest
+
+        from temporal_knowledge_graphs_ray.stages.dsir import ccnet_buckets
+
+        counts, raw_ids, raw_texts = self._setup()
+        with _pytest.raises(ValueError):
+            ccnet_buckets(_ds(raw_ids, raw_texts), counts,
+                          fracs=(0.5, 1.0))
