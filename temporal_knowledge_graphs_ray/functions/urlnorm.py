@@ -18,10 +18,12 @@ re-dedup):
 - tracking query params drop (``TRACKING_PARAMS``: utm_*, ga/fb/ms
   click ids, mailchimp ids, common affiliate refs),
 - surviving query params sort by (key, value) — order-insensitive
-  dedup — and keep their raw encoding otherwise,
-- userinfo, percent-encoding case and trailing-slash distinctions are
-  PRESERVED: collapsing them conflates genuinely different resources
-  more often than it merges spellings in practice.
+  dedup — and their percent-encoding NORMALIZES via the
+  parse_qsl/urlencode round-trip ('a=%41' and 'a=A' canonicalize
+  identically),
+- userinfo, PATH percent-encoding case and trailing-slash
+  distinctions are PRESERVED: collapsing them conflates genuinely
+  different resources more often than it merges spellings in practice.
 
 Non-URL strings (no scheme/netloc) come back unchanged — never raise
 mid-pipeline.

@@ -222,7 +222,8 @@ def dsir_select(raw_ds, target_ds, k: int, text_col: str = "text",
 def ccnet_buckets(ds, counts: np.ndarray, fracs=(1 / 3, 2 / 3),
                   lang_col: str | None = None, text_col: str = "text",
                   id_col: str = "doc_id", smoothing: float = 1.0,
-                  seed: int = 0, round_decimals: int = 4):
+                  seed: int = 0, round_decimals: int = 4,
+                  cache_scores: bool = True):
     """CCNet's perplexity bucketing (Wenzek et al. 2020 §4.4): score
     every doc with the trusted-corpus LM, split the corpus at the given
     cumulative fractions of the score distribution — LOW bits = "head"
@@ -239,6 +240,12 @@ def ccnet_buckets(ds, counts: np.ndarray, fracs=(1 / 3, 2 / 3),
     pass, one bounded quantile aggregate, one broadcast assignment
     pass — no corpus-sized shuffle, no driver residency beyond the
     per-language cutpoint table.
+
+    ``cache_scores``: the score table feeds BOTH the cutpoint pass and
+    the assignment. True (default) materializes it once (doc-grain
+    metadata — ~50 B/doc); at extreme scale set False and both
+    consumers recompute the cheap scoring pass, so nothing doc-grain
+    holds object-store residency (the cache_windows convention).
     """
     import ray
 
@@ -255,8 +262,9 @@ def ccnet_buckets(ds, counts: np.ndarray, fracs=(1 / 3, 2 / 3),
             dtype=np.float64), round_decimals)
         return t.append_column("bits_r", pa.array(b))
 
-    scored = scored.map_batches(add_rounded,
-                                batch_format="pyarrow").materialize()
+    scored = scored.map_batches(add_rounded, batch_format="pyarrow")
+    if cache_scores:
+        scored = scored.materialize()
 
     qs = sorted(float(f) for f in fracs)
     if not qs or qs[-1] >= 1.0 or qs[0] <= 0.0:

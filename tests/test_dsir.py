@@ -255,6 +255,12 @@ class TestCcnetBuckets:
         rep = (ccnet_buckets(ds.repartition(7), counts, lang_col="lang")
                .to_pandas().sort_values("doc_id", ignore_index=True))
         assert list(by_lang["bucket"]) == list(rep["bucket"])
+        # streaming mode (no score materialization) is value-identical
+        nocache = (ccnet_buckets(ds, counts, lang_col="lang",
+                                 cache_scores=False)
+                   .to_pandas().sort_values("doc_id",
+                                            ignore_index=True))
+        assert list(by_lang["bucket"]) == list(nocache["bucket"])
         # per-language: each language gets its own ~1/3 head
         for lang in ("en", "de"):
             g = by_lang[by_lang["lang"] == lang]
