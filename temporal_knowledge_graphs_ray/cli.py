@@ -190,6 +190,8 @@ def cmd_curate(args) -> int:
         min_quality_score=args.min_quality_score,
         paragraph_dedup_sep=args.paradedup_sep,
         substring_removal_window=args.substr_remove_window,
+        ccnet_lm=args.ccnet_lm,
+        ccnet_keep=tuple(args.ccnet_keep.split(",")),
     )
     print(json.dumps(report))
     ray.shutdown()
@@ -795,6 +797,12 @@ def main(argv=None) -> int:
                         "occurrences of duplicated windows out of the "
                         "text — the rewrite alternative to "
                         "--max-dup-fraction's whole-doc cap)")
+    p.add_argument("--ccnet-lm", default=None,
+                   help="np.save'd trusted-corpus LM counts "
+                        "(fit_hashed_lm); adds the CCNet perplexity-"
+                        "bucket leg with per-language cutpoints")
+    p.add_argument("--ccnet-keep", default="head,middle",
+                   help="comma-separated buckets to keep")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("sample")

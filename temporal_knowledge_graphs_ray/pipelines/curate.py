@@ -18,6 +18,9 @@ call):
          content fingerprint (text is read once; all per-doc signals come
          out of the same kernel call)
       -> filter: language allowlist, length bounds, punctuation ratio
+      -> optional CCNet LM-perplexity leg (``ccnet_lm``): per-language
+         head/middle/tail bucketing under a trusted-corpus LM, keep
+         only ``ccnet_keep`` (stages/dsir.ccnet_buckets)
       -> exact dedup: hash-partitioned groupby(fingerprint) -> min doc_id,
          survivors selected with Ray's native LEFT SEMI hash join
       -> near-dup removal: MinHash-LSH candidates + distributed exact
@@ -89,6 +92,8 @@ def curate_corpus(
     paragraph_dedup_sep: str | None = None,
     paragraph_min_chars: int = 1,
     substring_removal_window: int | None = None,
+    ccnet_lm=None,
+    ccnet_keep: tuple = ("head", "middle"),
 ) -> dict:
     """documents Dataset -> curated Parquet under ``out_dir``; returns the
     funnel report (counts per stage)."""
@@ -169,6 +174,43 @@ def curate_corpus(
             filtered, quality_model, min_quality_score,
             text_col=text_col).materialize()
         report["after_model_filter"] = filtered.count()
+
+    # optional CCNet LM-perplexity leg (Wenzek et al. §4.4): bucket
+    # docs by bits under a trusted-corpus LM (cutpoints PER predicted
+    # language — lang_pred comes from the signal pass above) and keep
+    # only the requested buckets (CCNet keeps head+middle). Two
+    # streaming score passes (cutpoints, then filter-in-place with all
+    # columns passing through) + one bounded quantile aggregate.
+    if ccnet_lm is not None:
+        import numpy as np
+
+        from ..stages.dsir import ccnet_buckets
+
+        if join_partitions is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            join_partitions = max(2, min(64, ncpu // 2))
+        counts = (np.load(ccnet_lm) if isinstance(ccnet_lm, str)
+                  else ccnet_lm)
+        keep_set = set(ccnet_keep)
+        buckets = ccnet_buckets(
+            filtered, counts, lang_col="lang_pred", text_col=text_col,
+            id_col=id_col, cache_scores=False).map_batches(
+                lambda t: t.filter(pc.is_in(
+                    t["bucket"],
+                    value_set=pa.array(sorted(keep_set)))).select(
+                        [id_col]),
+                batch_format="pyarrow")
+        _CK = "_ccnet_key"
+        keyed = filtered.map_batches(
+            lambda t: t.append_column(_CK, t[id_col].cast(pa.string())),
+            batch_format="pyarrow")
+        keep_ids = buckets.map_batches(
+            lambda t: pa.table({_CK: t[id_col].cast(pa.string())}),
+            batch_format="pyarrow")
+        filtered = keyed.join(
+            keep_ids, "left_semi", join_partitions,
+            on=(_CK,)).drop_columns([_CK]).materialize()
+        report["after_ccnet_filter"] = filtered.count()
 
     # exact dedup: winner per fingerprint, survivors via native semi-join
     if join_partitions is None:

@@ -250,3 +250,45 @@ def test_curation_substring_removal_leg(tmp_path):
     assert kept.loc[3, "text"] == texts[3]
     # downstream signals computed on the CUT text
     assert int(kept.loc[1, "n_words"]) == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_ccnet_perplexity_leg(tmp_path):
+    """The optional CCNet LM leg: docs bucket per predicted language
+    under the trusted-corpus LM; keep=('head',) drops the least
+    target-like docs while the planted target-like docs survive."""
+    import numpy as np
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.curate import curate_corpus
+    from temporal_knowledge_graphs_ray.stages.dsir import fit_hashed_lm
+
+    target = [f"the cat sat on the mat and the cat purred softly {i}"
+              for i in range(20)]
+    counts = fit_hashed_lm(
+        rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(20)), pa.int64()),
+            "text": pa.array(target, pa.string())})),
+        num_buckets=4096)
+    lm_path = str(tmp_path / "lm.npy")
+    np.save(lm_path, counts)
+
+    feline = [f"a cat and another cat sat near the warm mat today {i}"
+              for i in range(6)]
+    noise = [f"quarterly revenue grew {i} percent amid strong demand "
+             f"for industrial machinery and logistics services"
+             for i in range(12)]
+    texts = feline + noise
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    out = str(tmp_path / "curated")
+    report = curate_corpus(ds, out, min_words=5, max_punct_ratio=1.0,
+                           jaccard_threshold=0.99,
+                           ccnet_lm=lm_path, ccnet_keep=("head",))
+    assert report["after_quality_filter"] == 18
+    # head = best-scoring ~third; all six feline docs are in it
+    assert report["after_ccnet_filter"] <= 8
+    kept = set(rd.read_parquet(out).to_pandas()["doc_id"])
+    assert set(range(6)) <= kept
