@@ -178,38 +178,21 @@ def curate_corpus(
     # optional CCNet LM-perplexity leg (Wenzek et al. §4.4): bucket
     # docs by bits under a trusted-corpus LM (cutpoints PER predicted
     # language — lang_pred comes from the signal pass above) and keep
-    # only the requested buckets (CCNet keeps head+middle). Two
-    # streaming score passes (cutpoints, then filter-in-place with all
-    # columns passing through) + one bounded quantile aggregate.
+    # only the requested buckets (CCNet keeps head+middle). One score
+    # pass for the cutpoints + one filter-in-place pass with all
+    # columns passing through — no id join, nothing doc-grain resident
+    # (stages/dsir.ccnet_filter; validates the keep set so a typo
+    # errors instead of silently emptying the corpus).
     if ccnet_lm is not None:
         import numpy as np
 
-        from ..stages.dsir import ccnet_buckets
+        from ..stages.dsir import ccnet_filter
 
-        if join_partitions is None:
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-            join_partitions = max(2, min(64, ncpu // 2))
         counts = (np.load(ccnet_lm) if isinstance(ccnet_lm, str)
                   else ccnet_lm)
-        keep_set = set(ccnet_keep)
-        buckets = ccnet_buckets(
-            filtered, counts, lang_col="lang_pred", text_col=text_col,
-            id_col=id_col, cache_scores=False).map_batches(
-                lambda t: t.filter(pc.is_in(
-                    t["bucket"],
-                    value_set=pa.array(sorted(keep_set)))).select(
-                        [id_col]),
-                batch_format="pyarrow")
-        _CK = "_ccnet_key"
-        keyed = filtered.map_batches(
-            lambda t: t.append_column(_CK, t[id_col].cast(pa.string())),
-            batch_format="pyarrow")
-        keep_ids = buckets.map_batches(
-            lambda t: pa.table({_CK: t[id_col].cast(pa.string())}),
-            batch_format="pyarrow")
-        filtered = keyed.join(
-            keep_ids, "left_semi", join_partitions,
-            on=(_CK,)).drop_columns([_CK]).materialize()
+        filtered = ccnet_filter(
+            filtered, counts, keep=ccnet_keep, lang_col="lang_pred",
+            text_col=text_col, id_col=id_col).materialize()
         report["after_ccnet_filter"] = filtered.count()
 
     # exact dedup: winner per fingerprint, survivors via native semi-join

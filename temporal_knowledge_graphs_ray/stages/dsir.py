@@ -219,6 +219,65 @@ def dsir_select(raw_ds, target_ds, k: int, text_col: str = "text",
                      descending=[True, False], k=k)
 
 
+def _ccnet_qs(fracs) -> list:
+    qs = sorted(float(f) for f in fracs)
+    if not qs or qs[-1] >= 1.0 or qs[0] <= 0.0:
+        raise ValueError("fracs must be strictly inside (0, 1)")
+    return qs
+
+
+def _ccnet_labels(n_buckets: int) -> list:
+    return (["head", "middle", "tail"] if n_buckets == 3
+            else [f"b{i}" for i in range(n_buckets)])
+
+
+def _ccnet_rounded(bits: np.ndarray, n_features: np.ndarray,
+                   decimals: int) -> np.ndarray:
+    """Bucket score: rounded bits, with FEATURELESS docs forced to +inf
+    so empty/whitespace/tokenizer-hostile text lands in the LAST bucket
+    — lm_cross_entropy reports bits=0.0 for n=0, which would otherwise
+    rank such docs as maximally target-like 'head'."""
+    b = np.round(np.asarray(bits, dtype=np.float64), decimals)
+    return np.where(np.asarray(n_features) == 0, np.inf, b)
+
+
+def _ccnet_cut_map(scored, lang_col, qs) -> dict:
+    """{lang_or_None: sorted cutpoint array} — dropna=False so the
+    NULL-language group (short docs under real lang detectors) keeps
+    ITS OWN cutpoints instead of being silently discarded."""
+    from .quantiles import exact_quantiles
+
+    cuts_df = exact_quantiles(scored, "bits_r", qs=qs, by=lang_col)
+    if not lang_col:
+        return {None: np.asarray(sorted(cuts_df["value"]),
+                                 dtype=np.float64)}
+    cut_map = {}
+    for k, g in cuts_df.groupby(lang_col, dropna=False):
+        if k is None or (isinstance(k, float) and np.isnan(k)):
+            k = None
+        cut_map[k] = np.asarray(sorted(g["value"]), dtype=np.float64)
+    return cut_map
+
+
+def _ccnet_assign(bits_r: np.ndarray, langs, cut_map: dict,
+                  n_buckets: int) -> np.ndarray:
+    """Bucket index per row via searchsorted against the language's
+    cutpoints (side='left': a doc AT the cutpoint goes in the lower
+    bucket — DuckDB quantile_disc inclusive semantics)."""
+    if langs is None:
+        return np.searchsorted(cut_map[None], bits_r, side="left")
+    idx = np.empty(len(bits_r), dtype=np.int64)
+    for lang in set(langs):
+        mask = np.fromiter((x == lang for x in langs), bool, len(langs))
+        cuts = cut_map.get(lang)
+        # a language genuinely absent from the cutpoint table (can only
+        # happen when scoring NEW data against saved cutpoints) buckets
+        # last deterministically
+        idx[mask] = (np.searchsorted(cuts, bits_r[mask], side="left")
+                     if cuts is not None else n_buckets - 1)
+    return idx
+
+
 def ccnet_buckets(ds, counts: np.ndarray, fracs=(1 / 3, 2 / 3),
                   lang_col: str | None = None, text_col: str = "text",
                   id_col: str = "doc_id", smoothing: float = 1.0,
@@ -228,8 +287,10 @@ def ccnet_buckets(ds, counts: np.ndarray, fracs=(1 / 3, 2 / 3),
     every doc with the trusted-corpus LM, split the corpus at the given
     cumulative fractions of the score distribution — LOW bits = "head"
     (most target-like), then "middle", then "tail". With ``lang_col``,
-    cutpoints are computed PER LANGUAGE (CCNet's per-language buckets);
-    otherwise one global split.
+    cutpoints are computed PER LANGUAGE (CCNet's per-language buckets;
+    a NULL language is its own group); otherwise one global split.
+    Featureless docs (empty/whitespace text) always land in the last
+    bucket (see _ccnet_rounded).
 
     Returns (id[, lang], bits, bucket) — three buckets get the CCNet
     names head/middle/tail, other frac counts get b0..bN. Scores round
@@ -249,7 +310,65 @@ def ccnet_buckets(ds, counts: np.ndarray, fracs=(1 / 3, 2 / 3),
     """
     import ray
 
-    from .quantiles import exact_quantiles
+    carry = (lang_col,) if lang_col else ()
+    scored = lm_cross_entropy(ds, counts, smoothing=smoothing,
+                              text_col=text_col, id_col=id_col,
+                              seed=seed, carry_cols=carry)
+
+    def add_rounded(t: pa.Table) -> pa.Table:
+        b = _ccnet_rounded(
+            t["bits"].to_numpy(zero_copy_only=False),
+            t["n_features"].to_numpy(zero_copy_only=False),
+            round_decimals)
+        return t.append_column("bits_r", pa.array(b))
+
+    scored = scored.map_batches(add_rounded, batch_format="pyarrow")
+    if cache_scores:
+        scored = scored.materialize()
+
+    qs = _ccnet_qs(fracs)
+    cut_map = _ccnet_cut_map(scored, lang_col, qs)
+    cuts_ref = ray.put(cut_map)
+    n_buckets = len(qs) + 1
+    labels = _ccnet_labels(n_buckets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cm = ray.get(cuts_ref)
+        bits_r = np.asarray(t["bits_r"].to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
+        langs = t[lang_col].to_pylist() if lang_col else None
+        idx = _ccnet_assign(bits_r, langs, cm, n_buckets)
+        lab = pa.array([labels[i] for i in idx], pa.string())
+        return t.drop_columns(["bits_r"]).append_column("bucket", lab)
+
+    return scored.map_batches(assign, batch_format="pyarrow")
+
+
+def ccnet_filter(ds, counts: np.ndarray, keep=("head", "middle"),
+                 fracs=(1 / 3, 2 / 3), lang_col: str | None = None,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 smoothing: float = 1.0, seed: int = 0,
+                 round_decimals: int = 4):
+    """Filter a corpus IN PLACE to the requested CCNet buckets: one
+    scoring pass computes the (per-language) cutpoints, then ONE pass
+    over the full dataset rescores each row and keeps only rows whose
+    bucket is in ``keep`` — every input column passes through, no id
+    join, nothing doc-grain materializes. ``keep`` entries are
+    validated against the bucket labels (a typo must error, not
+    silently empty the corpus)."""
+    import ray
+
+    qs = _ccnet_qs(fracs)
+    n_buckets = len(qs) + 1
+    labels = _ccnet_labels(n_buckets)
+    keep_set = {str(k).strip() for k in keep}
+    bad = keep_set - set(labels)
+    if bad or not keep_set:
+        raise ValueError(
+            f"ccnet keep buckets {sorted(bad) or '(empty)'} not in "
+            f"{labels}")
+    keep_idx = np.array(sorted(labels.index(k) for k in keep_set),
+                        dtype=np.int64)
 
     carry = (lang_col,) if lang_col else ()
     scored = lm_cross_entropy(ds, counts, smoothing=smoothing,
@@ -257,50 +376,34 @@ def ccnet_buckets(ds, counts: np.ndarray, fracs=(1 / 3, 2 / 3),
                               seed=seed, carry_cols=carry)
 
     def add_rounded(t: pa.Table) -> pa.Table:
-        b = np.round(np.asarray(
+        b = _ccnet_rounded(
             t["bits"].to_numpy(zero_copy_only=False),
-            dtype=np.float64), round_decimals)
+            t["n_features"].to_numpy(zero_copy_only=False),
+            round_decimals)
         return t.append_column("bits_r", pa.array(b))
 
-    scored = scored.map_batches(add_rounded, batch_format="pyarrow")
-    if cache_scores:
-        scored = scored.materialize()
-
-    qs = sorted(float(f) for f in fracs)
-    if not qs or qs[-1] >= 1.0 or qs[0] <= 0.0:
-        raise ValueError("fracs must be strictly inside (0, 1)")
-    cuts_df = exact_quantiles(scored, "bits_r", qs=qs, by=lang_col)
-    if lang_col:
-        cut_map = {k: np.asarray(sorted(g["value"]), dtype=np.float64)
-                   for k, g in cuts_df.groupby(lang_col)}
-    else:
-        cut_map = {None: np.asarray(sorted(cuts_df["value"]),
-                                    dtype=np.float64)}
+    cut_map = _ccnet_cut_map(
+        scored.map_batches(add_rounded, batch_format="pyarrow"),
+        lang_col, qs)
     cuts_ref = ray.put(cut_map)
+    num_buckets_lm = len(counts)
+    logp = np.log2(counts + smoothing) - np.log2(
+        counts.sum() + smoothing * num_buckets_lm)
+    logp_ref = ray.put(logp)
 
-    n_buckets = len(qs) + 1
-    labels = (["head", "middle", "tail"] if n_buckets == 3
-              else [f"b{i}" for i in range(n_buckets)])
-
-    def assign(t: pa.Table) -> pa.Table:
+    def keep_rows(t: pa.Table) -> pa.Table:
         cm = ray.get(cuts_ref)
-        bits_r = np.asarray(t["bits_r"].to_numpy(zero_copy_only=False),
-                            dtype=np.float64)
-        if lang_col:
-            idx = np.empty(len(bits_r), dtype=np.int64)
-            langs = t[lang_col].to_pylist()
-            for lang in set(langs):
-                mask = np.fromiter((x == lang for x in langs), bool,
-                                   len(langs))
-                cuts = cm.get(lang)
-                # a language absent from the cutpoint table (all-null
-                # scores) buckets globally-last deterministically
-                idx[mask] = (np.searchsorted(cuts, bits_r[mask],
-                                             side="left")
-                             if cuts is not None else n_buckets - 1)
-        else:
-            idx = np.searchsorted(cm[None], bits_r, side="left")
-        lab = pa.array([labels[i] for i in idx], pa.string())
-        return t.drop_columns(["bits_r"]).append_column("bucket", lab)
+        lp = ray.get(logp_ref)
+        bits = np.empty(t.num_rows, dtype=np.float64)
+        nf = np.empty(t.num_rows, dtype=np.int64)
+        for i, text in enumerate(t[text_col].to_pylist()):
+            u, c = doc_feature_counts(text or "", num_buckets_lm, seed)
+            n = int(c.sum())
+            nf[i] = n
+            bits[i] = float(-(c @ lp[u]) / n) if n else 0.0
+        bits_r = _ccnet_rounded(bits, nf, round_decimals)
+        langs = t[lang_col].to_pylist() if lang_col else None
+        idx = _ccnet_assign(bits_r, langs, cm, n_buckets)
+        return t.filter(pa.array(np.isin(idx, keep_idx)))
 
-    return scored.map_batches(assign, batch_format="pyarrow")
+    return ds.map_batches(keep_rows, batch_format="pyarrow")

@@ -79,9 +79,10 @@ def dedup_by_url(ds, url_col: str = "url", ts_col: str | None = None,
 
     One bucketed uniform-hash shuffle (groupby(bucket of canonical) ->
     vectorized per-bucket keep-first) — the house dedup shape; no
-    driver state. Null urls canonicalize to '' and dedup among
-    themselves (one null-url row survives — include a real id in
-    ``url_col`` upstream if that is not what you want)."""
+    driver state. Null urls keep a null ``canonical_url`` but dedup in
+    the SAME group as ''-canonical rows (coalesce semantics, matching
+    the DuckDB oracle) — include a real id in ``url_col`` upstream if
+    one-survivor-for-all-unkeyed-rows is not what you want."""
     import numpy as np
     import pandas as pd
 
@@ -98,15 +99,21 @@ def dedup_by_url(ds, url_col: str = "url", ts_col: str | None = None,
         g = g.drop(columns=["_url_bucket"])
         if not len(g):
             return g
-        by = ["canonical_url"]
+        # group on COALESCED canonical (null-url and ''-url rows are
+        # one group — the documented semantics and the oracle's
+        # PARTITION BY coalesce(canonical_url, ''))
+        _K = "_canon_key"
+        g = g.assign(**{_K: g["canonical_url"].fillna("")})
+        by = [_K]
         asc = [True]
         if ts_col is not None:
             by.append(ts_col)
             asc.append(False)  # latest wins
         by.append(url_col)
         asc.append(True)
-        g = g.sort_values(by, ascending=asc, kind="mergesort")
-        return g.drop_duplicates("canonical_url", keep="first")
+        g = g.sort_values(by, ascending=asc, kind="mergesort",
+                          na_position="last")
+        return g.drop_duplicates(_K, keep="first").drop(columns=[_K])
 
     return (canon.map_batches(bucket, batch_format="pyarrow")
             .groupby("_url_bucket")

@@ -275,3 +275,87 @@ class TestCcnetBuckets:
         with _pytest.raises(ValueError):
             ccnet_buckets(_ds(raw_ids, raw_texts), counts,
                           fracs=(0.5, 1.0))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCcnetEdges:
+    def _counts(self):
+        from temporal_knowledge_graphs_ray.stages.dsir import fit_hashed_lm
+
+        target, _, _ = _corpora()
+        return fit_hashed_lm(_ds(list(range(len(target))), target),
+                             num_buckets=B)
+
+    def test_null_language_gets_own_cutpoints(self):
+        """Docs with lang=None form their own cutpoint group (real
+        lang detectors return None for short docs) — they must bucket
+        by THEIR OWN score distribution, not be forced into 'tail'."""
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.dsir import ccnet_buckets
+
+        counts = self._counts()
+        _, raw_ids, raw_texts = _corpora()
+        langs = [None if i % 3 == 0 else "en" for i in raw_ids]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(raw_ids, pa.int64()),
+            "text": pa.array(raw_texts, pa.string()),
+            "lang": pa.array(langs, pa.string())}))
+        out = (ccnet_buckets(ds, counts, lang_col="lang")
+               .to_pandas())
+        nulls = out[out["lang"].isna()]
+        # the null group must split across buckets like any language
+        assert (nulls["bucket"] == "head").sum() >= len(nulls) / 3 - 1
+        assert set(nulls["bucket"]) != {"tail"}
+
+    def test_featureless_docs_bucket_last_not_head(self):
+        from temporal_knowledge_graphs_ray.stages.dsir import ccnet_buckets
+
+        counts = self._counts()
+        _, raw_ids, raw_texts = _corpora()
+        texts = list(raw_texts) + ["", "   ", "!!! ???"]
+        ids = list(raw_ids) + [900, 901, 902]
+        out = (ccnet_buckets(_ds(ids, texts), counts).to_pandas()
+               .set_index("doc_id"))
+        for i in (900, 901, 902):
+            assert out.loc[i, "bucket"] == "tail"
+
+    def test_ccnet_filter_equals_buckets_plus_keep(self):
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.dsir import (
+            ccnet_buckets,
+            ccnet_filter,
+        )
+
+        counts = self._counts()
+        _, raw_ids, raw_texts = _corpora()
+        langs = ["en" if i % 2 else "de" for i in raw_ids]
+        extra = pa.table({
+            "doc_id": pa.array(raw_ids, pa.int64()),
+            "text": pa.array(raw_texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "payload": pa.array([f"p{i}" for i in raw_ids], pa.string())})
+        ds = rd.from_arrow(extra)
+        keep = ("head", "middle")
+        want = (ccnet_buckets(ds, counts, lang_col="lang").to_pandas())
+        want_ids = sorted(want.loc[want["bucket"].isin(keep), "doc_id"])
+        got = (ccnet_filter(ds, counts, keep=keep, lang_col="lang")
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        assert sorted(got["doc_id"]) == want_ids
+        # every input column passes through
+        assert list(got.columns) == ["doc_id", "text", "lang", "payload"]
+
+    def test_keep_validation(self):
+        from temporal_knowledge_graphs_ray.stages.dsir import ccnet_filter
+
+        counts = self._counts()
+        _, raw_ids, raw_texts = _corpora()
+        ds = _ds(raw_ids, raw_texts)
+        with pytest.raises(ValueError):
+            ccnet_filter(ds, counts, keep=("Head",))
+        with pytest.raises(ValueError):
+            ccnet_filter(ds, counts, keep=())
+        # stray whitespace is forgiven, not fatal
+        out = ccnet_filter(ds, counts, keep=("head", " middle")).count()
+        assert out > 0

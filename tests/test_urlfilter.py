@@ -175,6 +175,7 @@ class TestDedupByUrl:
         rows.append(("http://news.example.com/b", 100, "other"))
         rows.append(("not a url", 50, "junk"))
         rows.append((None, 10, "nullurl"))
+        rows.append(("", 5, "emptyurl"))  # coalesces with the null row
         return pa.table({
             "url": pa.array([r[0] for r in rows], pa.string()),
             "warc_ts": pa.array([r[1] for r in rows], pa.int64()),
