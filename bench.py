@@ -276,6 +276,22 @@ def run_bench() -> dict:
 
     timed("ccnet_buckets", ccnet)
 
+    from temporal_knowledge_graphs_ray.pipelines.export import (
+        export_tokenized,
+    )
+    from temporal_knowledge_graphs_ray.stages.bpe import train_bpe
+
+    def tok_export():
+        import shutil as _sh
+
+        model = train_bpe(docs, num_merges=100)
+        man = export_tokenized(docs, model.merges, "/tmp/bench_tok",
+                               seq_budget=1024, num_shards=16)
+        _sh.rmtree("/tmp/bench_tok", ignore_errors=True)
+        return man["sequences"]
+
+    timed("export_tokenized", tok_export)
+
     from temporal_knowledge_graphs_ray.stages.sampling import weighted_sample
 
     def wsample():

@@ -655,20 +655,31 @@ def cmd_incdedup(args) -> int:
 
 
 def cmd_export(args) -> int:
-    """Curated documents -> shuffled, packed training shards."""
+    """Curated documents -> shuffled, packed training shards (text, or
+    BPE token ids with --tokenize-with)."""
     import ray
     import ray.data as rd
-
-    from .pipelines.export import export_training_data
 
     _init_ray(args.num_cpus)
     docs = rd.read_parquet(args.documents,
                            columns=[args.id_col, args.text_col])
-    manifest = export_training_data(
-        docs, args.out, text_col=args.text_col, id_col=args.id_col,
-        token_budget=args.token_budget, seed=args.seed,
-        num_shards=args.num_shards, normalize=not args.no_normalize,
-        vocab_size=args.vocab_size, output_format=args.format)
+    if args.tokenize_with:
+        from .pipelines.export import export_tokenized
+        from .stages.bpe import BpeModel
+
+        model = BpeModel.load(args.tokenize_with)
+        manifest = export_tokenized(
+            docs, model.merges, args.out, text_col=args.text_col,
+            id_col=args.id_col, seq_budget=args.token_budget,
+            seed=args.seed, num_shards=args.num_shards)
+    else:
+        from .pipelines.export import export_training_data
+
+        manifest = export_training_data(
+            docs, args.out, text_col=args.text_col, id_col=args.id_col,
+            token_budget=args.token_budget, seed=args.seed,
+            num_shards=args.num_shards, normalize=not args.no_normalize,
+            vocab_size=args.vocab_size, output_format=args.format)
     print(json.dumps({"out": args.out, **manifest}))
     ray.shutdown()
     return 0
@@ -949,6 +960,10 @@ def main(argv=None) -> int:
                    choices=("parquet", "jsonl"),
                    help="shard file format (jsonl: one "
                         "shard=K/part-0.jsonl per shard, same order)")
+    p.add_argument("--tokenize-with", default=None,
+                   help="saved BPE model (cli bpe --out); shards become "
+                        "packed token-ID sequences (list<int32> rows, "
+                        "<eos>-joined, --token-budget = seq length)")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("incdedup")

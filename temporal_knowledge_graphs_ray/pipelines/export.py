@@ -182,3 +182,184 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
     with open(os.path.join(out_dir, "_export_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def export_tokenized(docs, merges, out_dir: str, *,
+                     seq_budget: int = 2048, seed: int = 0,
+                     num_shards: int = 16, text_col: str = "text",
+                     id_col: str = "doc_id", pack_buckets: int = 64,
+                     join_partitions: int | None = None,
+                     encode_concurrency: int = 8) -> dict:
+    """The final training artifact: BPE token IDS packed into
+    sequences — one ``list<int32>`` row per packed sequence, shuffled
+    and sharded like :func:`export_training_data`.
+
+    Pipeline (every stage an already-tested operator):
+
+    1. ONE BPE encode pass (stages/bpe.BpeEncodeStage actor pool,
+       merge table + word memo pinned per actor) -> (id, pieces,
+       n_pieces), materialized once for its two consumers;
+    2. deterministic piece->id vocab: the model's piece set is bounded
+       (alphabet + one piece per merge), collected via per-batch set
+       partials; ``<eos>`` is id 0, pieces sorted from 1;
+    3. NEXT-FIT packing on the BPE length ``n_pieces + 1`` (each doc
+       is followed by one <eos>) — packing on the REAL tokenizer
+       length, not a whitespace proxy;
+    4. docs join their sequence slots (house hash join), sequences
+       md5-shuffle into shards, and each shard's group task emits one
+       row per sequence: ids = concat(doc ids + [eos]) in doc-id
+       order. A doc longer than ``seq_budget`` sits alone and keeps
+       its full length (lossless; the manifest's oversized count
+       flags them — truncation is the trainer's choice).
+
+    Returns the manifest (docs, sequences, vocab size, fill stats);
+    shards land as ``shard=K/`` Parquet of (seq_key, n_ids, ids).
+    """
+    import shutil
+
+    import numpy as np
+    import ray
+
+    from ..stages.blocks import coalesce_blocks
+    from ..stages.bpe import BpeModel, apply_bpe
+    from ..stages.packing import pack_sequences
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    model = BpeModel(merges=[tuple(p) for p in merges])
+    # clamp the fixed actor pool BELOW the cluster CPU count: a pool
+    # taking every CPU starves the upstream read/map task operators and
+    # the pipeline deadlocks (observed at pool=4 on a 4-CPU cluster)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    encoded = apply_bpe(
+        docs, model, text_col=text_col, id_col=id_col,
+        concurrency=min(encode_concurrency,
+                        max(1, ncpu - 1))).materialize()
+
+    # piece vocab: bounded distinct -> per-batch set partials, driver
+    # union (piece count <= alphabet + num_merges, i.e. tiny)
+    def piece_sets(t: pa.Table) -> pa.Table:
+        s = set()
+        for pieces in t["pieces"].to_pylist():
+            s.update(pieces)
+        return pa.table({"piece": pa.array(sorted(s), pa.string())})
+
+    vocab: set = set()
+    for b in (encoded.map_batches(piece_sets, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        vocab.update(b["piece"].to_pylist())
+    eos_id = 0
+    piece_id = {p: i + 1 for i, p in enumerate(sorted(vocab))}
+
+    def with_len(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            id_col: t[id_col],
+            "n_tok": pc.add(t["n_pieces"], pa.scalar(1))})  # + <eos>
+
+    packed = pack_sequences(
+        encoded.map_batches(with_len, batch_format="pyarrow"),
+        seq_budget, id_col=id_col, tokens_col="n_tok",
+        buckets=pack_buckets).materialize()
+
+    def add_seq_key(t: pa.Table) -> pa.Table:
+        keys = [f"{b}:{s}" for b, s in zip(t["bucket"].to_pylist(),
+                                           t["seq"].to_pylist())]
+        return pa.table({id_col: t[id_col],
+                         _SEQ: pa.array(keys, pa.string())})
+
+    assign = packed.map_batches(add_seq_key, batch_format="pyarrow")
+    if join_partitions is None:
+        join_partitions = max(2, min(64, ncpu // 2))
+
+    # Arrow's hash join rejects list-typed non-key columns, so pieces
+    # ride through the join as ONE \x00-delimited large_string blob per
+    # doc (pieces are _TOKEN_RE words-fragments — never contain \x00)
+    def blob_pieces(t: pa.Table) -> pa.Table:
+        blobs = ["\x00".join(p) for p in t["pieces"].to_pylist()]
+        return pa.table({
+            id_col: t[id_col],
+            "pieces_blob": pa.array(blobs, pa.large_string())})
+
+    rows = (encoded.map_batches(blob_pieces, batch_format="pyarrow")
+            .join(assign, "inner", join_partitions, on=(id_col,)))
+
+    pid_ref = ray.put(piece_id)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        h = _md5_rank(t[_SEQ].to_pylist(), seed)
+        shard = [int(x[:4], 16) * num_shards >> 16 for x in h]
+        t = t.append_column("_rank", pa.array(h, pa.string()))
+        return t.append_column("shard", pa.array(shard, pa.int32()))
+
+    def assemble(g: pd.DataFrame) -> pa.Table:
+        pid = ray.get(pid_ref)
+        g = g.sort_values(["_rank", _SEQ, id_col], kind="mergesort",
+                          ignore_index=True)
+        out_key, out_ids = [], []
+        for key, grp in g.groupby(_SEQ, sort=False):
+            ids: list[int] = []
+            for blob in grp["pieces_blob"]:
+                if blob:
+                    ids.extend(pid[p] for p in blob.split("\x00"))
+                ids.append(eos_id)
+            out_key.append(key)
+            out_ids.append(np.asarray(ids, dtype=np.int32))
+        # emit PLAIN list<int32> (zero-copy offsets+values) — returning
+        # numpy arrays in a pandas column would make Ray write its
+        # tensor-extension struct type, which downstream parquet
+        # readers don't understand
+        lens = np.fromiter((len(x) for x in out_ids), np.int64,
+                           len(out_ids))
+        flat = (np.concatenate(out_ids) if out_ids
+                else np.empty(0, np.int32))
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(lens))).astype(np.int32),
+            pa.int32())
+        shard = int(g["shard"].iloc[0]) if len(g) else 0
+        n = len(out_key)
+        return pa.table({
+            "seq_key": pa.array(out_key, pa.string()),
+            "n_ids": pa.array(lens, pa.int64()),
+            "ids": pa.ListArray.from_arrays(
+                offsets, pa.array(flat, pa.int32())),
+            "shard": pa.array(np.full(n, shard, dtype=np.int32)),
+            "pos": pa.array(np.arange(n, dtype=np.int64)),
+        })
+
+    shards = (rows.map_batches(add_rank, batch_format="pyarrow")
+              .groupby("shard")
+              .map_groups(assemble, batch_format="pandas"))
+    coalesce_blocks(shards).write_parquet(out_dir,
+                                          partition_cols=["shard"])
+
+    n_docs = encoded.count()
+    import ray.data as rd
+
+    written = rd.read_parquet(out_dir)
+    n_seqs = written.count()
+    total_ids = int(written.sum(on="n_ids") or 0)
+    manifest = {
+        "docs": n_docs,
+        "sequences": n_seqs,
+        "seq_budget": seq_budget,
+        "total_tokens": total_ids,
+        "fill_efficiency": round(total_ids / (n_seqs * seq_budget), 4)
+        if n_seqs else 0.0,
+        "vocab_size": len(piece_id) + 1,
+        "eos_id": eos_id,
+        "num_shards": num_shards,
+        "seed": seed,
+    }
+    with open(os.path.join(out_dir, "_tokenized_manifest.json"),
+              "w") as f:
+        json.dump(manifest, f, indent=1)
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"piece": pa.array(["<eos>", *sorted(vocab)]),
+                  "token_id": pa.array(
+                      [eos_id, *[piece_id[p] for p in sorted(vocab)]],
+                      pa.int32())}),
+        os.path.join(out_dir, "_token_vocab.parquet"))
+    return manifest

@@ -362,3 +362,24 @@ def test_urldedup_subcommand(tmp_path):
         f"SELECT text FROM read_parquet('{out_dir}/*.parquet') "
         f"ORDER BY canonical_url").df()
     assert list(got["text"]) == ["new", "other"]
+
+
+def test_export_tokenized_subcommand(tmp_path):
+    bpe_out = str(tmp_path / "bpe.json")
+    _run(["bpe", "--documents", f"{SF}/documents.parquet",
+          "--out", bpe_out, "--num-merges", "30"], tmp_path)
+    out_dir = str(tmp_path / "tok")
+    rep = _run(["export", "--documents", f"{SF}/documents.parquet",
+                "--out", out_dir, "--tokenize-with", bpe_out,
+                "--token-budget", "256", "--num-shards", "4"], tmp_path)
+    assert rep["docs"] == 500 and rep["sequences"] > 0
+    assert rep["eos_id"] == 0 and rep["vocab_size"] > 1
+    import glob
+
+    import pandas as pd
+
+    files = glob.glob(f"{out_dir}/shard=*/*.parquet")
+    assert files
+    df = pd.read_parquet(files[0])
+    assert {"seq_key", "n_ids", "ids", "pos"} <= set(df.columns)
+    assert (df["ids"].map(len) == df["n_ids"]).all()

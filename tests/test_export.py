@@ -143,3 +143,105 @@ def test_jsonl_format_identical_rows(tmp_path):
     for col in ["doc_id", "seq_key", "n_tokens", "pos", "shard"]:
         assert got[col].tolist() == want[col].tolist(), col
     assert got["text"].tolist() == want["text"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_tokenized(tmp_path):
+    """BPE-id training shards: ids reproduce a sequential oracle
+    (encode -> pack on n_pieces+1 -> md5 seq shuffle -> concat + eos),
+    vocab sidecar round-trips, every doc appears exactly once."""
+    import numpy as np
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.export import (
+        export_tokenized,
+    )
+    from temporal_knowledge_graphs_ray.stages.bpe import (
+        BpeModel,
+        train_bpe,
+    )
+
+    docs = rd.read_parquet(SF, columns=["doc_id", "text"])
+    model = train_bpe(docs, num_merges=40)
+    out = str(tmp_path / "tok")
+    man = export_tokenized(docs, model.merges, out, seq_budget=256,
+                           seed=SEED, num_shards=4)
+    import glob
+
+    frames = []
+    for path in sorted(glob.glob(f"{out}/shard=*/*.parquet")):
+        df = pd.read_parquet(path)
+        df["shard"] = int(path.split("shard=")[1].split("/")[0])
+        frames.append(df)
+    got = (pd.concat(frames).sort_values(["shard", "pos"],
+                                         ignore_index=True))
+    got["ids"] = got["ids"].map(list)
+    assert man["sequences"] == len(got)
+    assert (got["n_ids"] == got["ids"].map(len)).all()
+    assert man["total_tokens"] == int(got["n_ids"].sum())
+
+    vocab = pd.read_parquet(f"{out}/_token_vocab.parquet")
+    assert man["vocab_size"] == len(vocab)
+    id_of = dict(zip(vocab["piece"], vocab["token_id"]))
+    assert id_of["<eos>"] == 0
+
+    # ---- sequential oracle ----
+    import hashlib
+    import re
+
+    src = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}') ORDER BY doc_id"
+    ).df()
+    bpe = BpeModel(merges=[tuple(p) for p in model.merges])
+    tok = re.compile(r"[a-z0-9]+")
+    pieces_of, nlen = {}, {}
+    for i, text in zip(src["doc_id"], src["text"]):
+        ps = []
+        for w in tok.findall((text or "").lower()):
+            ps.extend(bpe.encode_word(w))
+        pieces_of[i] = ps
+        nlen[i] = len(ps) + 1
+    # pack: bucket by hash64(doc_id), next-fit in doc_id order
+    from temporal_knowledge_graphs_ray.functions.hashing import hash64_vec
+
+    ids_sorted = sorted(pieces_of)
+    buckets = {i: int(hash64_vec([i])[0] % np.uint64(64))
+               for i in ids_sorted}
+    seq_of = {}
+    for b in sorted(set(buckets.values())):
+        members = [i for i in ids_sorted if buckets[i] == b]
+        seq, fill = 0, 0
+        for i in members:
+            t = nlen[i]
+            if fill > 0 and fill + t > 256:
+                seq += 1
+                fill = t
+            else:
+                fill += t
+            seq_of[i] = f"{b}:{seq}"
+    # md5 order + shard
+    def rank(key):
+        return hashlib.md5(f"{SEED}|{key}".encode()).hexdigest()
+
+    seqs = {}
+    for i in ids_sorted:
+        seqs.setdefault(seq_of[i], []).append(i)
+    want_rows = []
+    for key in sorted(seqs, key=lambda k: (rank(k), k)):
+        ids = []
+        for i in sorted(seqs[key]):
+            ids.extend(id_of[p] for p in pieces_of[i])
+            ids.append(0)
+        want_rows.append((key, ids,
+                          int(rank(key)[:4], 16) * 4 >> 16))
+    # compare within each shard in rank order
+    got_by_shard = {}
+    for _, r in got.iterrows():
+        got_by_shard.setdefault(int(r["shard"]), []).append(
+            (r["seq_key"], list(r["ids"])))
+    want_by_shard = {}
+    for key, ids, shard in want_rows:
+        want_by_shard.setdefault(shard, []).append((key, ids))
+    assert set(got_by_shard) == set(want_by_shard)
+    for s in want_by_shard:
+        assert got_by_shard[s] == want_by_shard[s], f"shard {s}"
