@@ -357,6 +357,20 @@ def cmd_dupspans(args) -> int:
     return 0
 
 
+def cmd_graphcsv(args) -> int:
+    """Parquet graph store -> neo4j-admin bulk-import CSVs (the bridge
+    back into the reference's Neo4j serving stack)."""
+    import ray
+
+    from .pipelines.neo4j_export import export_neo4j_csv
+
+    _init_ray(args.num_cpus)
+    rep = export_neo4j_csv(args.store, args.out)
+    print(json.dumps(rep))
+    ray.shutdown()
+    return 0
+
+
 def cmd_urldedup(args) -> int:
     """URL-level dedup on the canonical spelling: one row per canonical
     URL, latest --ts-col wins (recrawl supersession at corpus grain)."""
@@ -877,6 +891,12 @@ def main(argv=None) -> int:
                         "removal) instead of writing stats")
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("graphcsv")
+    p.add_argument("--store", required=True,
+                   help="graph store dir (nodes/ + edges/ Parquet)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("urldedup")
     p.add_argument("--pages", required=True,
                    help="pages Parquet path/dir with a url column")
@@ -1041,6 +1061,8 @@ def main(argv=None) -> int:
         return cmd_semdedup(args)
     if args.cmd == "dupspans":
         return cmd_dupspans(args)
+    if args.cmd == "graphcsv":
+        return cmd_graphcsv(args)
     if args.cmd == "urldedup":
         return cmd_urldedup(args)
     if args.cmd == "paradedup":
