@@ -678,6 +678,17 @@ def cmd_export(args) -> int:
     docs = rd.read_parquet(args.documents,
                            columns=[args.id_col, args.text_col])
     if args.tokenize_with:
+        # flags that only apply to the text path must not be silently
+        # ignored on the tokenized path
+        if args.format != "parquet":
+            raise SystemExit(
+                "export: --format applies to text shards only; "
+                "tokenized shards are always Parquet")
+        if args.vocab_size is not None:
+            raise SystemExit(
+                "export: --vocab-size applies to text shards only; "
+                "the tokenized path writes _token_vocab.parquet "
+                "from the BPE model itself")
         from .pipelines.export import export_tokenized
         from .stages.bpe import BpeModel
 
@@ -685,7 +696,8 @@ def cmd_export(args) -> int:
         manifest = export_tokenized(
             docs, model.merges, args.out, text_col=args.text_col,
             id_col=args.id_col, seq_budget=args.token_budget,
-            seed=args.seed, num_shards=args.num_shards)
+            seed=args.seed, num_shards=args.num_shards,
+            normalize=not args.no_normalize)
     else:
         from .pipelines.export import export_training_data
 

@@ -101,23 +101,12 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
 
     assign = packed.map_batches(add_seq_key, batch_format="pyarrow")
     if join_partitions is None:
-        # the house join sizing (decontaminate.py/kg.py/incdedup.py):
-        # the hash join spins up join_partitions aggregator actors and
-        # more than the cluster's CPUs deadlocks resource scheduling
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        join_partitions = max(2, min(64, ncpu // 2))
+        join_partitions = _default_join_partitions()
     rows = docs.join(assign, "inner", join_partitions, on=(id_col,))
 
     # sequence-grain deterministic shuffle (stages/shuffle.py contract,
     # secondary order doc_id so a sequence's docs stay in pack order)
-    def add_rank(t: pa.Table) -> pa.Table:
-        h = _md5_rank(t[_SEQ].to_pylist(), seed)
-        shard = [int(x[:4], 16) * num_shards >> 16 for x in h]
-        t = t.append_column("_rank", pa.array(h, pa.string()))
-        return t.append_column("shard",
-                               pa.array(shard, pa.int32()))
+    add_rank = _rank_shard_fn(seed, num_shards)
 
     def sort_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["_rank", _SEQ, id_col], kind="mergesort",
@@ -184,11 +173,35 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
     return manifest
 
 
+def _rank_shard_fn(seed: int, num_shards: int):
+    """Shared md5 sequence-rank + shard assignment (the shuffle contract
+    both export paths must agree on — one definition, not two)."""
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        h = _md5_rank(t[_SEQ].to_pylist(), seed)
+        shard = [int(x[:4], 16) * num_shards >> 16 for x in h]
+        t = t.append_column("_rank", pa.array(h, pa.string()))
+        return t.append_column("shard", pa.array(shard, pa.int32()))
+
+    return add_rank
+
+
+def _default_join_partitions() -> int:
+    """House join sizing: the hash join spins up join_partitions
+    aggregator actors and more than the cluster's CPUs deadlocks
+    resource scheduling (decontaminate.py/kg.py/incdedup.py)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(64, ncpu // 2))
+
+
 def export_tokenized(docs, merges, out_dir: str, *,
                      seq_budget: int = 2048, seed: int = 0,
                      num_shards: int = 16, text_col: str = "text",
                      id_col: str = "doc_id", pack_buckets: int = 64,
                      join_partitions: int | None = None,
+                     normalize: bool = True,
                      encode_concurrency: int = 8) -> dict:
     """The final training artifact: BPE token IDS packed into
     sequences — one ``list<int32>`` row per packed sequence, shuffled
@@ -196,12 +209,16 @@ def export_tokenized(docs, merges, out_dir: str, *,
 
     Pipeline (every stage an already-tested operator):
 
-    1. ONE BPE encode pass (stages/bpe.BpeEncodeStage actor pool,
-       merge table + word memo pinned per actor) -> (id, pieces,
-       n_pieces), materialized once for its two consumers;
-    2. deterministic piece->id vocab: the model's piece set is bounded
-       (alphabet + one piece per merge), collected via per-batch set
-       partials; ``<eos>`` is id 0, pieces sorted from 1;
+    1. unicode normalization (same default as the text export, so the
+       same corpus tokenizes identically on both paths), then ONE BPE
+       encode pass (stages/bpe.BpeEncodeStage actor pool, merge table
+       + word memo pinned per actor; task-mode fallback on a 1-CPU
+       cluster where a fixed pool would starve the read operator);
+    2. MODEL-DERIVED piece->id vocab: the id space is the tokenizer's
+       closed piece universe — the [a-z0-9] alphabet, the </w> marker
+       and every merge product — NOT corpus-observed pieces, so two
+       corpora exported with the same saved model get identical ids
+       (``<eos>`` is id 0, pieces sorted from 1);
     3. NEXT-FIT packing on the BPE length ``n_pieces + 1`` (each doc
        is followed by one <eos>) — packing on the REAL tokenizer
        length, not a whitespace proxy;
@@ -209,46 +226,54 @@ def export_tokenized(docs, merges, out_dir: str, *,
        md5-shuffle into shards, and each shard's group task emits one
        row per sequence: ids = concat(doc ids + [eos]) in doc-id
        order. A doc longer than ``seq_budget`` sits alone and keeps
-       its full length (lossless; the manifest's oversized count
-       flags them — truncation is the trainer's choice).
+       its full length (lossless; ``oversized_sequences`` in the
+       manifest counts them — truncation is the trainer's choice).
 
-    Returns the manifest (docs, sequences, vocab size, fill stats);
-    shards land as ``shard=K/`` Parquet of (seq_key, n_ids, ids).
+    Returns the manifest (docs, sequences, vocab size, fill stats,
+    oversized_sequences); shards land as ``shard=K/`` Parquet of
+    (seq_key, n_ids, ids) with int64 list offsets (a shard group past
+    2^31 total ids must not wrap).
     """
     import shutil
+    import string
 
     import numpy as np
     import ray
 
     from ..stages.blocks import coalesce_blocks
-    from ..stages.bpe import BpeModel, apply_bpe
+    from ..stages.bpe import EOW, BpeModel, apply_bpe
     from ..stages.packing import pack_sequences
 
     shutil.rmtree(out_dir, ignore_errors=True)
     model = BpeModel(merges=[tuple(p) for p in merges])
+    if normalize:
+        docs = normalize_text_stage(docs, text_col=text_col)
     # clamp the fixed actor pool BELOW the cluster CPU count: a pool
     # taking every CPU starves the upstream read/map task operators and
-    # the pipeline deadlocks (observed at pool=4 on a 4-CPU cluster)
+    # the pipeline deadlocks (observed at pool=4 on a 4-CPU cluster).
+    # On a 1-CPU cluster no pool size works — fall back to task mode.
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    encoded = apply_bpe(
-        docs, model, text_col=text_col, id_col=id_col,
-        concurrency=min(encode_concurrency,
-                        max(1, ncpu - 1))).materialize()
+    if ncpu < 2:
+        from ..stages.bpe import BpeEncodeStage
 
-    # piece vocab: bounded distinct -> per-batch set partials, driver
-    # union (piece count <= alphabet + num_merges, i.e. tiny)
-    def piece_sets(t: pa.Table) -> pa.Table:
-        s = set()
-        for pieces in t["pieces"].to_pylist():
-            s.update(pieces)
-        return pa.table({"piece": pa.array(sorted(s), pa.string())})
+        stage = BpeEncodeStage(model.merges, text_col=text_col,
+                               id_col=id_col)
+        encoded = (docs.select_columns([id_col, text_col])
+                   .map_batches(stage, batch_format="pyarrow",
+                                batch_size=256).materialize())
+    else:
+        encoded = apply_bpe(
+            docs, model, text_col=text_col, id_col=id_col,
+            concurrency=min(encode_concurrency,
+                            max(1, ncpu - 1))).materialize()
 
-    vocab: set = set()
-    for b in (encoded.map_batches(piece_sets, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
-        vocab.update(b["piece"].to_pylist())
+    # model-derived id space: closed under encode_word by construction
+    # (every output symbol is a single [a-z0-9] char, the EOW marker,
+    # or a merge product)
     eos_id = 0
-    piece_id = {p: i + 1 for i, p in enumerate(sorted(vocab))}
+    universe = sorted(set(string.ascii_lowercase + string.digits)
+                      | {EOW} | set(model.vocab()))
+    piece_id = {p: i + 1 for i, p in enumerate(universe)}
 
     def with_len(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -270,7 +295,7 @@ def export_tokenized(docs, merges, out_dir: str, *,
 
     assign = packed.map_batches(add_seq_key, batch_format="pyarrow")
     if join_partitions is None:
-        join_partitions = max(2, min(64, ncpu // 2))
+        join_partitions = _default_join_partitions()
 
     # Arrow's hash join rejects list-typed non-key columns, so pieces
     # ride through the join as ONE \x00-delimited large_string blob per
@@ -285,12 +310,7 @@ def export_tokenized(docs, merges, out_dir: str, *,
             .join(assign, "inner", join_partitions, on=(id_col,)))
 
     pid_ref = ray.put(piece_id)
-
-    def add_rank(t: pa.Table) -> pa.Table:
-        h = _md5_rank(t[_SEQ].to_pylist(), seed)
-        shard = [int(x[:4], 16) * num_shards >> 16 for x in h]
-        t = t.append_column("_rank", pa.array(h, pa.string()))
-        return t.append_column("shard", pa.array(shard, pa.int32()))
+    add_rank = _rank_shard_fn(seed, num_shards)
 
     def assemble(g: pd.DataFrame) -> pa.Table:
         pid = ray.get(pid_ref)
@@ -308,20 +328,21 @@ def export_tokenized(docs, merges, out_dir: str, *,
         # emit PLAIN list<int32> (zero-copy offsets+values) — returning
         # numpy arrays in a pandas column would make Ray write its
         # tensor-extension struct type, which downstream parquet
-        # readers don't understand
+        # readers don't understand. Offsets are int64 (LargeList): a
+        # shard group past 2^31 total ids must not wrap.
         lens = np.fromiter((len(x) for x in out_ids), np.int64,
                            len(out_ids))
         flat = (np.concatenate(out_ids) if out_ids
                 else np.empty(0, np.int32))
         offsets = pa.array(
-            np.concatenate(([0], np.cumsum(lens))).astype(np.int32),
-            pa.int32())
+            np.concatenate(([0], np.cumsum(lens))).astype(np.int64),
+            pa.int64())
         shard = int(g["shard"].iloc[0]) if len(g) else 0
         n = len(out_key)
         return pa.table({
             "seq_key": pa.array(out_key, pa.string()),
             "n_ids": pa.array(lens, pa.int64()),
-            "ids": pa.ListArray.from_arrays(
+            "ids": pa.LargeListArray.from_arrays(
                 offsets, pa.array(flat, pa.int32())),
             "shard": pa.array(np.full(n, shard, dtype=np.int32)),
             "pos": pa.array(np.arange(n, dtype=np.int64)),
@@ -339,6 +360,7 @@ def export_tokenized(docs, merges, out_dir: str, *,
     written = rd.read_parquet(out_dir)
     n_seqs = written.count()
     total_ids = int(written.sum(on="n_ids") or 0)
+    n_over = written.filter(expr=f"n_ids > {seq_budget}").count()
     manifest = {
         "docs": n_docs,
         "sequences": n_seqs,
@@ -346,10 +368,12 @@ def export_tokenized(docs, merges, out_dir: str, *,
         "total_tokens": total_ids,
         "fill_efficiency": round(total_ids / (n_seqs * seq_budget), 4)
         if n_seqs else 0.0,
+        "oversized_sequences": n_over,
         "vocab_size": len(piece_id) + 1,
         "eos_id": eos_id,
         "num_shards": num_shards,
         "seed": seed,
+        "normalized": normalize,
     }
     with open(os.path.join(out_dir, "_tokenized_manifest.json"),
               "w") as f:
@@ -357,9 +381,9 @@ def export_tokenized(docs, merges, out_dir: str, *,
     import pyarrow.parquet as pq
 
     pq.write_table(
-        pa.table({"piece": pa.array(["<eos>", *sorted(vocab)]),
+        pa.table({"piece": pa.array(["<eos>", *universe]),
                   "token_id": pa.array(
-                      [eos_id, *[piece_id[p] for p in sorted(vocab)]],
+                      [eos_id, *[piece_id[p] for p in universe]],
                       pa.int32())}),
         os.path.join(out_dir, "_token_vocab.parquet"))
     return manifest

@@ -26,13 +26,15 @@ Format notes (neo4j-admin CSV conventions):
   names, where this is cosmetic).
 - timestamps render ISO-8601 (``:datetime`` header suffix).
 
-Scale: both tables stream block-by-block; each map task writes its own
-CSV part file (atomic tmp rename) — the driver never holds rows, and a
-re-run replaces the output deterministically. Part filenames derive
-from the BATCH CONTENT (first id, row count), so a retried task
-rewrites the same file instead of duplicating rows. On a multi-node
-cluster ``out_dir`` must be shared storage (the same constraint as
-every file sink here).
+Scale: both tables stream through ONE bucketed groupby each (bucket =
+hash(id) % 64) whose group task renders and writes ``part-<bucket>.csv``
+(atomic tmp rename) — deterministic filenames, so a retried task
+rewrites its own file instead of duplicating or colliding, and the
+driver never holds rows. ``import.sh`` passes
+``--multiline-fields=true`` because quoted cells may legally contain
+newlines (LLM-extracted descriptions). On a multi-node cluster
+``out_dir`` must be shared storage (the same constraint as every file
+sink here).
 """
 
 from __future__ import annotations
@@ -70,14 +72,21 @@ def _csv_cell(v) -> str:
 
 
 def _arr_cell(vals) -> str:
-    if not vals:
+    # pandas-group rows hand lists over as numpy arrays, and a NULL
+    # list column arrives as None/NaN — treat all of those as empty
+    if vals is None or not hasattr(vals, "__len__") or len(vals) == 0:
         return ""
     return _csv_cell(";".join(
         str(v).replace(";", ",") for v in vals if v is not None))
 
 
 def _ts_cell(v) -> str:
-    return v.isoformat() if v is not None else ""
+    import pandas as pd
+
+    # pandas groups surface NULL timestamps as NaT, not None
+    if v is None or pd.isna(v):
+        return ""
+    return v.isoformat()
 
 
 def _write_part(out_sub: str, lines: list[str], task_tag: str) -> None:
@@ -89,53 +98,71 @@ def _write_part(out_sub: str, lines: list[str], task_tag: str) -> None:
     os.replace(tmp, final)
 
 
-def export_neo4j_csv(store_dir: str, out_dir: str) -> dict:
+def export_neo4j_csv(store_dir: str, out_dir: str,
+                     num_buckets: int = 64) -> dict:
     """Render ``store_dir``'s nodes/edges Parquet as neo4j-admin import
     CSVs under ``out_dir``; returns {entities, relationships, out}."""
-    import hashlib
     import shutil
 
+    import numpy as np
+    import pandas as pd
     import ray.data as rd
+
+    from ..functions.hashing import hash64_vec
 
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
-    def node_rows(t: pa.Table) -> pa.Table:
+    def bucketer(key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            b = (hash64_vec([x or "" for x in t[key_col].to_pylist()])
+                 % np.uint64(num_buckets)).astype(np.int32)
+            return t.append_column("_csv_bucket", pa.array(b))
+
+        return fn
+
+    def node_rows(g: pd.DataFrame) -> pd.DataFrame:
         lines = []
-        for r in t.to_pylist():
+        for r in g.to_dict("records"):
             lines.append(",".join([
                 _csv_cell(r["entity_id"]), _csv_cell(r["name"]),
                 _csv_cell(r["type"]), _ts_cell(r["first_seen"]),
-                _ts_cell(r["last_seen"]), str(r["mention_count"] or 0),
+                _ts_cell(r["last_seen"]),
+                str(int(r["mention_count"])
+                    if pd.notna(r["mention_count"]) else 0),
                 _arr_cell(r["aliases"]), "Entity"]))
-        tag = hashlib.sha1(
-            f"{lines[0] if lines else ''}|{len(lines)}".encode()
-        ).hexdigest()[:12]
-        _write_part(os.path.join(out_dir, "entities"), lines, tag)
-        return pa.table({"n": pa.array([len(lines)], pa.int64())})
+        bucket = int(g["_csv_bucket"].iloc[0]) if len(g) else 0
+        _write_part(os.path.join(out_dir, "entities"), lines,
+                    f"{bucket:05d}")
+        return pd.DataFrame({"n": [len(lines)]})
 
-    def edge_rows(t: pa.Table) -> pa.Table:
+    def edge_rows(g: pd.DataFrame) -> pd.DataFrame:
         lines = []
-        for r in t.to_pylist():
+        for r in g.to_dict("records"):
             lines.append(",".join([
                 _csv_cell(r["subj_id"]), _csv_cell(r["obj_id"]),
                 rel_type_of(r["pred"]), _csv_cell(r["subj"]),
                 _csv_cell(r["obj"]), _ts_cell(r["valid_from"]),
                 _ts_cell(r["valid_to"]), _csv_cell(r["description"]),
-                str(r["confidence"] if r["confidence"] is not None
-                    else ""),
+                str(r["confidence"])
+                if pd.notna(r["confidence"]) else "",
                 _arr_cell(r["source_chunks"])]))
-        tag = hashlib.sha1(
-            f"{lines[0] if lines else ''}|{len(lines)}".encode()
-        ).hexdigest()[:12]
-        _write_part(os.path.join(out_dir, "relationships"), lines, tag)
-        return pa.table({"n": pa.array([len(lines)], pa.int64())})
+        bucket = int(g["_csv_bucket"].iloc[0]) if len(g) else 0
+        _write_part(os.path.join(out_dir, "relationships"), lines,
+                    f"{bucket:05d}")
+        return pd.DataFrame({"n": [len(lines)]})
 
     n_nodes = int(rd.read_parquet(os.path.join(store_dir, "nodes"))
-                  .map_batches(node_rows, batch_format="pyarrow")
+                  .map_batches(bucketer("entity_id"),
+                               batch_format="pyarrow")
+                  .groupby("_csv_bucket")
+                  .map_groups(node_rows, batch_format="pandas")
                   .sum(on="n") or 0)
     n_edges = int(rd.read_parquet(os.path.join(store_dir, "edges"))
-                  .map_batches(edge_rows, batch_format="pyarrow")
+                  .map_batches(bucketer("subj_id"),
+                               batch_format="pyarrow")
+                  .groupby("_csv_bucket")
+                  .map_groups(edge_rows, batch_format="pandas")
                   .sum(on="n") or 0)
 
     with open(os.path.join(out_dir, "entities_header.csv"), "w") as f:
@@ -151,6 +178,6 @@ def export_neo4j_csv(store_dir: str, out_dir: str) -> dict:
             "  --nodes=entities_header.csv,entities/part-.*\\.csv \\\n"
             "  --relationships=relationships_header.csv,"
             "relationships/part-.*\\.csv \\\n"
-            "  --array-delimiter=';' neo4j\n")
+            "  --array-delimiter=';' --multiline-fields=true neo4j\n")
     return {"entities": n_nodes, "relationships": n_edges,
             "out": out_dir}

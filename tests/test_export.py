@@ -245,3 +245,40 @@ def test_export_tokenized(tmp_path):
     assert set(got_by_shard) == set(want_by_shard)
     for s in want_by_shard:
         assert got_by_shard[s] == want_by_shard[s], f"shard {s}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tokenized_vocab_is_model_derived_not_corpus_derived(tmp_path):
+    """Two different corpora exported with the SAME BPE model get
+    identical piece->id tables (a trainer consuming both must see
+    consistent ids), and every emitted id is within the model
+    universe."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.export import (
+        export_tokenized,
+    )
+    from temporal_knowledge_graphs_ray.stages.bpe import train_bpe
+
+    docs = rd.read_parquet(SF, columns=["doc_id", "text"])
+    model = train_bpe(docs, num_merges=40)
+    # corpus B: different text (slice + mangled) — different observed
+    # piece set than corpus A
+    import pyarrow as pa
+
+    half = docs.limit(100).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.array([("zz " + (x or ""))[:50]
+                              for x in t["text"].to_pylist()])}),
+        batch_format="pyarrow")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    ma = export_tokenized(docs, model.merges, a, seq_budget=256,
+                          num_shards=2)
+    mb = export_tokenized(half, model.merges, b, seq_budget=256,
+                          num_shards=2)
+    va = pd.read_parquet(f"{a}/_token_vocab.parquet")
+    vb = pd.read_parquet(f"{b}/_token_vocab.parquet")
+    assert va.equals(vb)
+    assert ma["vocab_size"] == mb["vocab_size"] == len(va)
+    assert ma["oversized_sequences"] >= 0  # manifest carries the flag

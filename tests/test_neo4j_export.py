@@ -46,7 +46,8 @@ def _store(tmp_path):
         "obj_id": pa.array(["e2", "e3"], pa.string()),
         "valid_from": pa.array([TS, None], pa.timestamp("us")),
         "valid_to": pa.array([None, None], pa.timestamp("us")),
-        "description": pa.array(["rel, desc", None], pa.large_string()),
+        "description": pa.array(["rel, desc\nline two", None],
+                                pa.large_string()),
         "confidence": pa.array([0.9, None], pa.float32()),
         "source_chunks": pa.array([["c1", "c2"], None],
                                   pa.list_(pa.string())),
@@ -91,19 +92,28 @@ def test_export_round_trips(tmp_path):
     rels = (_read_with_header(out, "relationships")
             .sort_values(":START_ID(Entity)", ignore_index=True))
     assert list(rels[":TYPE"]) == ["WORKS_FOR", "RELATED_TO"]
-    assert rels.loc[0, "description"] == "rel, desc"
+    # newline survives inside the quoted cell (import.sh passes
+    # --multiline-fields=true so neo4j-admin accepts it)
+    assert rels.loc[0, "description"] == "rel, desc\nline two"
     assert rels.loc[0, "source_chunks:string[]"] == "c1;c2"
     assert rels.loc[1, "valid_from:datetime"] == ""
 
     # import.sh mentions both header files
     sh = open(f"{out}/import.sh").read()
     assert "entities_header.csv" in sh and "neo4j-admin" in sh
+    assert "--multiline-fields=true" in sh
 
-    # deterministic re-run: same files, same contents
+    # deterministic re-run: same files, same contents (capture BEFORE
+    # the rerun so a stale-part regression would actually fail)
+    before = _read_with_header(out, "entities")
+    parts_before = sorted(os.path.basename(p) for p in
+                          glob.glob(f"{out}/entities/part-*.csv"))
     rep2 = export_neo4j_csv(store, out)
     assert rep2 == rep
-    assert _read_with_header(out, "entities").equals(
-        _read_with_header(out, "entities"))
+    parts_after = sorted(os.path.basename(p) for p in
+                         glob.glob(f"{out}/entities/part-*.csv"))
+    assert parts_before == parts_after
+    assert before.equals(_read_with_header(out, "entities"))
 
 
 @pytest.mark.usefixtures("ray_session")
