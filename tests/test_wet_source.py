@@ -174,3 +174,76 @@ class TestRayRead:
         assert report["input_docs"] == 21
         assert report["after_exact_dedup"] == 20
         assert rd.read_parquet(out).count() == report["curated_docs"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_web_to_training_tokens_end_to_end(tmp_path):
+    """The COMPLETE story in one pipeline: raw WET shards -> curation
+    funnel (paragraph dedup + ExactSubstr removal + filters + exact +
+    near-dup) -> BPE train -> packed token-id shards. Every stage is
+    the real operator; the final artifact parses and covers every
+    surviving doc exactly once."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.curate import (
+        curate_corpus,
+    )
+    from temporal_knowledge_graphs_ray.pipelines.export import (
+        export_tokenized,
+    )
+    from temporal_knowledge_graphs_ray.sources.wet import (
+        read_wet,
+        wet_to_documents,
+        write_wet,
+    )
+    from temporal_knowledge_graphs_ray.stages.bpe import train_bpe
+
+    rng = np.random.default_rng(3)
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima").split()
+    boiler = "subscribe to the newsletter now"
+    recs = [{"warc_type": "warcinfo", "url": "",
+             "warc_date": "2020-06-01T00:00:00Z", "record_id": "i0",
+             "text": "software: writer"}]
+    for i in range(40):
+        body = " ".join(rng.choice(words, size=30))
+        recs.append({
+            "warc_type": "conversion",
+            "url": f"https://ex.org/p/{i}",
+            "warc_date": "2020-06-02T00:00:00Z",
+            "record_id": f"r-{i}",
+            "text": boiler + "\n" + body})
+    # a pure duplicate of page 0's body (near-dup leg fodder)
+    recs.append(dict(recs[1], url="https://ex.org/dup",
+                     record_id="r-dup"))
+    shard = str(tmp_path / "crawl.wet.gz")
+    write_wet(shard, recs, per_record_members=True)
+
+    curated_dir = str(tmp_path / "curated")
+    report = curate_corpus(
+        wet_to_documents(read_wet(shard)), curated_dir,
+        min_words=3, max_punct_ratio=1.0,
+        paragraph_dedup_sep="\n", substring_removal_window=8)
+    assert report["input_docs"] == 41  # warcinfo dropped by the bridge
+    assert report["curated_docs"] > 0
+    curated = rd.read_parquet(curated_dir)
+
+    model = train_bpe(curated, num_merges=30)
+    tok_dir = str(tmp_path / "tokens")
+    man = export_tokenized(curated, model.merges, tok_dir,
+                           seq_budget=128, num_shards=2)
+    assert man["docs"] == report["curated_docs"]
+    frames = [pd.read_parquet(p)
+              for p in glob.glob(f"{tok_dir}/shard=*/*.parquet")]
+    got = pd.concat(frames)
+    assert man["sequences"] == len(got)
+    assert (got["ids"].map(len) == got["n_ids"]).all()
+    assert int(got["n_ids"].sum()) == man["total_tokens"]
+    # the boilerplate paragraph was deduped before tokenization: its
+    # pieces appear far fewer times than 40x
+    vocab = pd.read_parquet(f"{tok_dir}/_token_vocab.parquet")
+    assert len(vocab) == man["vocab_size"]
