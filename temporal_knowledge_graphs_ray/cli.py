@@ -357,6 +357,25 @@ def cmd_dupspans(args) -> int:
     return 0
 
 
+def cmd_datacard(args) -> int:
+    """One-call corpus audit card (profile + language mix + token
+    stats + dup accounting + review flags) as one JSON blob."""
+    import ray
+    import ray.data as rd
+
+    from .pipelines.datacard import build_datacard
+
+    _init_ray(args.num_cpus)
+    card = build_datacard(rd.read_parquet(args.documents),
+                          text_col=args.text_col, id_col=args.id_col)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(card, f, indent=1, default=str)
+    print(json.dumps(card, default=str))
+    ray.shutdown()
+    return 0
+
+
 def cmd_graphcsv(args) -> int:
     """Parquet graph store -> neo4j-admin bulk-import CSVs (the bridge
     back into the reference's Neo4j serving stack)."""
@@ -903,6 +922,14 @@ def main(argv=None) -> int:
                         "removal) instead of writing stats")
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("datacard")
+    p.add_argument("--documents", required=True)
+    p.add_argument("--out", default=None,
+                   help="also write the card JSON here")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("graphcsv")
     p.add_argument("--store", required=True,
                    help="graph store dir (nodes/ + edges/ Parquet)")
@@ -1073,6 +1100,8 @@ def main(argv=None) -> int:
         return cmd_semdedup(args)
     if args.cmd == "dupspans":
         return cmd_dupspans(args)
+    if args.cmd == "datacard":
+        return cmd_datacard(args)
     if args.cmd == "graphcsv":
         return cmd_graphcsv(args)
     if args.cmd == "urldedup":
