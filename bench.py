@@ -292,6 +292,12 @@ def run_bench() -> dict:
 
     timed("export_tokenized", tok_export)
 
+    from temporal_knowledge_graphs_ray.pipelines.datacard import (
+        build_datacard,
+    )
+
+    timed("datacard", lambda: build_datacard(docs)["rows"])
+
     from temporal_knowledge_graphs_ray.stages.sampling import weighted_sample
 
     def wsample():

@@ -147,9 +147,13 @@ def test_real_store_exports(tmp_path):
 
 def test_csv_cell_round_trip_property():
     """Adversarial cell values (quotes, commas, newlines, unicode)
-    must survive the render -> pandas read_csv round trip byte-exact —
-    the quoting contract the whole exporter rests on."""
-    from hypothesis import assume, given, settings
+    must survive the render -> csv.reader round trip byte-exact —
+    the quoting contract the whole exporter rests on. (csv.reader,
+    not pandas: the C parser's CR handling inside quoted fields is
+    position-dependent and makes a flaky oracle.)"""
+    import csv
+
+    from hypothesis import given, settings
     from hypothesis import strategies as st
 
     from temporal_knowledge_graphs_ray.pipelines.neo4j_export import (
@@ -157,20 +161,18 @@ def test_csv_cell_round_trip_property():
     )
 
     alphabet = st.sampled_from(list(
-        'abcXYZ012 ,;"\'\n\r\t—é€') )
+        'abcXYZ012 ,;"\'\n\r\t—é€'))
 
     @given(st.lists(st.text(alphabet=alphabet, max_size=40),
                     min_size=1, max_size=5))
-    @settings(max_examples=300, deadline=None)
+    @settings(max_examples=500, deadline=None)
     def run(cells):
-        # \r\n inside a cell reads back as \n under pandas' universal
-        # newline handling — normalize the EXPECTATION, not the data
         line = ",".join(_csv_cell(c) for c in cells)
-        assume(line != "")  # a fully-empty 1-cell line isn't a row
-        df = pd.read_csv(io.StringIO(line), header=None,
-                         keep_default_na=False, dtype=str)
-        got = [df.iloc[0, i] for i in range(len(cells))]
-        want = [c.replace("\r\n", "\n") for c in cells]
-        assert got == want
+        rows = list(csv.reader(io.StringIO(line, newline="")))
+        # a trailing bare newline in the LAST cell ends the record;
+        # unquoted-empty trailing cells still count
+        got = rows[0] if rows else [""]
+        got += [""] * (len(cells) - len(got))
+        assert got == cells
 
     run()
