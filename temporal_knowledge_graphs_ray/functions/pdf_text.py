@@ -265,6 +265,14 @@ class _Doc:
             try:
                 d = _Lexer(self.data, m.end()).parse_value()
             except (ValueError, RecursionError, IndexError):
+                # trailer dict the lexer can't parse: fall back to a
+                # conservative byte-level check near the trailer — a
+                # malformed-but-encrypted PDF must still refuse rather
+                # than fall through and emit ciphertext as text
+                if b"/Encrypt" in self.data[m.end():m.end() + 2048]:
+                    raise NotImplementedError(
+                        "encrypted PDFs are outside the vendored "
+                        "subset (malformed trailer, /Encrypt nearby)")
                 continue
             if isinstance(d, dict) and "Encrypt" in d:
                 raise NotImplementedError(

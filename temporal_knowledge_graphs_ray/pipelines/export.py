@@ -118,15 +118,24 @@ def export_training_data(docs, out_dir: str, text_col: str = "text",
         # the shard group task sorts AND writes its own file: one task
         # per shard end-to-end, same resumability grain as the Hive
         # dirs, no whole-output pass through the driver
+        # NOTE: each shard task writes to its local filesystem — on a
+        # multi-node cluster out_dir must be shared storage (NFS/S3
+        # mount), same contract as the neo4j_export sink.
         def sort_and_write_jsonl(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g):
+                return pd.DataFrame({"shard": pd.array([], "int64"),
+                                     "rows": pd.array([], "int64")})
             g = sort_shard(g)
             shard = int(g["shard"].iloc[0])
             d = os.path.join(out_dir, f"shard={shard}")
             os.makedirs(d, exist_ok=True)
             tmp = os.path.join(d, ".part-0.jsonl.tmp")
+            # double_precision=15: pandas' default (10) silently rounds
+            # float columns a library caller passes through the export
             g.drop(columns=["shard"]).to_json(tmp, orient="records",
                                               lines=True,
-                                              force_ascii=False)
+                                              force_ascii=False,
+                                              double_precision=15)
             os.replace(tmp, os.path.join(d, "part-0.jsonl"))
             return pd.DataFrame({"shard": [shard],
                                  "rows": [len(g)]})

@@ -112,6 +112,13 @@ def export_neo4j_csv(store_dir: str, out_dir: str,
 
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
+    # import.sh references entities/part-*.csv and
+    # relationships/part-*.csv unconditionally — create both dirs (and
+    # an empty part file each) up front so the emitted script runs on a
+    # valid-but-empty graph instead of failing on a missing glob.
+    for sub in ("entities", "relationships"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+        _write_part(os.path.join(out_dir, sub), [], "00000")
 
     def bucketer(key_col: str):
         def fn(t: pa.Table) -> pa.Table:

@@ -263,18 +263,28 @@ def _ccnet_assign(bits_r: np.ndarray, langs, cut_map: dict,
                   n_buckets: int) -> np.ndarray:
     """Bucket index per row via searchsorted against the language's
     cutpoints (side='left': a doc AT the cutpoint goes in the lower
-    bucket — DuckDB quantile_disc inclusive semantics)."""
+    bucket — DuckDB quantile_disc inclusive semantics). Featureless
+    docs carry bits_r=+inf (_ccnet_rounded); they are forced to the
+    LAST bucket explicitly — searchsorted alone would place inf AT an
+    inf cutpoint (a group dominated by empty docs, e.g. the
+    NULL-language group) into the lower bucket, inverting the
+    'featureless docs always land in the tail' guarantee."""
+    bits_r = np.asarray(bits_r, dtype=np.float64)
     if langs is None:
-        return np.searchsorted(cut_map[None], bits_r, side="left")
-    idx = np.empty(len(bits_r), dtype=np.int64)
-    for lang in set(langs):
-        mask = np.fromiter((x == lang for x in langs), bool, len(langs))
-        cuts = cut_map.get(lang)
-        # a language genuinely absent from the cutpoint table (can only
-        # happen when scoring NEW data against saved cutpoints) buckets
-        # last deterministically
-        idx[mask] = (np.searchsorted(cuts, bits_r[mask], side="left")
-                     if cuts is not None else n_buckets - 1)
+        idx = np.searchsorted(cut_map[None], bits_r, side="left")
+    else:
+        idx = np.empty(len(bits_r), dtype=np.int64)
+        for lang in set(langs):
+            mask = np.fromiter((x == lang for x in langs), bool,
+                               len(langs))
+            cuts = cut_map.get(lang)
+            # a language genuinely absent from the cutpoint table (can
+            # only happen when scoring NEW data against saved
+            # cutpoints) buckets last deterministically
+            idx[mask] = (np.searchsorted(cuts, bits_r[mask],
+                                         side="left")
+                         if cuts is not None else n_buckets - 1)
+    idx[np.isinf(bits_r)] = n_buckets - 1
     return idx
 
 

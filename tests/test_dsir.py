@@ -320,6 +320,39 @@ class TestCcnetEdges:
         for i in (900, 901, 902):
             assert out.loc[i, "bucket"] == "tail"
 
+    def test_featureless_docs_bucket_last_even_with_inf_cutpoints(self):
+        """A language group DOMINATED by empty docs has inf cutpoints;
+        searchsorted(side='left') alone would place the inf-scored docs
+        AT the inf cutpoint into 'head'. The assign step must override
+        to the last bucket (ADVICE r4: dsir.py _ccnet_assign)."""
+        import ray.data as rd
+
+        from temporal_knowledge_graphs_ray.stages.dsir import (
+            ccnet_buckets,
+            ccnet_filter,
+        )
+
+        counts = self._counts()
+        _, raw_ids, raw_texts = _corpora()
+        # lang=None group: 9 empty docs + 1 real doc → both the 1/3 and
+        # 2/3 cutpoints of that group are +inf
+        ids = list(raw_ids) + list(range(900, 910))
+        texts = list(raw_texts) + [""] * 9 + ["one real document here"]
+        langs = ["en"] * len(raw_ids) + [None] * 10
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string())}))
+        out = (ccnet_buckets(ds, counts, lang_col="lang").to_pandas()
+               .set_index("doc_id"))
+        for i in range(900, 909):
+            assert out.loc[i, "bucket"] == "tail"
+        # and ccnet_filter(keep=head/middle) must therefore drop them
+        kept = set(ccnet_filter(ds, counts, keep=("head", "middle"),
+                                lang_col="lang")
+                   .to_pandas()["doc_id"])
+        assert not kept & set(range(900, 909))
+
     def test_ccnet_filter_equals_buckets_plus_keep(self):
         import ray.data as rd
 

@@ -64,6 +64,44 @@ def _read_with_header(out_dir, name):
                        keep_default_na=False)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_empty_store_still_emits_runnable_layout(tmp_path):
+    """A valid-but-empty graph must still produce the entities/ and
+    relationships/ dirs with at least one part file each, so the
+    emitted import.sh's unconditional glob references resolve
+    (ADVICE r4: neo4j_export.py)."""
+    store = str(tmp_path / "store")
+    os.makedirs(f"{store}/nodes")
+    os.makedirs(f"{store}/edges")
+    empty_nodes = pa.table({
+        "entity_id": pa.array([], pa.string()),
+        "name": pa.array([], pa.string()),
+        "type": pa.array([], pa.string()),
+        "first_seen": pa.array([], pa.timestamp("us")),
+        "last_seen": pa.array([], pa.timestamp("us")),
+        "mention_count": pa.array([], pa.int64()),
+        "aliases": pa.array([], pa.list_(pa.string()))})
+    empty_edges = pa.table({
+        "subj": pa.array([], pa.string()),
+        "subj_id": pa.array([], pa.string()),
+        "pred": pa.array([], pa.string()),
+        "obj": pa.array([], pa.string()),
+        "obj_id": pa.array([], pa.string()),
+        "valid_from": pa.array([], pa.timestamp("us")),
+        "valid_to": pa.array([], pa.timestamp("us")),
+        "description": pa.array([], pa.large_string()),
+        "confidence": pa.array([], pa.float32()),
+        "source_chunks": pa.array([], pa.list_(pa.string()))})
+    pq.write_table(empty_nodes, f"{store}/nodes/part0.parquet")
+    pq.write_table(empty_edges, f"{store}/edges/part0.parquet")
+    out = str(tmp_path / "csv")
+    rep = export_neo4j_csv(store, out)
+    assert rep["entities"] == 0 and rep["relationships"] == 0
+    assert glob.glob(f"{out}/entities/part-*.csv")
+    assert glob.glob(f"{out}/relationships/part-*.csv")
+    assert os.path.exists(f"{out}/import.sh")
+
+
 def test_rel_type_sanitization():
     assert rel_type_of("works for") == "WORKS_FOR"
     assert rel_type_of("né à/chez") == "N_CHEZ"

@@ -134,6 +134,19 @@ def test_encrypted_refused():
         MiniPdfReader(pdf)
 
 
+def test_malformed_trailer_encrypted_still_refused():
+    """A trailer dict the lexer cannot parse must NOT skip the
+    encryption guard: the conservative byte-level fallback sees
+    /Encrypt near the trailer and refuses instead of emitting
+    ciphertext as text (ADVICE r4: pdf_text.py _check_encryption)."""
+    pdf = build_pdf([PAGE1], [True])
+    pdf = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    # corrupt the trailer dict so parse_value raises: unbalanced '<<'
+    pdf = pdf.replace(b"trailer", b"trailer\n<< << [", 1)
+    with pytest.raises(NotImplementedError):
+        MiniPdfReader(pdf)
+
+
 def test_incremental_update_latest_wins():
     pdf = build_pdf([PAGE2], [False])
     # append a redefinition of the content object (object 4): classic
