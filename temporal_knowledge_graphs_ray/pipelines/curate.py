@@ -209,16 +209,30 @@ def curate_corpus(
     ).materialize()
     report["after_exact_dedup"] = exact_unique.count()
 
-    # near-dup: drop every cluster member except the min id
-    pairs = minhash_verified_pairs(
+    # near-dup: drop every cluster member except the min id. Gated the
+    # same way as minhash_lsh_dedup: at or below _DRIVER_CLUSTER_MAX
+    # verified pairs the cluster step is a driver union-find and the
+    # drop set applies as a broadcast filter; above it (boilerplate-
+    # replicated crawls where the pair set is corpus-scale) clusters
+    # come from the distributed connected_components and drops apply as
+    # a distributed anti-join — no step holds O(pairs) driver state.
+    from ..stages import dedup as _dedup
+
+    pairs_ds = minhash_verified_pairs(
         exact_unique, text_col=text_col, id_col=id_col,
-        num_bands=num_bands, jaccard_threshold=jaccard_threshold)
-    drop: set = set()
-    for cluster in cluster_pairs(list(zip(pairs["a"], pairs["b"]))):
-        drop.update(sorted(cluster)[1:])
-    report["neardup_pairs"] = len(pairs)
-    report["neardup_dropped"] = len(drop)
-    if drop:
+        num_bands=num_bands, jaccard_threshold=jaccard_threshold,
+        as_dataset=True).materialize()
+    n_pairs = pairs_ds.count()
+    report["neardup_pairs"] = n_pairs
+    if n_pairs == 0:
+        report["neardup_dropped"] = 0
+        curated = exact_unique
+    elif n_pairs <= _dedup._DRIVER_CLUSTER_MAX:
+        pairs = pairs_ds.to_pandas()
+        drop: set = set()
+        for cluster in cluster_pairs(list(zip(pairs["a"], pairs["b"]))):
+            drop.update(sorted(cluster)[1:])
+        report["neardup_dropped"] = len(drop)
         drop_arr = pa.array(sorted(drop), pa.int64())
         curated = exact_unique.map_batches(
             lambda t: t.filter(
@@ -227,7 +241,24 @@ def curate_corpus(
             batch_format="pyarrow",
         )
     else:
-        curated = exact_unique
+        drop_ds = (_dedup._cluster_pairs_distributed(pairs_ds, id_col)
+                   .map_batches(
+                       lambda t: t.filter(pc.not_equal(
+                           t[id_col], t["cluster_id"]))
+                       .select([id_col]),
+                       batch_format="pyarrow").materialize())
+        report["neardup_dropped"] = drop_ds.count()
+        _NKEY = "_neardup_key"
+        flags = drop_ds.map_batches(
+            lambda t: pa.table({_NKEY: t[id_col].cast(pa.int64())}),
+            batch_format="pyarrow")
+        keyed = exact_unique.map_batches(
+            lambda t: t.append_column(_NKEY,
+                                      t[id_col].cast(pa.int64())),
+            batch_format="pyarrow")
+        curated = keyed.join(
+            flags, "left_anti", join_partitions,
+            on=(_NKEY,)).drop_columns([_NKEY])
 
     # optional substring-duplication leg (Lee et al. window spans):
     # docs whose exact-duplicated-token fraction exceeds the cap drop.

@@ -118,24 +118,40 @@ def _candidate_pairs_from_bands(band_ds, id_col: str = "doc_id",
         df = group[["band_index", "band_hash", id_col]].drop_duplicates()
         # hot-band guard: a degenerate band key shared by B docs generates
         # B^2/2 pairs in one task (empty/boilerplate docs at web scale all
-        # hash identically). Cap the group size and report the drop — the
-        # exact-dedup pass catches identical docs anyway.
+        # hash identically). Hot groups switch from the quadratic
+        # self-merge to a LINEAR star expansion — every member pairs with
+        # the group's min id — the dedup analogue of canonicalize's
+        # bounded hierarchical pass: candidate connectivity within the
+        # group is preserved (verification + union-find reconnect the
+        # cluster through the hub), only non-hub pair ENUMERATION is
+        # skipped, so cluster-level recall survives where the old path
+        # dropped the group outright.
         sizes = df.groupby(["band_index", "band_hash"])[id_col].transform("size")
         hot = sizes > _MAX_BAND_GROUP
+        outs = []
         if hot.any():
             import logging
 
             logging.getLogger(__name__).warning(
-                "lsh-bands: dropping %d rows in bands over %d members "
+                "lsh-bands: %d rows in bands over %d members — star "
+                "expansion (linear, hub=min id) instead of all-pairs "
                 "(minhash or embedding-lsh candidate gen)",
                 int(hot.sum()), _MAX_BAND_GROUP)
+            dh = df[hot]
+            hub = dh.groupby(["band_index", "band_hash"])[id_col].transform("min")
+            star = pd.DataFrame({"a": hub[dh[id_col] != hub],
+                                 "b": dh.loc[dh[id_col] != hub, id_col]})
+            outs.append(star.drop_duplicates())
             df = df[~hot]
         m = df.merge(df, on=["band_index", "band_hash"],
                      suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
         out.columns = ["a", "b"]
-        return out
+        outs.append(out)
+        return (pd.concat(outs, ignore_index=True)
+                .drop_duplicates(ignore_index=True)
+                .astype({"a": "int64", "b": "int64"}))
 
     return (
         band_ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -159,10 +175,34 @@ def _as_array(col) -> pa.Array:
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+def _dedup_pair_rows(cand_ds, num_buckets: int = 64):
+    """Distinct (a, b) pairs via a bucketed groupby — the distributed
+    replacement for driver-side ``drop_duplicates`` over the candidate
+    pair set (cross-bucket duplicates arise when the same pair surfaces
+    through bands hashing into different shuffle buckets)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((a * np.uint64(0x9E3779B97F4A7C15))
+             ^ (b * np.uint64(0xBF58476D1CE4E5B9)))
+        return t.append_column(
+            "pbucket",
+            pa.array((h & np.uint64(num_buckets - 1)).astype(np.int32)))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates(ignore_index=True)
+
+    return (cand_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("pbucket")
+            .map_groups(uniq, batch_format="pandas"))
+
+
 def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 64, num_bands: int = 32,
                            shingle_k: int = 3,
-                           jaccard_threshold: float = 0.8) -> pd.DataFrame:
+                           jaccard_threshold: float = 0.8,
+                           as_dataset: bool = False):
     """MinHash-LSH candidates -> DISTRIBUTED exact-Jaccard verification.
 
     Returns (a, b, jaccard) for every candidate pair whose true shingle
@@ -183,6 +223,11 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     Docs with fewer than ``shingle_k`` words are excluded (no full shingle
     exists — matching the SQL oracle's ``len(ws) >= k`` guard).
+
+    ``as_dataset=True`` returns the verified pairs as an (unsorted)
+    ``ray.data.Dataset`` instead of a sorted pandas frame — the 100 TB
+    mode, where the pair set itself can be corpus-scale (boilerplate-
+    heavy web crawls) and must stay off the driver end to end.
     """
     import pyarrow.compute as pc
 
@@ -191,20 +236,21 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     band_ds = minhash_rows(ds, text_col, id_col, num_perm, num_bands,
                            shingle_k)
     # pairs are distinct within each band bucket already; cross-bucket
-    # duplicates (same pair surfacing via several bands) are deduped on
-    # the driver — the pair set is the same driver-bounded quantity the
-    # semi-join filter below needs anyway, so no extra shuffle for it
-    cand_pdf = (_candidate_pairs_from_bands(band_ds, id_col)
-                .to_pandas().drop_duplicates(ignore_index=True))
-    if cand_pdf.empty:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    cand_ids = set(cand_pdf["a"]) | set(cand_pdf["b"])
-    cand_tbl = pa.Table.from_arrays(
-        [pa.array(cand_pdf["a"].astype("int64")),
-         pa.array(cand_pdf["b"].astype("int64"))],
-        names=["a", "b"])
+    # duplicates (same pair surfacing via several bands) dedup through a
+    # second bucketed groupby keyed on the pair hash — the pair set
+    # never lands on the driver as a frame
+    cand_ds = _dedup_pair_rows(
+        _candidate_pairs_from_bands(band_ds, id_col)).materialize()
+    n_pairs = cand_ds.count()
+    if n_pairs == 0:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        if as_dataset:
+            import ray.data as rd
+
+            return rd.from_pandas(empty)
+        return empty
 
     # Semi-join broadcast: below the threshold ship the exact id set into
     # ``pc.is_in``; above it ship a fixed-size Bloom filter instead (a
@@ -212,18 +258,30 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # ~10 bits/id). Bloom false positives are HARMLESS here: a non-
     # candidate doc's shingle row has no pair-half to join onto, so the
     # attach stage drops it — FPs cost shuffle bytes, never output rows.
-    use_bloom = len(cand_ids) >= _BLOOM_SEMIJOIN_MIN
+    # Either way the driver only ever STREAMS id batches (into a numpy
+    # unique or a fixed-size bitmap) — it never holds the pair frame.
+    def _id_batches():
+        for batch in (cand_ds.select_columns(["a", "b"])
+                      .iter_batches(batch_format="pyarrow")):
+            yield np.concatenate([
+                batch["a"].to_numpy(zero_copy_only=False),
+                batch["b"].to_numpy(zero_copy_only=False)]).astype(np.int64)
+
+    use_bloom = 2 * n_pairs >= _BLOOM_SEMIJOIN_MIN
     if use_bloom:
         import ray
 
-        from ..functions.bloom import bloom_from_int64
+        from ..functions.bloom import BloomFilter
 
-        bloom_ref = ray.put(bloom_from_int64(
-            np.fromiter(cand_ids, np.int64, len(cand_ids))))
+        bf = BloomFilter(max(1, 2 * n_pairs))
+        for ids in _id_batches():
+            bf.add_many(ids)
+        bloom_ref = ray.put(bf)
         needed = None
     else:
         bloom_ref = None
-        needed = pa.array(sorted(cand_ids), pa.int64())
+        needed = pa.array(
+            np.unique(np.concatenate(list(_id_batches()))), pa.int64())
 
     # (doc, payload) rows: candidate docs' shingle sets, serialized as a
     # list column; non-candidates are filtered worker-side (semi-join)
@@ -289,7 +347,9 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 rows.append({"a": int(a), "b": int(b),
                              "jaccard": float(round_half_away(
                                  np.array([j]), 6)[0])})
-        return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+        return (pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+                .astype({"a": "int64", "b": "int64",
+                         "jaccard": "float64"}))
 
     def bucket_by(col: str, n: int = 64):
         def fn(t: pa.Table) -> pa.Table:
@@ -303,9 +363,7 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
         return fn
 
-    import ray.data as rd
-
-    halves_ds = rd.from_arrow(half_rows(cand_tbl))
+    halves_ds = cand_ds.map_batches(half_rows, batch_format="pyarrow")
     sh_ds = (ds.map_batches(shingle_rows, batch_format="pyarrow")
              .union(halves_ds))
     joined = (
@@ -313,12 +371,14 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("bucket")
         .map_groups(attach_shingles, batch_format="pandas")
     )
-    out = (
+    verified = (
         joined.map_batches(bucket_by("pa"), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
-        .to_pandas()
     )
+    if as_dataset:
+        return verified
+    out = verified.to_pandas()
     if out.empty:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
@@ -326,27 +386,92 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     return out.sort_values(["a", "b"], ignore_index=True)
 
 
+# verified-pair count above which cluster assignment routes through the
+# distributed connected_components (hash-min label propagation) instead
+# of a driver-side union-find loop; tests force the distributed path by
+# monkeypatching this to 0. _CC_LOCAL_EDGE_CUTOFF is forwarded to
+# connected_components' own local shortcut (0 in forced-distributed
+# tests so the label-propagation rounds genuinely run).
+_DRIVER_CLUSTER_MAX = 500_000
+_CC_LOCAL_EDGE_CUTOFF = 500_000
+
+# doc ids are zero-padded to this width so connected_components'
+# lexicographic-min component label equals the numeric min member id
+_ID_PAD = 20
+
+
+def _cluster_pairs_distributed(pairs_ds, id_col: str):
+    """(a, b) pair Dataset -> (id_col, cluster_id) Dataset via the
+    distributed connected_components (pipelines/graph.py). Ids must be
+    non-negative (the engine's 63-bit doc-id contract) — they are
+    zero-padded to strings so the component label (lexicographic min)
+    is the numeric min member, matching the driver union-find's
+    cluster_id convention exactly."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.graph import connected_components
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = [f"{x:0{_ID_PAD}d}" for x in t["a"].to_pylist()]
+        b = [f"{x:0{_ID_PAD}d}" for x in t["b"].to_pylist()]
+        return pa.table({"subj_id": pa.array(a, pa.string()),
+                         "obj_id": pa.array(b, pa.string())})
+
+    comp = connected_components(
+        pairs_ds.map_batches(to_edges, batch_format="pyarrow"),
+        local_edge_cutoff=_CC_LOCAL_EDGE_CUTOFF)
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(t["entity_id"], pa.int64()),
+            "cluster_id": pc.cast(t["component"], pa.int64())})
+
+    return comp.map_batches(back, batch_format="pyarrow")
+
+
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, num_bands: int = 16,
-                      shingle_k: int = 3, jaccard_threshold: float = 0.8):
+                      shingle_k: int = 3, jaccard_threshold: float = 0.8,
+                      as_dataset: bool = False):
     """Full MinHash-LSH near-dup pipeline: verified pairs -> clusters.
 
-    Thin wrapper over :func:`minhash_verified_pairs` (the distributed
-    candidate + worker-side verify path — the driver never holds texts or
-    shingles) followed by a union-find over the verified-pair set. Returns
-    a pandas DataFrame (id, cluster_id) for near-duplicate docs
-    (cluster_id = min member id). The verified-pair set is tiny relative
-    to the corpus (only near-dups survive), so the final union-find runs
-    on the driver — the documented smallness assumption; at extreme dup
-    rates switch to iterated min-label propagation.
+    Wrapper over :func:`minhash_verified_pairs` (the distributed
+    candidate + worker-side verify path — the driver never holds texts,
+    shingles, or the pair frame) followed by cluster assignment over the
+    verified-pair set. Returns (id, cluster_id) rows for near-duplicate
+    docs (cluster_id = min member id).
+
+    Cluster assignment is GATED on the verified-pair count: at or below
+    ``_DRIVER_CLUSTER_MAX`` pairs (only near-dups survive verification,
+    so this covers any realistic dup rate at bench scale) a driver-side
+    union-find resolves clusters; above it — boilerplate-replicated web
+    crawls where the verified-pair set is itself corpus-scale — pairs
+    feed the distributed ``connected_components`` label propagation
+    (pipelines/graph.py), so no step holds O(pairs) state on the driver.
+    Both paths produce identical output (forced-distributed equality
+    test on a planted-cluster corpus). ``as_dataset=True`` always takes
+    the distributed path and returns a Dataset (the 100 TB mode).
     """
-    pairs = minhash_verified_pairs(
+    pairs_ds = minhash_verified_pairs(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
         num_bands=num_bands, shingle_k=shingle_k,
-        jaccard_threshold=jaccard_threshold,
-    )
-    if pairs.empty:
-        return pd.DataFrame({id_col: [], "cluster_id": []})
+        jaccard_threshold=jaccard_threshold, as_dataset=True,
+    ).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        empty = pd.DataFrame({id_col: [], "cluster_id": []})
+        if as_dataset:
+            import ray.data as rd
+
+            return rd.from_pandas(empty)
+        return empty
+    if as_dataset or n_pairs > _DRIVER_CLUSTER_MAX:
+        out_ds = _cluster_pairs_distributed(pairs_ds, id_col)
+        if as_dataset:
+            return out_ds
+        return (out_ds.to_pandas()
+                .sort_values(id_col, ignore_index=True))
+    pairs = pairs_ds.to_pandas()
     rows = []
     for cluster in cluster_pairs(list(zip(pairs["a"], pairs["b"]))):
         cid = min(cluster)
@@ -368,7 +493,8 @@ def _block_bounds(num_blocks: int) -> list[tuple[int, int]]:
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, num_blocks: int = 4):
+                  max_hamming: int = 3, num_blocks: int = 4,
+                  return_stats: bool = False):
     """SimHash near-dup: block-permuted bucket LSH, verify Hamming distance.
 
     Returns pandas (a, b, hamming) pairs with distance <= max_hamming.
@@ -377,6 +503,16 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     block, so recall is EXACT iff ``max_hamming < num_blocks`` (use
     num_blocks=9 for the standard Hamming-8 near-dup setting; the default
     4 x 16-bit blocks cover Hamming <= 3).
+
+    Hot blocks (> ``_MAX_BAND_GROUP`` docs sharing one block value —
+    boilerplate at web scale) switch from the quadratic self-merge to a
+    LINEAR star expansion around the block's min-id member, so
+    duplicate-cluster connectivity is preserved (identical docs have
+    hamming 0 to the hub) while pair ENUMERATION within the hot block is
+    bounded. ``return_stats=True`` additionally returns
+    ``{"hot_groups": n, "comparisons_skipped": m}`` so the recall loss
+    on non-hub hot pairs is measurable, not silent (m is the count of
+    within-hot-block pairs not enumerated, before cross-block dedup).
     """
     if not 2 <= num_blocks <= 64:
         raise ValueError(f"num_blocks must be in [2, 64], got {num_blocks}")
@@ -426,33 +562,74 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                                               pa.scalar(63, pa.int64())),
                               pa.int32()))
 
+    _EMPTY = {"a": "int64", "b": "int64", "hamming": "int64",
+              "skipped": "int64"}
+
+    def _verified(m: pd.DataFrame, skipped: int) -> pd.DataFrame:
+        if m.empty:
+            out = pd.DataFrame(columns=list(_EMPTY)).astype(_EMPTY)
+        else:
+            ham = hamming64_vec(m["simhash_a"].to_numpy(),
+                                m["simhash_b"].to_numpy())
+            m = m.assign(hamming=ham)
+            m = m[m["hamming"] <= max_hamming]
+            out = m[[f"{id_col}_a", f"{id_col}_b", "hamming"]].copy()
+            out.columns = ["a", "b", "hamming"]
+            out["skipped"] = 0
+            out = out.astype(_EMPTY)
+        if skipped:
+            # accounting sentinel: one row per group task carrying the
+            # count of un-enumerated hot-block comparisons (the
+            # substring_dup_stats pattern — recall loss is data, not a
+            # log line). Doc ids are non-negative, so a=-1 is reserved.
+            out = pd.concat(
+                [out, pd.DataFrame({"a": [-1], "b": [-1],
+                                    "hamming": [-1],
+                                    "skipped": [skipped]})],
+                ignore_index=True).astype(_EMPTY)
+        return out
+
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         df = group[["block_index", "block", id_col, "simhash"]].drop_duplicates()
         # hot-group guard (same failure mode as the MinHash bands): B
         # boilerplate docs with identical simhash blocks would otherwise
-        # pair-expand to B^2/2 rows in ONE task. Identical docs are the
-        # exact-dedup pass's job; the drop is logged.
+        # pair-expand to B^2/2 rows in ONE task. Hot blocks run the
+        # linear star expansion (hub = min id) instead; the skipped
+        # comparison count rides out as sentinel rows.
         sizes = df.groupby(["block_index", "block"])[id_col].transform("size")
         hot = sizes > _MAX_BAND_GROUP
+        star = None
+        skipped = 0
         if hot.any():
             import logging
 
+            dh = df[hot]
+            grp_sizes = dh.groupby(["block_index", "block"])[id_col].size()
+            skipped = int((grp_sizes * (grp_sizes - 1) // 2
+                           - (grp_sizes - 1)).sum())
             logging.getLogger(__name__).warning(
-                "simhash: dropping %d rows in blocks over %d members",
-                int(hot.sum()), _MAX_BAND_GROUP)
+                "simhash: %d rows in blocks over %d members — star "
+                "expansion (hub=min id), %d comparisons skipped",
+                int(hot.sum()), _MAX_BAND_GROUP, skipped)
+            hub_id = dh.groupby(["block_index", "block"])[id_col].transform("min")
+            spokes = dh[dh[id_col] != hub_id]
+            hub_rows = (dh[dh[id_col] == hub_id]
+                        .drop_duplicates(["block_index", "block"]))
+            # left=spokes gets _b, right=hub gets _a: hub is the min id,
+            # so the a < b pair invariant holds by construction
+            star = spokes.merge(
+                hub_rows, on=["block_index", "block"],
+                suffixes=("_b", "_a"))
             df = df[~hot]
         m = df.merge(df, on=["block_index", "block"], suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if star is not None and len(star):
+            m = pd.concat(
+                [m, star[[f"{id_col}_a", f"{id_col}_b",
+                          "simhash_a", "simhash_b"]]],
+                ignore_index=True)
         m = m.drop_duplicates(subset=[f"{id_col}_a", f"{id_col}_b"])
-        if m.empty:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        ham = hamming64_vec(m["simhash_a"].to_numpy(),
-                            m["simhash_b"].to_numpy())
-        m = m.assign(hamming=ham)
-        m = m[m["hamming"] <= max_hamming]
-        out = m[[f"{id_col}_a", f"{id_col}_b", "hamming"]]
-        out.columns = ["a", "b", "hamming"]
-        return out
+        return _verified(m, skipped)
 
     out = (
         ds.map_batches(sims, batch_format="pyarrow", batch_size=1024)
@@ -461,8 +638,15 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()
     )
-    return (out.drop_duplicates(subset=["a", "b"])
-            .sort_values(["a", "b"], ignore_index=True))
+    sentinel = out["a"] < 0
+    stats = {"hot_groups": int(sentinel.sum()),
+             "comparisons_skipped": int(out.loc[sentinel, "skipped"].sum())}
+    out = (out[~sentinel].drop(columns=["skipped"])
+           .drop_duplicates(subset=["a", "b"])
+           .sort_values(["a", "b"], ignore_index=True))
+    if return_stats:
+        return out, stats
+    return out
 
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",

@@ -377,10 +377,11 @@ def neardup_pairs_lsh(ds, threshold: float = 0.9, n_planes: int = 8,
     Detection probability at cosine 0.9 with 8 planes x 16 tables is
     ~0.996 per true pair among SURVIVING candidates; raise n_tables for
     tighter recall. Caveat: a dense cluster putting > _MAX_BAND_GROUP
-    rows into one (table, bucket) is dropped with a log line (the
-    bucketed pair-gen's quadratic-blowup guard) — unlike text MinHash
-    there is no exact-dedup backstop for near-identical embeddings, so
-    tune n_planes up (smaller buckets) if such clusters are expected.
+    rows into one (table, bucket) switches to the linear star expansion
+    (every member pairs with the bucket's min id — the bucketed
+    pair-gen's quadratic-blowup guard), so within such clusters only
+    hub pairs are enumerated; tune n_planes up (smaller buckets) if
+    dense clusters are expected and full pair enumeration matters.
     """
     import pyarrow.compute as pc
 

@@ -292,3 +292,48 @@ def test_curation_ccnet_perplexity_leg(tmp_path):
     assert report["after_ccnet_filter"] <= 8
     kept = set(rd.read_parquet(out).to_pandas()["doc_id"])
     assert set(range(6)) <= kept
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_neardup_distributed_above_gate(tmp_path, monkeypatch):
+    """Forcing the near-dup cluster gate to 0 routes cluster assignment
+    through the distributed connected_components and the drop through a
+    distributed anti-join — output must be identical to the driver
+    union-find path (VERDICT r4 ask #1, curate leg)."""
+    import ray.data as rd
+
+    import temporal_knowledge_graphs_ray.stages.dedup as D
+    from temporal_knowledge_graphs_ray.pipelines.curate import curate_corpus
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu nu xi omicron pi rho sigma").split()
+    rows = []
+    did = 0
+    for c in range(3):
+        base = " ".join(words[c:] + words[:c]) * 3
+        for k in range(3):
+            rows.append({"doc_id": did,
+                         "text": base + f" tail{c} variant {k}"})
+            did += 1
+    for k in range(6):
+        rows.append({"doc_id": did,
+                     "text": f"unique document number {k} about "
+                             f"{words[k]} {words[k + 1]} only " * 4})
+        did += 1
+
+    out_a = str(tmp_path / "driver")
+    rep_a = curate_corpus(rd.from_items(rows), out_a, min_words=3,
+                          jaccard_threshold=0.5)
+    kept_a = (rd.read_parquet(out_a).to_pandas()
+              .sort_values("doc_id", ignore_index=True))
+    assert rep_a["neardup_dropped"] >= 6  # planted clusters collapsed
+
+    monkeypatch.setattr(D, "_DRIVER_CLUSTER_MAX", 0)
+    monkeypatch.setattr(D, "_CC_LOCAL_EDGE_CUTOFF", 0)
+    out_b = str(tmp_path / "dist")
+    rep_b = curate_corpus(rd.from_items(rows), out_b, min_words=3,
+                          jaccard_threshold=0.5)
+    kept_b = (rd.read_parquet(out_b).to_pandas()
+              .sort_values("doc_id", ignore_index=True))
+    assert rep_a == rep_b
+    assert kept_a.equals(kept_b)

@@ -100,3 +100,130 @@ def test_simhash_two_blocks_no_overflow(ray_session):
     })
     out = simhash_dedup(rd.from_arrow(docs), max_hamming=1, num_blocks=2)
     assert [(r.a, r.b) for r in out.itertuples()] == [(0, 1)]
+
+
+@pytest.fixture(scope="module")
+def planted_cluster_corpus(ray_session):
+    """3 planted near-dup clusters (sizes 4/3/2) + 8 distinct docs."""
+    import ray.data as rd
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    did = 0
+    for c, size in enumerate((4, 3, 2)):
+        base = " ".join(words[c:] + words[:c]) * 3
+        for k in range(size):
+            # small tail edit: high-Jaccard near dup of the cluster base
+            rows.append({"doc_id": did,
+                         "text": base + f" tail{c} variant {k % 2}"})
+            did += 1
+    for k in range(8):
+        rows.append({"doc_id": did,
+                     "text": f"unique document number {k} about "
+                             f"{words[k]} {words[k + 1]} only " * 4})
+        did += 1
+    return rd.from_items(rows)
+
+
+class TestMinhashDistributedCluster:
+    def test_forced_distributed_equals_driver_path(
+            self, planted_cluster_corpus, monkeypatch):
+        """Cluster assignment through the distributed
+        connected_components (gate forced to 0, cc local shortcut
+        disabled so label propagation genuinely runs) must equal the
+        driver union-find path row for row (VERDICT r4 ask #1)."""
+        import temporal_knowledge_graphs_ray.stages.dedup as D
+
+        driver = D.minhash_lsh_dedup(planted_cluster_corpus,
+                                     jaccard_threshold=0.5)
+        assert len(driver) >= 9  # the planted clusters resolved
+        monkeypatch.setattr(D, "_DRIVER_CLUSTER_MAX", 0)
+        monkeypatch.setattr(D, "_CC_LOCAL_EDGE_CUTOFF", 0)
+        dist = D.minhash_lsh_dedup(planted_cluster_corpus,
+                                   jaccard_threshold=0.5)
+        assert driver.equals(dist)
+
+    def test_as_dataset_mode_matches_pandas(self, planted_cluster_corpus):
+        import ray.data
+
+        import temporal_knowledge_graphs_ray.stages.dedup as D
+
+        pdf = D.minhash_lsh_dedup(planted_cluster_corpus,
+                                  jaccard_threshold=0.5)
+        ds = D.minhash_lsh_dedup(planted_cluster_corpus,
+                                 jaccard_threshold=0.5, as_dataset=True)
+        assert isinstance(ds, ray.data.Dataset)
+        got = (ds.to_pandas().astype({"doc_id": "int64",
+                                      "cluster_id": "int64"})
+               .sort_values("doc_id", ignore_index=True))
+        assert pdf.equals(got)
+
+    def test_verified_pairs_as_dataset(self, planted_cluster_corpus):
+        import ray.data
+
+        import temporal_knowledge_graphs_ray.stages.dedup as D
+
+        pdf = D.minhash_verified_pairs(planted_cluster_corpus,
+                                       jaccard_threshold=0.5)
+        ds = D.minhash_verified_pairs(planted_cluster_corpus,
+                                      jaccard_threshold=0.5,
+                                      as_dataset=True)
+        assert isinstance(ds, ray.data.Dataset)
+        got = ds.to_pandas().sort_values(["a", "b"], ignore_index=True)
+        assert pdf.equals(got)
+
+
+class TestHotBlockStarExpansion:
+    def test_lsh_hot_band_cluster_recall_preserved(self, ray_session,
+                                                   monkeypatch):
+        """A planted dup cluster LARGER than the band-group cap must
+        still come back as ONE complete cluster: hot bands star-expand
+        (linear) instead of dropping (VERDICT r4 ask #2)."""
+        import ray.data as rd
+
+        import temporal_knowledge_graphs_ray.stages.dedup as D
+
+        monkeypatch.setattr(D, "_MAX_BAND_GROUP", 5)
+        text = ("replicated boilerplate page footer content shared by "
+                "every page of the site with navigation links " * 3)
+        rows = [{"doc_id": i, "text": text} for i in range(12)]
+        rows += [{"doc_id": 100 + k,
+                  "text": f"distinct page number {k} with its own story "
+                          f"about topic {k} " * 4} for k in range(4)]
+        out = D.minhash_lsh_dedup(rd.from_items(rows),
+                                  jaccard_threshold=0.8)
+        clusters = out.groupby("cluster_id")["doc_id"].apply(set).to_dict()
+        assert set(range(12)) in clusters.values()
+
+    def test_simhash_hot_block_star_and_stats(self, ray_session,
+                                              monkeypatch):
+        import ray.data as rd
+
+        import temporal_knowledge_graphs_ray.stages.dedup as D
+
+        monkeypatch.setattr(D, "_MAX_BAND_GROUP", 5)
+        text = ("replicated boilerplate page footer content shared by "
+                "every page of the site with navigation links " * 3)
+        rows = [{"doc_id": i, "text": text} for i in range(12)]
+        rows += [{"doc_id": 100 + k,
+                  "text": f"distinct page number {k} with its own story "
+                          f"about topic {k} " * 4} for k in range(4)]
+        pairs, stats = D.simhash_dedup(rd.from_items(rows), max_hamming=3,
+                                       return_stats=True)
+        got = set(zip(pairs["a"], pairs["b"]))
+        # star pairs: every identical doc links to the hub (min id 0)
+        assert {(0, i) for i in range(1, 12)} <= got
+        assert stats["hot_groups"] >= 1
+        assert stats["comparisons_skipped"] > 0
+        # default return shape unchanged: frame only, no sentinel rows
+        plain = D.simhash_dedup(rd.from_items(rows), max_hamming=3)
+        assert list(plain.columns) == ["a", "b", "hamming"]
+        assert (plain["a"] >= 0).all()
+
+    def test_cold_path_stats_are_zero(self, docs_with_dups):
+        from temporal_knowledge_graphs_ray.stages.dedup import simhash_dedup
+
+        pairs, stats = simhash_dedup(docs_with_dups, max_hamming=10,
+                                     return_stats=True)
+        assert stats == {"hot_groups": 0, "comparisons_skipped": 0}
