@@ -92,6 +92,7 @@ def curate_corpus(
     paragraph_dedup_sep: str | None = None,
     paragraph_min_chars: int = 1,
     substring_removal_window: int | None = None,
+    substring_removal_until_stable: bool = False,
     ccnet_lm=None,
     ccnet_keep: tuple = ("head", "middle"),
 ) -> dict:
@@ -131,10 +132,16 @@ def curate_corpus(
     if substring_removal_window is not None:
         from ..stages.substring_dedup import remove_duplicate_spans
 
+        _sr_stats: dict = {}
         ds = remove_duplicate_spans(
             ds.select_columns([id_col, text_col]), text_col=text_col,
             id_col=id_col,
-            window_tokens=substring_removal_window).materialize()
+            window_tokens=substring_removal_window,
+            until_stable=substring_removal_until_stable,
+            stats=_sr_stats).materialize()
+        if _sr_stats:
+            report["substring_removal_passes"] = _sr_stats["passes"]
+            report["substring_removal_converged"] = _sr_stats["converged"]
         report["after_substring_removal"] = ds.count()
         report["substring_removed_tokens"] = int(
             ds.sum(on="removed_tokens") or 0)

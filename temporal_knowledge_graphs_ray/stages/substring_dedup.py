@@ -416,12 +416,26 @@ def remove_duplicate_spans(ds, window_tokens: int = 50,
                            text_col: str = "text", seed: int = 7,
                            num_partitions: int = 64,
                            cache_windows: bool = True,
-                           broadcast_max: int = 4_000_000):
+                           broadcast_max: int = 4_000_000,
+                           until_stable: bool = False,
+                           max_passes: int = 10,
+                           stats: dict | None = None):
     """ExactSubstr removal: rewrite ``text`` so every duplicated
     ``window_tokens``-token window survives only at its globally-first
     occurrence. Returns ``(id_col, text_col, removed_tokens)``; docs
     whose every token was cut DROP (the paradedup contract). Docs
     shorter than ``window_tokens`` tokens pass through untouched.
+
+    ``until_stable=True`` re-runs the pass until a round removes zero
+    tokens (the fixed point — one cut can create a NEW duplicate
+    adjacency; see the caveat below) or ``max_passes`` rounds elapse
+    (bounded; a warning logs if the bound hits first).
+    ``removed_tokens`` then accumulates across rounds per doc. Pass a
+    dict as ``stats`` to receive ``{"passes": n,
+    "removed_tokens_per_pass": [...], "converged": bool}`` — the
+    iteration record for run manifests. Each round materializes its
+    output (the loop's bounded state: one (id, text, removed) corpus
+    snapshot, never window-grain data).
 
     Dataflow: count pass (map-side combined partials) -> duplicated-hash
     set -> ONLY windows bearing a duplicated hash shuffle to the
@@ -439,8 +453,16 @@ def remove_duplicate_spans(ds, window_tokens: int = 50,
 
     Caveat (inherent to one-pass window semantics, shared with Lee et
     al.'s implementation): cutting a span can create a NEW adjacency
-    that itself duplicates elsewhere; a fixed point needs re-running.
+    that itself duplicates elsewhere; the default single pass leaves
+    it, ``until_stable=True`` re-runs to the fixed point.
     """
+    if until_stable:
+        return _remove_spans_until_stable(
+            ds, window_tokens=window_tokens, id_col=id_col,
+            text_col=text_col, seed=seed,
+            num_partitions=num_partitions,
+            cache_windows=cache_windows, broadcast_max=broadcast_max,
+            max_passes=max_passes, stats=stats)
     # ids travel as strings through the union/groupby plumbing; the
     # OUTPUT corpus restores the input id dtype (an int64-keyed corpus
     # must not come back string-keyed)
@@ -584,6 +606,80 @@ def remove_duplicate_spans(ds, window_tokens: int = 50,
             .groupby("bucket").map_groups(apply_cuts,
                                           batch_format="pandas")
             .map_batches(restore_id_type, batch_format="pyarrow"))
+
+
+def _remove_spans_until_stable(ds, *, window_tokens, id_col, text_col,
+                               seed, num_partitions, cache_windows,
+                               broadcast_max, max_passes, stats):
+    """Bounded fixed-point loop over the one-pass removal. Per-round
+    state is the (id, text, removed_tokens) corpus snapshot; previous
+    removed counts carry into the next round through an inner join on
+    the id (docs fully cut in a later round drop with their counts)."""
+    import logging
+
+    import pyarrow.compute as pc
+
+    def one_pass(cur):
+        return remove_duplicate_spans(
+            cur, window_tokens=window_tokens, id_col=id_col,
+            text_col=text_col, seed=seed,
+            num_partitions=num_partitions,
+            cache_windows=cache_windows,
+            broadcast_max=broadcast_max).materialize()
+
+    # a pass "changed" the corpus if it removed tokens OR dropped a
+    # fully-cut doc — dropped docs never emit removed_tokens, so the
+    # token sum alone would read a drop-only round as convergence
+    per_pass: list[int] = []
+    dropped_per_pass: list[int] = []
+    n_prev = ds.count()
+    acc = one_pass(ds)
+    n_acc = acc.count()
+    per_pass.append(int(acc.sum(on="removed_tokens") or 0))
+    dropped_per_pass.append(n_prev - n_acc)
+    changed = per_pass[-1] > 0 or dropped_per_pass[-1] > 0
+    while changed and len(per_pass) < max_passes:
+        nxt = one_pass(acc.drop_columns(["removed_tokens"]))
+        removed = int(nxt.sum(on="removed_tokens") or 0)
+        n_nxt = nxt.count()
+        per_pass.append(removed)
+        dropped_per_pass.append(n_acc - n_nxt)
+        changed = removed > 0 or n_nxt < n_acc
+        if not changed:
+            break  # nxt's text is identical to acc's; keep acc
+        prev = acc.map_batches(
+            lambda t: pa.table({id_col: t[id_col],
+                                "_rm_prev": t["removed_tokens"]}),
+            batch_format="pyarrow")
+        # join partitions clamp below cluster CPUs (the hash join's
+        # aggregator actors deadlock otherwise — export.py's
+        # _default_join_partitions rule)
+        from ..pipelines.export import _default_join_partitions
+
+        acc = (nxt.join(prev, "inner", _default_join_partitions(),
+                        on=(id_col,))
+               .map_batches(
+                   lambda t: pa.table({
+                       id_col: t[id_col],
+                       text_col: t[text_col],
+                       "removed_tokens": pc.add(t["removed_tokens"],
+                                                t["_rm_prev"])}),
+                   batch_format="pyarrow")
+               .materialize())
+        n_acc = n_nxt
+    converged = not changed
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "remove_duplicate_spans(until_stable=True): max_passes=%d "
+            "reached while the last round still removed %d tokens / "
+            "dropped %d docs — output is NOT the fixed point",
+            max_passes, per_pass[-1], dropped_per_pass[-1])
+    if stats is not None:
+        stats["passes"] = len(per_pass)
+        stats["removed_tokens_per_pass"] = per_pass
+        stats["docs_dropped_per_pass"] = dropped_per_pass
+        stats["converged"] = converged
+    return acc
 
 
 def remove_duplicate_spans_sequential(rows: list[dict],

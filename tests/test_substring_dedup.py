@@ -310,3 +310,93 @@ class TestRemoveDuplicateSpans:
         want = self._oracle(ids, texts)
         assert list(got["text"]) == [r["text"] for r in want]
         assert shared not in got.set_index("doc_id").loc[2, "text"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUntilStable:
+    """One cut can create a NEW duplicate adjacency; until_stable=True
+    must re-run to the fixed point (VERDICT r4 ask #5)."""
+
+    # window=3. Pass 1: doc 1's "p q r" duplicates doc 0's (first by
+    # (id,pos)) and is cut, turning doc 1 into "h1 h2 k1 k2" — a NEW
+    # duplicate of doc 2 that pass 1 cannot see. Pass 2: doc 2's copy
+    # (later id) is fully cut and drops.
+    IDS = [0, 1, 2]
+    TEXTS = ["p q r s t u",
+             "h1 h2 p q r k1 k2",
+             "h1 h2 k1 k2"]
+
+    def _ds(self):
+        import ray.data as rd
+
+        return rd.from_items([{"doc_id": i, "text": t}
+                              for i, t in zip(self.IDS, self.TEXTS)])
+
+    def test_one_pass_leaves_created_adjacency(self):
+        from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+            remove_duplicate_spans,
+        )
+
+        one = (remove_duplicate_spans(self._ds(), window_tokens=3)
+               .to_pandas().set_index("doc_id"))
+        # pass 1 cut doc 1's copy but doc 2 (now a duplicate of the
+        # post-cut doc 1) is untouched — the documented caveat
+        assert one.loc[1, "removed_tokens"] == 3
+        assert one.loc[2, "text"] == self.TEXTS[2]
+        assert one.loc[2, "removed_tokens"] == 0
+
+    def test_stable_mode_reaches_fixed_point(self):
+        from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+            remove_duplicate_spans,
+        )
+
+        stats: dict = {}
+        out = (remove_duplicate_spans(self._ds(), window_tokens=3,
+                                      until_stable=True, stats=stats)
+               .to_pandas().set_index("doc_id"))
+        assert stats["converged"] is True
+        assert stats["passes"] >= 2
+        assert stats["removed_tokens_per_pass"][0] == 3
+        assert stats["removed_tokens_per_pass"][-1] == 0
+        # the created duplicate was a FULL drop: the token sum alone
+        # never sees it; the drop counter must
+        assert sum(stats["docs_dropped_per_pass"]) == 1
+        # doc 2 (the created duplicate, fully covered) dropped
+        assert 2 not in out.index
+        # doc 1 carries the ACCUMULATED removed count and its pass-1 cut
+        assert out.loc[1, "removed_tokens"] == 3
+        assert "p q r" not in out.loc[1, "text"]
+        assert out.loc[0, "text"] == self.TEXTS[0]
+        # a third run over the stable output removes nothing
+        import ray.data as rd
+
+        stats2: dict = {}
+        again = remove_duplicate_spans(
+            rd.from_pandas(out.reset_index()[["doc_id", "text"]]),
+            window_tokens=3, until_stable=True, stats=stats2)
+        assert int(again.sum(on="removed_tokens") or 0) == 0
+        assert stats2 == {"passes": 1, "removed_tokens_per_pass": [0],
+                          "docs_dropped_per_pass": [0],
+                          "converged": True}
+
+    def test_max_passes_bound_and_warning(self, caplog):
+        import logging
+
+        from temporal_knowledge_graphs_ray.stages.substring_dedup import (
+            remove_duplicate_spans,
+        )
+
+        stats: dict = {}
+        with caplog.at_level(logging.WARNING,
+                             logger="temporal_knowledge_graphs_ray."
+                                    "stages.substring_dedup"):
+            out = (remove_duplicate_spans(self._ds(), window_tokens=3,
+                                          until_stable=True,
+                                          max_passes=1, stats=stats)
+                   .to_pandas().set_index("doc_id"))
+        assert stats["passes"] == 1
+        assert stats["converged"] is False
+        assert any("NOT the fixed point" in r.message
+                   for r in caplog.records)
+        # bounded run = exactly the one-pass output
+        assert out.loc[2, "text"] == self.TEXTS[2]
