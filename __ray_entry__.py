@@ -515,6 +515,61 @@ def _streaming_sessionize(sf_dir: str):
     return sessionize_streaming(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _url_dedup(sf_dir: str):
+    """URL canonical dedup (stages/urlfilter.dedup_by_url) driver gate.
+
+    URLs are synthesized deterministically from doc_id with THREE
+    spelling variants per canonical resource — already-canonical /
+    uppercase scheme+host with the default :443 port and a fragment /
+    trailing tracking params — so the SQL oracle can state each url's
+    canonical form in closed form while the Ray side exercises the real
+    canonicalize_url kernel. Keep-latest on crawl_ts=doc_id; tie-break
+    raw url ascending (the dedup_by_url contract)."""
+    import pyarrow as pa
+
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.urlfilter import dedup_by_url
+
+    def mk(t: pa.Table) -> pa.Table:
+        urls, ts = [], []
+        for d in t["doc_id"].to_pylist():
+            d = int(d)
+            site, page, v = (d // 3) % 7, d // 3, d % 3
+            base = f"https://site{site}.example.com/page/{page}"
+            if v == 1:
+                urls.append(f"HTTPS://SITE{site}.EXAMPLE.COM:443"
+                            f"/page/{page}#frag")
+            elif v == 2:
+                urls.append(base + "?utm_source=x&gclid=1")
+            else:
+                urls.append(base)
+            ts.append(d)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "crawl_ts": pa.array(ts, pa.int64())})
+
+    pages = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk, batch_format="pyarrow")
+    return dedup_by_url(pages, url_col="url", ts_col="crawl_ts")
+
+
+def _ccnet_buckets(sf_dir: str):
+    """CCNet perplexity bucketing (stages/dsir.ccnet_buckets) with the
+    trusted LM fit on the src0 slice. No oracle_sql entry: the hashed-LM
+    bits are not SQL-expressible, so the driver records the weaker
+    rows-only check — the EXACT quantile/bucket oracle (DuckDB
+    quantile_disc over the scored frame) lives in tests/test_dsir.py."""
+    from temporal_knowledge_graphs_ray.pipelines.queries import _read
+    from temporal_knowledge_graphs_ray.stages.dsir import (
+        ccnet_buckets,
+        fit_hashed_lm,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    counts = fit_hashed_lm(docs.filter(expr="source == 'src0'"),
+                           num_buckets=16384)
+    return ccnet_buckets(docs, counts)
+
+
 def _multimodal_meta(sf_dir: str):
     from temporal_knowledge_graphs_ray.pipelines.queries import _read
     from temporal_knowledge_graphs_ray.stages.multimodal import (
@@ -579,9 +634,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evolution_diff": q.q_evolution_diff,
         "version_gc": q.q_version_gc,
         "flatten_metadata": q.q_flatten_metadata,
-        # windows / sessions
+        # windows / sessions. One slot covers the sessionization
+        # contract: the STREAMING stage is driver-gated against the SQL
+        # window-function oracle; the batch q_sessionize summary stays
+        # pytest-oracled (tests/test_queries_duckdb ran both until r5 —
+        # folded to free driver slots for the r4.5 operators)
         "tumbling_window": q.q_tumbling_window,
-        "sessionize": q.q_sessionize,
         "streaming_sessionize": _streaming_sessionize,
         # JSON / loaders
         "json_props": q.q_json_props,
@@ -592,12 +650,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kernel is also one read of the text column instead of three)
         "doc_text_stats": _textstat("text_stats_stage"),
         "extract_text_roundtrip": q.q_extract_text_roundtrip,
-        # dedup
+        # dedup (ngram_jaccard rotated OUT in r5: it is the documented
+        # bounded test-only variant of the Jaccard kernel that
+        # minhash_lsh_dedup verifies with — still pytest-covered in
+        # tests/test_dedup.py; slot reused for the r4.5 operators)
         "exact_dedup": _exact_dedup,
         "minhash_lsh_dedup": _minhash_dedup,
         "simhash_pairs": _simhash_pairs,
-        "ngram_jaccard": _ngram_jaccard,
         "paragraph_dedup": _paragraph_dedup,
+        "url_dedup": _url_dedup,
+        "ccnet_buckets": _ccnet_buckets,
         # similarity search
         "knn_topk": _knn_topk,
         "cosine_threshold": _cosine_threshold,
@@ -789,19 +851,6 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1 ORDER BY 1
         """,
-        "sessionize": """
-            WITH o AS (
-                SELECT user_id, ts,
-                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                           (PARTITION BY user_id ORDER BY ts)
-                           > 1800000000 OR LAG(ts) OVER
-                           (PARTITION BY user_id ORDER BY ts) IS NULL
-                       THEN 1 ELSE 0 END AS new_session
-                FROM events)
-            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
-                   COUNT(*) AS n_events
-            FROM o GROUP BY user_id
-        """,
         "streaming_sessionize": """
             WITH o AS (
                 SELECT user_id, ts,
@@ -820,6 +869,36 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts) AS session_end,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "url_dedup": """
+            -- urls synthesized from doc_id exactly as _url_dedup does;
+            -- the canonical form is stated in closed form, keep-latest
+            -- on crawl_ts with raw-url ascending tie-break
+            WITH pages AS (
+                SELECT 'https://site' || ((doc_id // 3) % 7)::VARCHAR ||
+                       '.example.com/page/' || (doc_id // 3)::VARCHAR
+                           AS canonical_url,
+                       CASE doc_id % 3
+                         WHEN 1 THEN 'HTTPS://SITE' ||
+                              ((doc_id // 3) % 7)::VARCHAR ||
+                              '.EXAMPLE.COM:443/page/' ||
+                              (doc_id // 3)::VARCHAR || '#frag'
+                         WHEN 2 THEN 'https://site' ||
+                              ((doc_id // 3) % 7)::VARCHAR ||
+                              '.example.com/page/' ||
+                              (doc_id // 3)::VARCHAR ||
+                              '?utm_source=x&gclid=1'
+                         ELSE 'https://site' ||
+                              ((doc_id // 3) % 7)::VARCHAR ||
+                              '.example.com/page/' ||
+                              (doc_id // 3)::VARCHAR
+                       END AS url,
+                       doc_id AS crawl_ts
+                FROM documents)
+            SELECT url, crawl_ts, canonical_url FROM pages
+            QUALIFY row_number() OVER (
+                PARTITION BY coalesce(canonical_url, '')
+                ORDER BY crawl_ts DESC, url ASC) = 1
         """,
         "json_props": """
             SELECT event_type, COUNT(*) AS n,
@@ -874,25 +953,6 @@ def oracle_sql() -> dict[str, str]:
                        AS fingerprint,
                    MIN(doc_id) AS keep_id
             FROM documents GROUP BY 1 ORDER BY 1
-        """,
-        "ngram_jaccard": """
-            WITH words AS (
-                SELECT doc_id,
-                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-                FROM documents WHERE doc_id < 40),
-            shingles AS (
-                SELECT doc_id,
-                       list_distinct([ws[i] || ' ' || ws[i+1] || ' '
-                                      || ws[i+2]
-                                      for i in range(1, len(ws) - 1)]) AS sh
-                FROM words WHERE len(ws) >= 3)
-            SELECT a.doc_id AS a, b.doc_id AS b,
-                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.sh, b.sh))), 6)
-                       AS jaccard
-            FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) > 0
-            ORDER BY a, b
         """,
         "knn_topk": f"""
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
