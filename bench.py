@@ -210,6 +210,21 @@ def run_bench() -> dict:
     timed("hybrid_topk10",
           lambda: hybrid_search(docs, "sort merge join window", k=10,
                                 bm25_index=idx_holder["bm25"]))
+    # serving cost with BOTH legs prebuilt (embedded corpus + bm25
+    # index passed in) — the per-query number a serving deployment
+    # pays, separated from the per-corpus embed the entry above folds
+    # in (VERDICT r4 ask #7)
+    from temporal_knowledge_graphs_ray.stages.embed import embed_documents
+
+    timed("hybrid_embed_corpus",
+          lambda: idx_holder.setdefault(
+              "embedded",
+              embed_documents(
+                  docs.select_columns(["doc_id", "text"])).materialize()))
+    timed("hybrid_topk10_prebuilt",
+          lambda: hybrid_search(docs, "sort merge join window", k=10,
+                                bm25_index=idx_holder["bm25"],
+                                embedded=idx_holder["embedded"]))
 
     # ---- training-data export: deterministic md5-keyed global shuffle ----
     from temporal_knowledge_graphs_ray.stages.shuffle import (
