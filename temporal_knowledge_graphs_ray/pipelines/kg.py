@@ -546,6 +546,31 @@ def rewrite_edges_distributed(edges_raw_ds, canonical_tbl,
                                 batch_size=8192)
 
 
+def _buckets_from_skew(probe: dict, base: int = 64,
+                       max_buckets: int = 1024) -> int:
+    """Deterministic canonicalization bucket count from a skew_report
+    probe of the entity_key column. Two signals widen the shuffle:
+
+    - distinct keys set the parallelism floor (>=1 blocking group per
+      bucket is pointless; ~4k distinct keys per bucket is the sweet
+      spot the 64-bucket default assumes at ~256k keys);
+    - a large hot-key skew factor (max group / mean group) adds buckets
+      so a hub entity's blocking group co-resides with FEWER innocent
+      groups per task. A group never spans buckets — the within-group
+      salting is canonicalize's bounded hierarchical pass — so bucket
+      count only shapes task balance and the output is invariant to it
+      (layout-invariance tests pin this).
+    """
+    chosen = base
+    distinct = int(probe.get("distinct", 0))
+    if distinct > 0:
+        chosen = max(chosen, min(max_buckets, 1 << max(
+            0, (distinct // 4096)).bit_length()))
+    if float(probe.get("skew_factor", 0.0)) > 16.0:
+        chosen = min(max_buckets, max(chosen * 2, 128))
+    return chosen
+
+
 def build_kg(
     pages_ds,
     out_dir: str,
@@ -555,6 +580,7 @@ def build_kg(
     dedup_recrawls: bool = False,
     increment: bool = False,
     blocked_domains: list[str] | None = None,
+    probe_skew: bool = False,
 ) -> dict:
     """Run the full construction pipeline. Returns output paths + metrics.
 
@@ -563,6 +589,12 @@ def build_kg(
     the caller (driver contract). ``blocked_domains`` drops pages whose
     registrable domain is listed (stages/urlfilter.py — the crawl-side
     deny list) BEFORE any extraction work; default None is a no-op.
+    ``probe_skew`` runs the one-pass sketch skew probe
+    (stages/profile.skew_report) on the canonicalization key before the
+    phase-C shuffle and auto-sizes its bucket count
+    (_buckets_from_skew) — the "salt this key BEFORE the 100 TB
+    groupby" probe wired into the flagship; the probe result and chosen
+    count land in the returned metrics as ``skew_probe``.
     """
     import time
 
@@ -884,7 +916,20 @@ def build_kg(
             columns=["type", "entity_key", "linked_name", "mention_count",
                      "valid_from"],
         )
-    canonical_ds = canonicalize(mentions_all, cfg).materialize()  # distinct
+    skew_probe = None
+    canon_buckets = 64
+    if probe_skew:
+        from ..stages.profile import skew_report
+
+        probe = skew_report(mentions_all, "entity_key")
+        canon_buckets = _buckets_from_skew(probe)
+        skew_probe = {"distinct": probe["distinct"],
+                      "rows": probe["rows"],
+                      "skew_factor": round(float(probe["skew_factor"]), 3),
+                      "chosen_buckets": canon_buckets}
+        _mark("C0_skew_probe")
+    canonical_ds = canonicalize(mentions_all, cfg,
+                                num_buckets=canon_buckets).materialize()
     _mark("C1_canonicalize")
     n_canonical = canonical_ds.count()
     use_broadcast = n_canonical <= cfg.canonical_broadcast_limit
@@ -1057,6 +1102,7 @@ def build_kg(
         "node_rows": node_rows,
         "edge_rows": sum(edge_counts.values()),
         "phase_sec": phase_sec,
+        "skew_probe": skew_probe,
     }
 
 

@@ -222,3 +222,47 @@ def test_batch_size_invariance(ray_session, tmp_path):
 
     assert table(r64["edges"]) == table(r256["edges"])
     assert table(r64["nodes"]) == table(r256["nodes"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skew_probe_auto_buckets_output_identical(tmp_path):
+    """probe_skew=True runs the one-pass sketch probe on entity_key,
+    widens the canonicalization bucket count for a planted hub entity,
+    and the KG output is bit-identical to the unprobed default
+    (VERDICT r4 ask #8 — bucket count shapes task balance only)."""
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.pipelines.kg import (
+        _buckets_from_skew,
+    )
+
+    # deterministic rule, unit-pinned
+    assert _buckets_from_skew({"distinct": 100, "skew_factor": 1.0}) == 64
+    assert _buckets_from_skew({"distinct": 2_000_000,
+                               "skew_factor": 1.0}) == 512
+    assert _buckets_from_skew({"distinct": 1000,
+                               "skew_factor": 500.0}) == 128
+
+    hub = "Hub Corp announced a new partnership with Hub Corp."
+    pages = pages_table(list(range(150)), extra_texts=[hub] * 150)
+    base = build_kg(rd.from_arrow(pages), str(tmp_path / "plain"),
+                    alias_table=alias_table())
+    probed = build_kg(rd.from_arrow(pages), str(tmp_path / "probed"),
+                      alias_table=alias_table(), probe_skew=True)
+    assert base["skew_probe"] is None
+    sp = probed["skew_probe"]
+    assert sp is not None and sp["chosen_buckets"] != 64
+    assert sp["skew_factor"] > 16  # the planted hub drove the widening
+    def _rows(path):
+        t = (pads.dataset(path, format="parquet", partitioning="hive")
+             .to_table())
+        rows = []
+        for r in t.to_pylist():
+            rows.append(tuple(
+                tuple(v) if isinstance(v, list) else v
+                for _, v in sorted(r.items())))
+        return sorted(rows, key=repr)
+
+    for key in ("nodes", "edges"):
+        assert _rows(base[key]) == _rows(probed[key]), (
+            f"{key} differ between probed/unprobed")
