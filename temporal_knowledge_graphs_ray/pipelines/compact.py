@@ -29,6 +29,12 @@ Scale notes:
   buffered input reaches the target) — never the whole part,
 - parts already consisting of a single file are skipped (no-op detected
   from the listing alone, no data read).
+
+Storage contract (multi-node): the store dir must live on SHARED
+storage every node mounts at the same path (NFS/FSx/blob-FUSE) — the
+compaction task writes ``.purge_new`` on whichever node runs it and
+the DRIVER then performs the two atomic renames, so both must see one
+filesystem; same contract as the neo4j_export and jsonl-export sinks.
 """
 
 from __future__ import annotations

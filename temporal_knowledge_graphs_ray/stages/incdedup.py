@@ -25,6 +25,12 @@ check becomes Ray's native LEFT ANTI hash join (both sides shuffle
 once on the uniform fingerprint key — no skew by construction). At
 100 TB the store is fingerprints only: ~32 bytes/doc, 3 orders of
 magnitude smaller than the corpus.
+
+Storage contract (multi-node): the fingerprint-store dir must live on
+SHARED storage every node mounts at the same path — appends are
+tmp-write + atomic ``os.replace`` on the driver, and worker tasks
+read the store files directly; same contract as the compaction and
+export sinks.
 """
 
 from __future__ import annotations
