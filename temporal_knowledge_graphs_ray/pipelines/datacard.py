@@ -14,8 +14,15 @@ nothing here computes anything new).
 - ``duplication``: exact-duplicate fraction (distinct fingerprints vs
   rows, one grouped count) and the pre-shuffle skew factor of the
   fingerprint key (stages/profile.skew_report sketch mode);
+- ``near_dup``: MinHash-LSH near-duplicate fraction on a deterministic
+  md5-fraction SAMPLE of the corpus (stages/sampling.sample_fraction +
+  stages/dedup.minhash_lsh_dedup — the fraction of sampled docs a
+  near-dup pass would drop; sampled so the card stays one bounded call
+  at any corpus size);
+- ``pii``: per-type PII match totals and the fraction of docs with any
+  match (stages/pii.pii_stage — exact regexp_extract_all oracle);
 - ``flags``: loud booleans a reviewer scans first (high_dup_fraction,
-  dominant_language, empty_docs).
+  high_near_dup, pii_present, dominant_language, empty_docs).
 
 Scale: every section is a streaming pass or a bounded aggregate; the
 driver holds only the card dict. The card deliberately REUSES the
@@ -29,7 +36,10 @@ import pyarrow as pa
 
 
 def build_datacard(docs, text_col: str = "text",
-                   id_col: str = "doc_id") -> dict:
+                   id_col: str = "doc_id",
+                   neardup_sample_max: int = 20_000,
+                   neardup_jaccard: float = 0.8,
+                   seed: int = 0) -> dict:
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
@@ -43,7 +53,8 @@ def build_datacard(docs, text_col: str = "text",
     card: dict = {"rows": n_rows, "columns": list(schema.names)}
     if n_rows == 0:
         card.update({"profile": {}, "language_mix": {}, "text": {},
-                     "duplication": {}, "flags": {"empty": True}})
+                     "duplication": {}, "near_dup": {}, "pii": {},
+                     "flags": {"empty": True}})
         return card
 
     card["profile"] = profile_columns(docs)
@@ -88,10 +99,64 @@ def build_datacard(docs, text_col: str = "text",
             float(skew["skew_factor"]), 2),
     }
 
+    # near-dup fraction on a deterministic md5 sample: the fraction of
+    # sampled docs a MinHash-LSH near-dup pass (the production
+    # operator, not a re-derivation) would drop
+    from ..stages.dedup import minhash_lsh_dedup
+    from ..stages.sampling import sample_fraction
+
+    frac = min(1.0, neardup_sample_max / n_rows)
+    sample = docs.select_columns([id_col, text_col])
+    if frac < 1.0:
+        sample = sample_fraction(sample, frac, id_col, seed=seed)
+    sample = sample.materialize()
+    m = sample.count()
+    clusters = minhash_lsh_dedup(sample, text_col=text_col,
+                                 id_col=id_col,
+                                 jaccard_threshold=neardup_jaccard)
+    n_members = len(clusters)
+    n_clusters = (clusters["cluster_id"].nunique() if n_members else 0)
+    near_dropped = n_members - n_clusters
+    near_frac = near_dropped / m if m else 0.0
+    card["near_dup"] = {
+        "sample_docs": int(m),
+        "sample_fraction": round(float(frac), 4),
+        "jaccard_threshold": neardup_jaccard,
+        "near_dup_docs": int(near_dropped),
+        "near_dup_fraction": round(float(near_frac), 4),
+    }
+
+    # PII: one streaming regex pass; totals per type + docs-with-any
+    from ..functions.pii import PII_TYPES
+    from ..stages.pii import pii_stage
+
+    pii = pii_stage(docs, text_col=text_col, id_col=id_col,
+                    redact=False).materialize()
+    agg = pii.aggregate(*[Sum(f"pii_{n}", alias_name=n)
+                          for n in PII_TYPES])
+    pii_counts = {n: int(agg[n] or 0) for n in PII_TYPES}
+
+    def _any_pii(t: pa.Table) -> pa.Table:
+        mask = None
+        for n in PII_TYPES:
+            m_ = pc.greater(t[f"pii_{n}"], pa.scalar(0))
+            mask = m_ if mask is None else pc.or_(mask, m_)
+        return t.filter(mask).select([id_col])
+
+    docs_with_pii = pii.map_batches(_any_pii,
+                                    batch_format="pyarrow").count()
+    card["pii"] = {
+        "counts": pii_counts,
+        "docs_with_pii": int(docs_with_pii),
+        "docs_with_pii_fraction": round(docs_with_pii / n_rows, 4),
+    }
+
     top_lang_share = (max(card["language_mix"].values()) / n_rows
                       if card["language_mix"] else 0.0)
     card["flags"] = {
         "high_dup_fraction": bool(dup_fraction > 0.2),
+        "high_near_dup": bool(near_frac > 0.2),
+        "pii_present": bool(docs_with_pii > 0),
         "dominant_language": bool(top_lang_share > 0.95),
         "empty_docs": bool(card["text"]["empty_docs"] > 0),
     }
