@@ -6,12 +6,18 @@ pages joined with blank lines
 (/root/reference/src/temporal_kg_rag/ingestion/document_loader.py:104-140).
 PyPDF2 is absent from this container, so this module vendors a minimal
 reader for the SIMPLE-PDF SUBSET — uncompressed or FlateDecode content
-streams, classic (non-objstm) cross-reference layout, standard-font
-Latin-1/UTF-16BE string encodings:
+streams, classic AND compressed (PDF 1.5+ xref-stream / object-stream)
+cross-reference layouts, standard-font Latin-1/UTF-16BE string
+encodings:
 
 - indirect objects are discovered by a linear ``N G obj`` scan (works
   for incremental updates too: later definitions of the same object id
-  win, matching xref-table precedence for appended revisions),
+  win, matching xref-table precedence for appended revisions), then
+  /Type /ObjStm containers are decoded and their compressed objects
+  filled in (_expand_object_streams — direct definitions take
+  precedence; the xref stream's index is never needed because
+  discovery is scan-based, so /XRef objects only feed the encryption
+  check),
 - the page order follows the catalog's /Pages tree (/Kids recursion);
   documents without a parseable tree fall back to /Type /Page objects
   in file order,
@@ -20,10 +26,10 @@ Latin-1/UTF-16BE string encodings:
   (Td/TD with a vertical component, T*, Tm with a new y, ' \") emit a
   newline — the same visible contract PyPDF2's extractor produces for
   simple one-column pages (recorded in tests/test_pdf_text.py),
-- anything outside the subset (encryption, object streams, LZW/DCT/
-  ASCII85 filters) raises NotImplementedError — an honest capability
-  gate, not a wrong answer; load_pdf_text's per-page skip semantics
-  then apply, or the whole reader refuses at construction.
+- anything outside the subset (encryption, LZW/DCT/ASCII85 filters)
+  raises NotImplementedError — an honest capability gate, not a wrong
+  answer; load_pdf_text's per-page skip semantics then apply, or the
+  whole reader refuses at construction.
 
 ``MiniPdfReader`` is shaped like ``PyPDF2.PdfReader`` (``.pages`` with
 ``.extract_text()``) so it drops into ``load_pdf_text``'s
@@ -249,12 +255,14 @@ class _Doc:
             raise NotImplementedError("not a PDF (missing %PDF- header)")
         self.data = data
         self.objects: dict[int, tuple[dict | object, bytes | None]] = {}
+        self._scan_order: list[int] = []
         self._scan_objects()
         if not self.objects:
             raise NotImplementedError(
-                "no parseable objects (object streams / exotic layout "
-                "are outside the vendored simple-PDF subset)")
+                "no parseable objects (exotic layout is outside the "
+                "vendored simple-PDF subset)")
         self._check_encryption()
+        self._expand_object_streams()
 
     def _check_encryption(self) -> None:
         """Refuse only when an /Encrypt KEY exists in a trailer dict
@@ -318,6 +326,7 @@ class _Doc:
                     stream = data[p:end].rstrip(b"\r\n")
             # later definitions of the same id win (incremental updates)
             self.objects[num] = (val, stream)
+            self._scan_order.append(num)
 
     def _peek_int_object(self, num: int) -> int | None:
         """Resolve an indirect /Length before the full scan finished."""
@@ -342,12 +351,10 @@ class _Doc:
                 raise NotImplementedError("reference cycle")
         return v
 
-    def stream_of(self, ref) -> bytes:
-        if not isinstance(ref, _Ref):
-            raise NotImplementedError("inline /Contents value")
-        val, stream = self.objects.get(ref.num, (None, None))
-        if stream is None:
-            raise NotImplementedError(f"object {ref.num} has no stream")
+    def _decode_stream(self, val, stream: bytes) -> bytes:
+        """Apply the object's /Filter chain (FlateDecode-or-nothing
+        subset; optional /DecodeParms predictors for xref streams are
+        never needed here because object DISCOVERY is scan-based)."""
         filt = self.resolve(val.get("Filter")) if isinstance(val, dict) \
             else None
         if filt is None:
@@ -366,6 +373,55 @@ class _Doc:
                     f"/{f} filter is outside the vendored subset "
                     "(FlateDecode / uncompressed only)")
         return stream
+
+    def stream_of(self, ref) -> bytes:
+        if not isinstance(ref, _Ref):
+            raise NotImplementedError("inline /Contents value")
+        val, stream = self.objects.get(ref.num, (None, None))
+        if stream is None:
+            raise NotImplementedError(f"object {ref.num} has no stream")
+        return self._decode_stream(val, stream)
+
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5+ compressed objects (/Type /ObjStm): each container's
+        decoded stream holds /N (objnum, offset) integer pairs up to
+        /First, then the serialized objects themselves (no obj/endobj
+        wrappers; stream-bearing objects are forbidden inside by spec).
+        Discovery stays scan-based — the xref STREAM (/Type /XRef) is
+        parsed only for its dict (encryption check); its index is not
+        needed. Precedence: a DIRECT definition of an object number
+        always wins (classic incremental updates append direct
+        objects); among containers, the later one in file order wins.
+        A container with an out-of-subset filter raises the honest
+        NotImplementedError gate; a CORRUPT container is skipped like
+        any malformed object."""
+        direct = set(self.objects)
+        compressed: dict[int, object] = {}
+        for num in self._scan_order:
+            val, stream = self.objects.get(num, (None, None))
+            if not (isinstance(val, dict) and val.get("Type") == "ObjStm"
+                    and stream is not None):
+                continue
+            try:
+                data = self._decode_stream(val, stream)
+            except ValueError:
+                continue  # corrupt container: degrade, don't refuse
+            n = self.resolve(val.get("N"))
+            first = self.resolve(val.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int) \
+                    or not 0 <= first <= len(data):
+                continue
+            ints = [int(x) for x in re.findall(rb"\d+", data[:first])]
+            for i in range(min(n, len(ints) // 2)):
+                objnum, off = ints[2 * i], ints[2 * i + 1]
+                try:
+                    v = _Lexer(data, first + off).parse_value()
+                except (ValueError, RecursionError, IndexError, KeyError):
+                    continue
+                compressed[objnum] = v
+        for objnum, v in compressed.items():
+            if objnum not in direct:
+                self.objects[objnum] = (v, None)
 
     def page_objects(self) -> list[dict]:
         """Pages in catalog-tree order; file order as the fallback."""

@@ -190,6 +190,13 @@ def test_mutation_fuzz_exception_contract():
         for _m in range(rng.randint(1, 8)):
             b[rng.randrange(len(b))] = rng.randrange(256)
         corpus.append(bytes(b)[: rng.randrange(20, len(b) + 1)])
+    # same contract for the PDF 1.5 object-stream layout (r5)
+    modern = build_pdf_objstm([PAGE1, PAGE2])
+    for _ in range(200):
+        b = bytearray(modern)
+        for _m in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        corpus.append(bytes(b)[: rng.randrange(20, len(b) + 1)])
     for blob in corpus:
         try:
             reader = MiniPdfReader(blob)
@@ -241,3 +248,129 @@ def test_xref_stream_encrypt_refused():
             b"stream\n\nendstream\nendobj\n")
     with pytest.raises(NotImplementedError):
         MiniPdfReader(pdf)
+
+
+def build_pdf_objstm(page_streams: list[bytes],
+                     compress_container: bool = True,
+                     objstm_filter: bytes = b"/FlateDecode") -> bytes:
+    """PDF 1.5 writer: catalog/pages/page dicts live COMPRESSED inside
+    a /Type /ObjStm container; content streams stay direct objects
+    (stream-bearing objects are forbidden inside object streams); the
+    cross-reference is a /Type /XRef stream, no classic trailer."""
+    n_pages = len(page_streams)
+    # object numbering: 1..n content streams (direct), then the
+    # compressed ones: catalog=100, pages=101, page dicts 102..
+    contents: list[bytes] = []
+    for stream in page_streams:
+        body = zlib.compress(stream)
+        contents.append(b"<< /Filter /FlateDecode /Length " +
+                        str(len(body)).encode() + b" >>\nstream\n" +
+                        body + b"\nendstream")
+    kids = " ".join(f"{102 + i} 0 R" for i in range(n_pages))
+    packed_objs = [
+        (100, b"<< /Type /Catalog /Pages 101 0 R >>"),
+        (101, f"<< /Type /Pages /Kids [{kids}] "
+              f"/Count {n_pages} >>".encode()),
+    ]
+    for i in range(n_pages):
+        packed_objs.append((
+            102 + i,
+            f"<< /Type /Page /Parent 101 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {1 + i} 0 R >>".encode()))
+    payload = b" ".join(o for _, o in packed_objs)
+    offsets, off = [], 0
+    for _, o in packed_objs:
+        offsets.append(off)
+        off += len(o) + 1
+    header = " ".join(f"{num} {o}" for (num, _), o in
+                      zip(packed_objs, offsets)).encode() + b"\n"
+    inner = header + payload
+    if compress_container:
+        inner_body = zlib.compress(inner)
+        filt = b"/Filter " + objstm_filter + b" "
+    else:
+        inner_body, filt = inner, b""
+    objstm = (b"<< /Type /ObjStm " + filt + b"/N " +
+              str(len(packed_objs)).encode() + b" /First " +
+              str(len(header)).encode() + b" /Length " +
+              str(len(inner_body)).encode() + b" >>\nstream\n" +
+              inner_body + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n")
+    for num, obj in enumerate(contents, start=1):
+        out += f"{num} 0 obj\n".encode() + obj + b"\nendobj\n"
+    objstm_num = len(contents) + 1
+    out += f"{objstm_num} 0 obj\n".encode() + objstm + b"\nendobj\n"
+    # minimal xref STREAM (W [1 4 2]; the reader ignores its index —
+    # discovery is scan-based — but its dict must parse)
+    xref_at = len(out)
+    xref_num = objstm_num + 1
+    entries = b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+    xref_body = entries  # free-list head only; index unused by reader
+    out += (f"{xref_num} 0 obj\n".encode() +
+            b"<< /Type /XRef /Size " + str(xref_num + 1).encode() +
+            b" /W [1 4 2] /Root 100 0 R /Length " +
+            str(len(xref_body)).encode() + b" >>\nstream\n" +
+            xref_body + b"\nendstream\nendobj\n")
+    out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    return bytes(out)
+
+
+class TestObjectStreams:
+    """PDF 1.5+ object-stream layout (VERDICT r4 ask #4): the majority
+    web-PDF shape — page tree compressed in an ObjStm, xref as a
+    stream. Must parse identically to the classic-layout fixture whose
+    text is the recorded-PyPDF2 contract."""
+
+    def test_objstm_matches_classic_layout(self, tmp_path):
+        classic = build_pdf([PAGE1, PAGE2], [True, True])
+        modern = build_pdf_objstm([PAGE1, PAGE2])
+        rc = MiniPdfReader(classic)
+        rm = MiniPdfReader(modern)
+        assert len(rm.pages) == 2
+        assert [p.extract_text() for p in rm.pages] == \
+            [p.extract_text() for p in rc.pages]
+        p = tmp_path / "modern.pdf"
+        p.write_bytes(modern)
+        # the recorded PyPDF2 contract for this content
+        assert load_pdf_text(str(p)) == \
+            "Hello World\nSecond line\n\nPage two"
+
+    def test_uncompressed_objstm_container(self):
+        modern = build_pdf_objstm([PAGE2], compress_container=False)
+        assert MiniPdfReader(modern).pages[0].extract_text() == "Page two"
+
+    def test_direct_definition_beats_compressed(self):
+        """Incremental-update precedence: a direct append of an object
+        also present in an ObjStm must win (xref semantics)."""
+        modern = build_pdf_objstm([PAGE2], compress_container=True)
+        new_stream = b"BT\n(updated) Tj\nET\n"
+        append = (b"1 0 obj\n<< /Length " +
+                  str(len(new_stream)).encode() + b" >>\nstream\n" +
+                  new_stream + b"\nendstream\nendobj\n")
+        assert MiniPdfReader(modern + append).pages[0].extract_text() \
+            == "updated"
+
+    def test_objstm_exotic_filter_refused(self):
+        modern = build_pdf_objstm([PAGE2], objstm_filter=b"/LZWDecode")
+        with pytest.raises(NotImplementedError):
+            MiniPdfReader(modern).pages[0].extract_text()
+
+    def test_corrupt_container_degrades_not_crashes(self):
+        """A truncated ObjStm body is skipped like any malformed
+        object: the reader constructs; the page tree is just absent."""
+        modern = build_pdf_objstm([PAGE2])
+        # corrupt the zlib body of the container (flip bytes mid-stream)
+        i = modern.rindex(b"/Type /ObjStm")
+        s = modern.index(b"stream\n", i) + 7
+        bad = modern[:s + 4] + bytes([modern[s + 4] ^ 0xFF]) + \
+            modern[s + 5:]
+        reader = MiniPdfReader(bad)  # no raise
+        assert reader.pages == []
+
+    def test_encrypted_xref_stream_refused(self):
+        modern = build_pdf_objstm([PAGE2])
+        modern = modern.replace(b"/Root 100 0 R",
+                                b"/Root 100 0 R /Encrypt 9 0 R")
+        with pytest.raises(NotImplementedError):
+            MiniPdfReader(modern)
