@@ -386,14 +386,6 @@ def _minhash_dedup(sf_dir: str):
         num_bands=32, jaccard_threshold=0.8)
 
 
-def _ngram_jaccard(sf_dir: str):
-    from temporal_knowledge_graphs_ray.pipelines.queries import _read
-    from temporal_knowledge_graphs_ray.stages.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(_read(sf_dir, "documents",
-                                     ["doc_id", "text"]), max_id=40)
-
-
 def _simhash_pairs(sf_dir: str):
     """9-block bucket LSH guarantees exact recall at Hamming <= 8, so the
     result must EQUAL the exact all-pairs Hamming oracle (recall gate)."""

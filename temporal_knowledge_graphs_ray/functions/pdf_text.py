@@ -276,11 +276,16 @@ class _Doc:
                 # trailer dict the lexer can't parse: fall back to a
                 # conservative byte-level check near the trailer — a
                 # malformed-but-encrypted PDF must still refuse rather
-                # than fall through and emit ciphertext as text
-                if b"/Encrypt" in self.data[m.end():m.end() + 2048]:
+                # than fall through and emit ciphertext as text. The
+                # pattern requires a dict-KEY shape (/Encrypt N G R or
+                # an inline dict), so page text merely MENTIONING
+                # '/Encrypt' still parses (the method's contract).
+                if re.search(rb"/Encrypt\s+(?:\d+\s+\d+\s+R|<<)",
+                             self.data[m.end():m.end() + 2048]):
                     raise NotImplementedError(
                         "encrypted PDFs are outside the vendored "
-                        "subset (malformed trailer, /Encrypt nearby)")
+                        "subset (malformed trailer, /Encrypt key "
+                        "nearby)")
                 continue
             if isinstance(d, dict) and "Encrypt" in d:
                 raise NotImplementedError(

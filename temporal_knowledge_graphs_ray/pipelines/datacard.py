@@ -18,7 +18,10 @@ nothing here computes anything new).
   md5-fraction SAMPLE of the corpus (stages/sampling.sample_fraction +
   stages/dedup.minhash_lsh_dedup — the fraction of sampled docs a
   near-dup pass would drop; sampled so the card stays one bounded call
-  at any corpus size);
+  at any corpus size). The in-sample value is a LOWER BOUND when
+  frac<1 (a dup is detected only if a partner co-survives the
+  sample), so the section reports both it and the observed/frac
+  corrected estimate the flag fires on — see the inline note;
 - ``pii``: per-type PII match totals and the fraction of docs with any
   match (stages/pii.pii_stage — exact regexp_extract_all oracle);
 - ``flags``: loud booleans a reviewer scans first (high_dup_fraction,
@@ -105,6 +108,15 @@ def build_datacard(docs, text_col: str = "text",
     from ..stages.dedup import minhash_lsh_dedup
     from ..stages.sampling import sample_fraction
 
+    # Sampling note: a sampled doc is DETECTED as a near-dup only when
+    # a cluster partner also survived the sample, so the raw in-sample
+    # fraction scales with sample_fraction for pair-grain dup clusters
+    # (detection prob ~ frac per partner) and is a LOWER BOUND, not an
+    # estimate. The card therefore also reports the Horvitz-Thompson-
+    # style correction observed/frac — exact at frac=1, unbiased for
+    # pair clusters, an overestimate for large clusters — and the
+    # high_near_dup flag fires on the corrected estimate so a 20%-dup
+    # corpus cannot read as clean just because the sample was thin.
     frac = min(1.0, neardup_sample_max / n_rows)
     sample = docs.select_columns([id_col, text_col])
     if frac < 1.0:
@@ -118,12 +130,17 @@ def build_datacard(docs, text_col: str = "text",
     n_clusters = (clusters["cluster_id"].nunique() if n_members else 0)
     near_dropped = n_members - n_clusters
     near_frac = near_dropped / m if m else 0.0
+    est_frac = min(1.0, near_frac / frac) if frac else 0.0
     card["near_dup"] = {
         "sample_docs": int(m),
         "sample_fraction": round(float(frac), 4),
         "jaccard_threshold": neardup_jaccard,
         "near_dup_docs": int(near_dropped),
-        "near_dup_fraction": round(float(near_frac), 4),
+        # measured within the sample — a lower bound below frac=1
+        "near_dup_fraction_sampled": round(float(near_frac), 4),
+        # observed/frac correction (pair-cluster assumption; ==
+        # the sampled value when the whole corpus was scanned)
+        "est_near_dup_fraction": round(float(est_frac), 4),
     }
 
     # PII: one streaming regex pass; totals per type + docs-with-any
@@ -155,7 +172,7 @@ def build_datacard(docs, text_col: str = "text",
                       if card["language_mix"] else 0.0)
     card["flags"] = {
         "high_dup_fraction": bool(dup_fraction > 0.2),
-        "high_near_dup": bool(near_frac > 0.2),
+        "high_near_dup": bool(est_frac > 0.2),
         "pii_present": bool(docs_with_pii > 0),
         "dominant_language": bool(top_lang_share > 0.95),
         "empty_docs": bool(card["text"]["empty_docs"] > 0),

@@ -564,8 +564,11 @@ def _buckets_from_skew(probe: dict, base: int = 64,
     chosen = base
     distinct = int(probe.get("distinct", 0))
     if distinct > 0:
-        chosen = max(chosen, min(max_buckets, 1 << max(
-            0, (distinct // 4096)).bit_length()))
+        # next power of two >= distinct/4096 (so exactly 256k keys
+        # still choose the 64-bucket default, 1M keys choose 256)
+        ratio = (distinct + 4095) // 4096
+        chosen = max(chosen, min(max_buckets,
+                                 1 << max(0, ratio - 1).bit_length()))
     if float(probe.get("skew_factor", 0.0)) > 16.0:
         chosen = min(max_buckets, max(chosen * 2, 128))
     return chosen

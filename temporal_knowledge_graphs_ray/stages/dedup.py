@@ -160,8 +160,10 @@ def _candidate_pairs_from_bands(band_ds, id_col: str = "doc_id",
     )
 
 
-# band groups larger than this are dropped (with a log line) rather than
-# pair-expanded quadratically; identical docs are handled by exact_dedup
+# band groups larger than this star-expand (linear pairs to the min-id
+# hub, cluster connectivity preserved) rather than pair-expanding
+# quadratically; see the hot-group branches in _candidate_pairs_from_bands
+# and simhash_dedup
 _MAX_BAND_GROUP = 4096
 
 # candidate-id count above which the verification semi-join broadcasts a
@@ -243,14 +245,16 @@ def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         _candidate_pairs_from_bands(band_ds, id_col)).materialize()
     n_pairs = cand_ds.count()
     if n_pairs == 0:
-        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                              "b": pd.Series([], dtype="int64"),
-                              "jaccard": pd.Series([], dtype="float64")})
         if as_dataset:
             import ray.data as rd
 
-            return rd.from_pandas(empty)
-        return empty
+            return rd.from_arrow(pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64())}))
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
 
     # Semi-join broadcast: below the threshold ship the exact id set into
     # ``pc.is_in``; above it ship a fixed-size Bloom filter instead (a
@@ -459,12 +463,14 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     ).materialize()
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
-        empty = pd.DataFrame({id_col: [], "cluster_id": []})
         if as_dataset:
             import ray.data as rd
 
-            return rd.from_pandas(empty)
-        return empty
+            return rd.from_arrow(pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64())}))
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
     if as_dataset or n_pairs > _DRIVER_CLUSTER_MAX:
         out_ds = _cluster_pairs_distributed(pairs_ds, id_col)
         if as_dataset:
@@ -565,7 +571,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     _EMPTY = {"a": "int64", "b": "int64", "hamming": "int64",
               "skipped": "int64"}
 
-    def _verified(m: pd.DataFrame, skipped: int) -> pd.DataFrame:
+    def _verified(m: pd.DataFrame,
+                  skipped_per_group: list[int]) -> pd.DataFrame:
         if m.empty:
             out = pd.DataFrame(columns=list(_EMPTY)).astype(_EMPTY)
         else:
@@ -577,15 +584,18 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             out.columns = ["a", "b", "hamming"]
             out["skipped"] = 0
             out = out.astype(_EMPTY)
-        if skipped:
-            # accounting sentinel: one row per group task carrying the
-            # count of un-enumerated hot-block comparisons (the
-            # substring_dup_stats pattern — recall loss is data, not a
-            # log line). Doc ids are non-negative, so a=-1 is reserved.
+        if skipped_per_group:
+            # accounting sentinels: ONE row per hot (block_index, block)
+            # group carrying that group's un-enumerated comparison count
+            # (the substring_dup_stats pattern — recall loss is data, not
+            # a log line), so stats["hot_groups"] counts hot GROUPS even
+            # when several hash into one shuffle bucket. Doc ids are
+            # non-negative, so a=-1 is reserved.
+            k = len(skipped_per_group)
             out = pd.concat(
-                [out, pd.DataFrame({"a": [-1], "b": [-1],
-                                    "hamming": [-1],
-                                    "skipped": [skipped]})],
+                [out, pd.DataFrame({"a": [-1] * k, "b": [-1] * k,
+                                    "hamming": [-1] * k,
+                                    "skipped": skipped_per_group})],
                 ignore_index=True).astype(_EMPTY)
         return out
 
@@ -599,18 +609,19 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         sizes = df.groupby(["block_index", "block"])[id_col].transform("size")
         hot = sizes > _MAX_BAND_GROUP
         star = None
-        skipped = 0
+        skipped_per_group: list[int] = []
         if hot.any():
             import logging
 
             dh = df[hot]
             grp_sizes = dh.groupby(["block_index", "block"])[id_col].size()
-            skipped = int((grp_sizes * (grp_sizes - 1) // 2
-                           - (grp_sizes - 1)).sum())
+            skipped_per_group = [int(g * (g - 1) // 2 - (g - 1))
+                                 for g in grp_sizes]
             logging.getLogger(__name__).warning(
-                "simhash: %d rows in blocks over %d members — star "
+                "simhash: %d rows in %d blocks over %d members — star "
                 "expansion (hub=min id), %d comparisons skipped",
-                int(hot.sum()), _MAX_BAND_GROUP, skipped)
+                int(hot.sum()), len(skipped_per_group), _MAX_BAND_GROUP,
+                sum(skipped_per_group))
             hub_id = dh.groupby(["block_index", "block"])[id_col].transform("min")
             spokes = dh[dh[id_col] != hub_id]
             hub_rows = (dh[dh[id_col] == hub_id]
@@ -629,7 +640,7 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                           "simhash_a", "simhash_b"]]],
                 ignore_index=True)
         m = m.drop_duplicates(subset=[f"{id_col}_a", f"{id_col}_b"])
-        return _verified(m, skipped)
+        return _verified(m, skipped_per_group)
 
     out = (
         ds.map_batches(sims, batch_format="pyarrow", batch_size=1024)

@@ -632,6 +632,10 @@ def _remove_spans_until_stable(ds, *, window_tokens, id_col, text_col,
     # token sum alone would read a drop-only round as convergence
     per_pass: list[int] = []
     dropped_per_pass: list[int] = []
+    # materialize ONCE before counting: count() on the lazy lineage would
+    # execute the whole upstream pipeline and one_pass would re-execute
+    # it (the connected_components waste class, commit 2e4121e)
+    ds = ds.materialize()
     n_prev = ds.count()
     acc = one_pass(ds)
     n_acc = acc.count()

@@ -111,7 +111,9 @@ def test_card_near_dup_and_pii_sections(tmp_path):
     assert nd["sample_docs"] == len(texts)
     # the planted cluster {0, 20..23} drops its 4 non-representatives
     assert nd["near_dup_docs"] == 4
-    assert nd["near_dup_fraction"] == round(4 / len(texts), 4)
+    assert nd["near_dup_fraction_sampled"] == round(4 / len(texts), 4)
+    # full scan (frac=1): the corrected estimate equals the sampled one
+    assert nd["est_near_dup_fraction"] == nd["near_dup_fraction_sampled"]
     assert not card["flags"]["high_near_dup"]
 
     # PII totals vs the exact DuckDB oracle over the same corpus

@@ -214,8 +214,12 @@ class TestHotBlockStarExpansion:
         got = set(zip(pairs["a"], pairs["b"]))
         # star pairs: every identical doc links to the hub (min id 0)
         assert {(0, i) for i in range(1, 12)} <= got
-        assert stats["hot_groups"] >= 1
-        assert stats["comparisons_skipped"] > 0
+        # 12 identical docs make EVERY one of the 4 (block_index, block)
+        # groups hot — hot_groups counts GROUPS, not sentinel tasks,
+        # even when several groups hash into one shuffle bucket
+        assert stats["hot_groups"] == 4
+        # per group: C(12,2) - 11 star pairs = 55 skipped comparisons
+        assert stats["comparisons_skipped"] == 4 * 55
         # default return shape unchanged: frame only, no sentinel rows
         plain = D.simhash_dedup(rd.from_items(rows), max_hamming=3)
         assert list(plain.columns) == ["a", "b", "hamming"]
