@@ -165,6 +165,30 @@ def run_bench() -> dict:
           lambda: minhash_lsh_dedup(
               rd.read_parquet(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text"])))
+
+    # incremental near-dup: store init (even doc_ids) is untimed setup;
+    # the entry times deduping the odd half against the persisted store
+    import tempfile as _tf
+
+    import pyarrow.compute as _pc
+
+    from temporal_knowledge_graphs_ray.stages.incneardup import (
+        neardup_against_store,
+        write_neardup_store,
+    )
+
+    def _half(parity: int):
+        return rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(
+            lambda t, p=parity: t.filter(_pc.equal(
+                _pc.bit_wise_and(t["doc_id"], 1), p)),
+            batch_format="pyarrow")
+
+    _mh_store = _tf.mkdtemp(prefix="bench-mh-store-")
+    write_neardup_store(_half(0), _mh_store)
+    timed("incneardup",
+          lambda: neardup_against_store(_half(1), _mh_store).count())
     from temporal_knowledge_graphs_ray.stages.paradedup import (
         dedup_paragraphs,
     )

@@ -687,6 +687,52 @@ def cmd_incdedup(args) -> int:
     return 0
 
 
+def cmd_incneardup(args) -> int:
+    """NEAR-dedup a new snapshot against a persisted MinHash store
+    (stages/incneardup.py: shared LSH band + signature agreement >=
+    --threshold; the store holds only band hashes + signatures, so no
+    corpus text is ever re-read)."""
+    import ray
+    import ray.data as rd
+
+    from .stages.blocks import coalesce_blocks
+    from .stages.incneardup import (
+        compact_neardup_store,
+        neardup_against_store,
+        write_neardup_store,
+    )
+
+    if args.compact:
+        _init_ray(args.num_cpus)
+        print(json.dumps({"store": args.store,
+                          **compact_neardup_store(args.store)}))
+        ray.shutdown()
+        return 0
+    if not args.init_from and not (args.documents and args.out):
+        print("incneardup needs either --init-from, --compact, or "
+              "--documents with --out", file=sys.stderr)
+        return 2
+    _init_ray(args.num_cpus)
+    if args.init_from:
+        n = write_neardup_store(rd.read_parquet(args.init_from),
+                                args.store)
+        print(json.dumps({"store": args.store, "docs": n}))
+        ray.shutdown()
+        return 0
+    out, stats = neardup_against_store(
+        rd.read_parquet(args.documents), args.store,
+        jaccard_threshold=args.threshold, update_store=args.update,
+        return_stats=True)
+    survivors = out.count()
+    if survivors:
+        coalesce_blocks(out).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "survivors": survivors,
+                      "store": args.store, "updated": args.update,
+                      **stats}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_export(args) -> int:
     """Curated documents -> shuffled, packed training shards (text, or
     BPE token ids with --tokenize-with)."""
@@ -1040,6 +1086,23 @@ def main(argv=None) -> int:
                         "deduping")
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("incneardup")
+    p.add_argument("--store", required=True,
+                   help="MinHash store dir (bands/ + sigs/ + _meta.json)")
+    p.add_argument("--documents", help="new snapshot Parquet")
+    p.add_argument("--out", help="survivors Parquet dir")
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="signature-agreement (est. Jaccard) threshold")
+    p.add_argument("--update", action="store_true",
+                   help="append survivors' MinHash state to the store")
+    p.add_argument("--init-from",
+                   help="initialize the store from this corpus instead "
+                        "of deduping")
+    p.add_argument("--compact", action="store_true",
+                   help="merge the store's increment files instead of "
+                        "deduping")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("analytics")
     p.add_argument("--kg", required=True, help="built KG output dir")
     p.add_argument("--metrics",
@@ -1128,6 +1191,8 @@ def main(argv=None) -> int:
         return cmd_profile(args)
     if args.cmd == "incdedup":
         return cmd_incdedup(args)
+    if args.cmd == "incneardup":
+        return cmd_incneardup(args)
     if args.cmd == "export":
         return cmd_export(args)
     if args.cmd == "eval":

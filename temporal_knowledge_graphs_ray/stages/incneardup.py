@@ -1,0 +1,503 @@
+"""Cross-snapshot incremental NEAR-dedup against a persisted MinHash
+store (scale addition — the recurring-crawl shape, like
+stages/incdedup.py, but for NEAR duplicates: each new crawl must drop
+documents that are near-copies of anything already in the accumulated
+corpus WITHOUT re-shingling or even re-reading the corpus text).
+
+The store holds, per accumulated doc, only its MinHash state:
+
+- ``bands/inc-NNNNN.parquet``: exploded ``(doc_id, band_index,
+  band_hash)`` LSH rows (~``num_bands`` x 20 B per doc) — the
+  candidate-generation side;
+- ``sigs/inc-NNNNN.parquet``: ``(doc_id, sig)`` rows where ``sig`` is
+  the little-endian uint64[num_perm] signature hex-encoded
+  (~``num_perm`` x 16 B per doc) — the verification side;
+- ``_meta.json``: the (num_perm, num_bands, shingle_k) the store was
+  built with; every later write validates against it, because band
+  hashes from different parameters never collide meaningfully.
+
+At 64 perms / 16 bands that is ~1.3 KB per document — three orders of
+magnitude below web-document text, so a 100 TB corpus carries a
+~100 GB store that lives on shared storage and is read (never
+rewritten) by every increment. Appends are new numbered files via
+tmp-write + atomic ``os.replace`` (single writer per store by
+contract); a killed update leaves a valid store, and re-running the
+increment regenerates exactly the missing files.
+
+Match semantics: a new doc is dropped when it shares >= 1 LSH band
+with a stored doc AND the signature agreement fraction
+``mean(sig_new[i] == sig_store[i])`` is >= ``jaccard_threshold``.
+Signature agreement is the standard unbiased MinHash estimator of
+Jaccard — the store deliberately does NOT retain shingle sets, so
+exact-Jaccard verification (what the in-corpus
+``minhash_verified_pairs`` does, where text is at hand) is not
+available; estimator stddev at J=t is ``sqrt(t(1-t)/num_perm)``
+(~0.05 at t=0.8, 64 perms). That trade is the point: verification
+against the whole corpus history costs two bounded hash joins on the
+candidate set, never a corpus pass.
+
+Docs with fewer than ``shingle_k`` words are excluded from the store
+AND from matching (no full shingle exists), mirroring
+``minhash_verified_pairs``'s guard — such docs always survive here;
+route them through the exact store (stages/incdedup.py) instead.
+
+Scale notes: candidate generation unions the new increment's band
+rows with the store's band rows and groups by a bounded bucket of the
+uniform band hash (the ``_candidate_pairs_from_bands`` pattern);
+within a group the new x store merge is capped at
+``max_store_partners`` smallest store ids per (new doc, band) — a new
+doc needs only ONE surviving partner to be dropped, so the cap costs
+recall only if every one of the first K band-mates fails the
+signature check (boilerplate-hot bands; the skip count is reported in
+``return_stats``). Verification joins ride Ray's hash join on uniform
+int64 keys; matched-id suppression broadcasts below
+``broadcast_limit`` ids and switches to a LEFT ANTI join above it
+(the stages/incdedup.py gate). Doc ids must be unique ACROSS
+snapshots (the 63-bit WET ids are; sources/wet.py).
+
+No reference equivalent (its dedup is entity-level, SURVEY.md §2.6);
+this extends the corpus-dedup family the 100 TB brief leads with.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import minhash_bands, minhash_signature, word_shingles
+
+_SIG = "sig"
+_PARAMS = ("num_perm", "num_bands", "shingle_k")
+
+# per (new doc, band) at most this many smallest store ids become
+# verification candidates — linear in the hot-band case, recall caveat
+# in the module docstring, skips surfaced via return_stats
+_MAX_STORE_PARTNERS = 64
+
+
+# ---------------------------------------------------------------- store I/O
+
+def _subdir_files(store_dir: str, sub: str) -> list[str]:
+    d = os.path.join(store_dir, sub)
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.path.join(d, f) for f in os.listdir(d)
+                  if f.endswith(".parquet"))
+
+
+def _next_inc_path(store_dir: str, sub: str) -> str:
+    # max existing index + 1, NOT file count (compaction collapses to one
+    # high-numbered file — stages/incdedup.py:_next_inc_path rationale)
+    d = os.path.join(store_dir, sub)
+    os.makedirs(d, exist_ok=True)
+    nxt = 0
+    for f in _subdir_files(store_dir, sub):
+        stem = os.path.basename(f)
+        try:
+            nxt = max(nxt, int(stem[4:-8]) + 1)  # inc-NNNNN.parquet
+        except ValueError:
+            continue
+    return os.path.join(d, f"inc-{nxt:05d}.parquet")
+
+
+def _write_table(tbl: pa.Table, store_dir: str, sub: str) -> int:
+    import pyarrow.parquet as pq
+
+    path = _next_inc_path(store_dir, sub)
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return tbl.num_rows
+
+
+def _check_meta(store_dir: str, num_perm: int, num_bands: int,
+                shingle_k: int) -> None:
+    """First write records the MinHash parameters; later calls (reads
+    and writes both) must match — mixed-parameter band hashes would
+    silently never collide, reading as a clean corpus."""
+    meta_path = os.path.join(store_dir, "_meta.json")
+    params = {"num_perm": num_perm, "num_bands": num_bands,
+              "shingle_k": shingle_k}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            existing = json.load(f)
+        got = {k: existing.get(k) for k in _PARAMS}
+        if got != params:
+            raise ValueError(
+                f"minhash store {store_dir} was built with {got}, "
+                f"call uses {params}")
+        return
+    os.makedirs(store_dir, exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, meta_path)
+
+
+# ------------------------------------------------------------ minhash pass
+
+def minhash_state_rows(ds, text_col: str = "text", id_col: str = "doc_id",
+                       num_perm: int = 64, num_bands: int = 16,
+                       shingle_k: int = 3):
+    """documents -> (id, sig, band_0..band_{B-1}) rows in ONE shingle
+    pass: ``sig`` is the hex-encoded little-endian uint64[num_perm]
+    signature, ``bands`` a fixed-width set of int64 columns (exploded
+    lazily by :func:`_band_rows` — kept wide here so sig and bands
+    come from a single shingle/signature computation). Docs without a
+    full ``shingle_k``-word shingle are excluded entirely."""
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids, sigs = [], []
+        band_cols: list[list[int]] = [[] for _ in range(num_bands)]
+        for did, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            grams = word_shingles(text, shingle_k) if text else []
+            if not (grams and len(grams[0].split(" ")) >= shingle_k):
+                continue
+            sig = minhash_signature(grams, num_perm)
+            ids.append(did)
+            # hex, not raw bytes: the blob rides Ray/Arrow hash joins as
+            # a plain string column (raw bytes with NULs can't)
+            sigs.append(sig.astype("<u8").tobytes().hex())
+            for bi, bh in enumerate(minhash_bands(sig, num_bands)):
+                band_cols[bi].append(bh)
+        arrays = [pa.array(ids, pa.int64()), pa.array(sigs, pa.string())]
+        names = [id_col, _SIG]
+        for bi in range(num_bands):
+            arrays.append(pa.array(band_cols[bi], pa.int64()))
+            names.append(f"band_{bi}")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return ds.map_batches(rows, batch_format="pyarrow", batch_size=1024)
+
+
+def _band_rows(state_ds, id_col: str, num_bands: int):
+    """wide state rows -> exploded (id, band_index, band_hash) rows."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_ids = np.repeat(ids, num_bands)
+        out_ix = np.tile(np.arange(num_bands, dtype=np.int32), n)
+        cols = [t[f"band_{bi}"].to_numpy(zero_copy_only=False)
+                for bi in range(num_bands)]
+        out_h = np.column_stack(cols).ravel() if n else np.array(
+            [], dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(out_ids, pa.int64()), pa.array(out_ix, pa.int32()),
+             pa.array(out_h, pa.int64())],
+            names=[id_col, "band_index", "band_hash"])
+
+    return state_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _sig_rows(state_ds, id_col: str):
+    return state_ds.select_columns([id_col, _SIG])
+
+
+def _append_state(state_ds, store_dir: str, id_col: str,
+                  num_bands: int) -> int:
+    """Append one increment's band + sig files; returns docs written."""
+    bands = pa.concat_tables(
+        _band_rows(state_ds, id_col, num_bands)
+        .iter_batches(batch_format="pyarrow"))
+    sigs = pa.concat_tables(
+        _sig_rows(state_ds, id_col).iter_batches(batch_format="pyarrow"))
+    # bands first: a kill between the two writes then leaves orphan band
+    # rows whose candidates can never verify (no sig row -> inner join
+    # drops them) — membership-neutral, and the re-run regenerates both
+    _write_table(bands, store_dir, "bands")
+    _write_table(sigs, store_dir, "sigs")
+    return sigs.num_rows
+
+
+def write_neardup_store(docs, store_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 64,
+                        num_bands: int = 16, shingle_k: int = 3) -> int:
+    """Initialize/extend a store with a corpus's MinHash state; returns
+    docs written (those with a full shingle). Near-dedup the corpus
+    FIRST (stages/dedup.minhash_lsh_dedup) if you want the store to
+    hold one representative per near-cluster."""
+    _check_meta(store_dir, num_perm, num_bands, shingle_k)
+    state = minhash_state_rows(docs, text_col, id_col, num_perm,
+                               num_bands, shingle_k)
+    return _append_state(state, store_dir, id_col, num_bands)
+
+
+def compact_neardup_store(store_dir: str) -> dict:
+    """Merge increments into one file per side (distinct band rows;
+    first sig per doc_id). Crash-safe without journals: duplicate rows
+    on either side are match-neutral (a doc matching twice still
+    matches), so merged-then-partially-deleted states over-count
+    nothing — the stages/incdedup.py compaction argument."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    out = {}
+    for sub in ("bands", "sigs"):
+        files = _subdir_files(store_dir, sub)
+        if len(files) <= 1:
+            out[sub] = {"files_before": len(files),
+                        "files_after": len(files)}
+            continue
+        ds = rd.read_parquet(files)
+        if sub == "bands":
+            cols = ds.columns()
+            merged = ds.groupby(cols).count().select_columns(cols)
+        else:
+            id_col = [c for c in ds.columns() if c != _SIG][0]
+            merged = (ds.groupby(id_col)
+                      .aggregate(Min(_SIG, alias_name=_SIG)))
+        tbl = pa.concat_tables(merged.iter_batches(batch_format="pyarrow"))
+        _write_table(tbl, store_dir, sub)
+        for f in files:
+            os.remove(f)
+        out[sub] = {"files_before": len(files), "files_after": 1,
+                    "rows": tbl.num_rows}
+    return out
+
+
+# ------------------------------------------------------------- the operator
+
+def _store_candidates(new_bands, store_files: list[str], id_col: str,
+                      num_buckets: int = 64,
+                      max_store_partners: int = _MAX_STORE_PARTNERS):
+    """new (id, band_index, band_hash) rows x store band files ->
+    distinct (new_id, store_id, skipped) candidate rows, bucketed by the
+    uniform band hash; ``skipped`` rides along as per-group accounting
+    (partners beyond the cap), summed by the caller for stats."""
+    import ray.data as rd
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return fn
+
+    store = rd.read_parquet(store_files).map_batches(
+        tag(0), batch_format="pyarrow")
+    tagged_new = new_bands.map_batches(tag(1), batch_format="pyarrow")
+    both = tagged_new.union(store)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bucket = pc.cast(
+            pc.bit_wise_and(t["band_hash"],
+                            pa.scalar(num_buckets - 1, pa.int64())),
+            pa.int32())
+        return t.append_column("bucket", bucket)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "new_id": pd.Series([], dtype="int64"),
+            "store_id": pd.Series([], dtype="int64"),
+            "skipped": pd.Series([], dtype="int64")})
+        if not len(g):  # empty-group guard (house convention)
+            return empty
+        new = g[g["side"] == 1]
+        old = g[g["side"] == 0]
+        if new.empty or old.empty:
+            return empty
+        m = new.merge(old[["band_index", "band_hash", id_col]],
+                      on=["band_index", "band_hash"],
+                      suffixes=("", "_s"))
+        if m.empty:
+            return empty
+        m = m.rename(columns={id_col: "new_id", f"{id_col}_s": "store_id"})
+        # hot-band cap: smallest store ids win (deterministic); one
+        # surviving partner is enough to drop the new doc, so only
+        # all-K-fail bands cost recall — skipped count surfaces it
+        m = m.sort_values(["new_id", "band_index", "store_id"])
+        grp = m.groupby(["new_id", "band_index"], sort=False)
+        ranked = grp.cumcount()
+        skipped = int((ranked >= max_store_partners).sum())
+        m = m[ranked < max_store_partners]
+        out = (m[["new_id", "store_id"]]
+               .drop_duplicates(ignore_index=True)
+               .astype({"new_id": "int64", "store_id": "int64"}))
+        out["skipped"] = np.int64(0)
+        if skipped:
+            # one accounting row per group task (the simhash_dedup
+            # sentinel pattern); filtered out before verification
+            out = pd.concat([out, pd.DataFrame(
+                {"new_id": [-1], "store_id": [-1],
+                 "skipped": [skipped]})], ignore_index=True)
+        return out
+
+    return (both.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pandas"))
+
+
+def _dedup_candidates(cand_ds):
+    """distinct (new_id, store_id) via a composite-key groupby count —
+    cross-bucket duplicates arise when a pair surfaces via bands in
+    different shuffle buckets. An aggregate (not a ``map_groups``) on
+    purpose: its Arrow output blocks feed Ray's hash join directly,
+    whereas sorted-``map_groups`` output can carry schema-less empty
+    blocks the join layer rejects."""
+    return (cand_ds.groupby(["new_id", "store_id"]).count()
+            .select_columns(["new_id", "store_id"]))
+
+
+def _sig_agreement(t: pa.Table, threshold: float, num_perm: int) -> pa.Table:
+    """(new_id, sig, sig_s) rows -> new_id rows whose signature
+    agreement fraction >= threshold (vectorized over the batch)."""
+    if t.num_rows == 0:
+        return pa.table({"new_id": pa.array([], pa.int64())})
+    a = np.frombuffer(
+        b"".join(bytes.fromhex(s) for s in t[_SIG].to_pylist()),
+        dtype="<u8").reshape(t.num_rows, num_perm)
+    b = np.frombuffer(
+        b"".join(bytes.fromhex(s) for s in t[f"{_SIG}_s"].to_pylist()),
+        dtype="<u8").reshape(t.num_rows, num_perm)
+    frac = (a == b).mean(axis=1)
+    keep = t["new_id"].to_numpy(zero_copy_only=False)[frac >= threshold]
+    return pa.table({"new_id": pa.array(keep, pa.int64())})
+
+
+def neardup_against_store(new_docs, store_dir: str, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          jaccard_threshold: float = 0.8,
+                          update_store: bool = False,
+                          broadcast_limit: int = 2_000_000,
+                          join_partitions: int | None = None,
+                          return_stats: bool = False,
+                          num_perm: int = 64, num_bands: int = 16,
+                          shingle_k: int = 3):
+    """Surviving rows of ``new_docs``: docs NOT a near-duplicate (>= 1
+    shared LSH band + signature agreement >= threshold) of anything in
+    the store. Does NOT near-dedup the new snapshot against itself —
+    run stages/dedup.minhash_lsh_dedup on it first if wanted.
+    ``update_store=True`` appends the survivors' MinHash state
+    afterwards, so the next increment dedups against this one too.
+    ``return_stats=True`` returns ``(survivors, stats)`` with candidate
+    / matched / hot-band-skip counts."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    _check_meta(store_dir, num_perm, num_bands, shingle_k)
+    state = minhash_state_rows(new_docs, text_col, id_col, num_perm,
+                               num_bands, shingle_k).materialize()
+    stats = {"new_docs_with_shingles": state.count(),
+             "candidates": 0, "matched": 0, "hot_band_skipped": 0}
+
+    band_files = _subdir_files(store_dir, "bands")
+    sig_files = _subdir_files(store_dir, "sigs")
+    matched = None
+    if band_files and sig_files and stats["new_docs_with_shingles"]:
+        raw = _store_candidates(
+            _band_rows(state, id_col, num_bands), band_files, id_col,
+            # module global read at CALL time so tests can monkeypatch
+            max_store_partners=_MAX_STORE_PARTNERS,
+        ).materialize()  # consumed twice: sentinels + pairs
+        sentinels = raw.map_batches(
+            lambda t: t.filter(pc.equal(t["new_id"], pa.scalar(-1))),
+            batch_format="pyarrow")
+        stats["hot_band_skipped"] = int(
+            sentinels.sum(on="skipped") or 0)
+        if join_partitions is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            join_partitions = max(2, min(64, ncpu // 2))
+        # repartition before the joins: the candidate lineage runs
+        # through pandas map_groups, whose empty partitions emit
+        # zero-column blocks that Ray's hash join rejects ("no match
+        # for FieldRef on left side"); repartition rebuilds uniform
+        # Arrow blocks with the full schema
+        cand = (_dedup_candidates(raw.map_batches(
+            lambda t: t.filter(pc.not_equal(t["new_id"], pa.scalar(-1))),
+            batch_format="pyarrow"))
+            .repartition(join_partitions).materialize())
+        stats["candidates"] = cand.count()
+        if stats["candidates"]:
+            new_sigs = _sig_rows(state, id_col).rename_columns(
+                {id_col: "new_id"})
+            store_sigs = (rd.read_parquet(sig_files)
+                          .rename_columns({id_col: "store_id",
+                                           _SIG: f"{_SIG}_s"}))
+            # repartition between the chained joins for the same
+            # reason as above: a join's own empty output partitions
+            # are schema-less and poison the next join
+            joined = (cand.join(new_sigs, "inner", join_partitions,
+                                on=("new_id",))
+                      .repartition(join_partitions)
+                      .join(store_sigs, "inner", join_partitions,
+                            on=("store_id",)))
+            matched = (joined.map_batches(
+                lambda t: _sig_agreement(t, jaccard_threshold, num_perm),
+                batch_format="pyarrow")
+                .groupby("new_id").count()
+                .select_columns(["new_id"]).materialize())
+            stats["matched"] = matched.count()
+
+    if matched is None or stats["matched"] == 0:
+        survivors = new_docs
+    elif stats["matched"] <= broadcast_limit:
+        drop = pa.concat_tables(
+            matched.iter_batches(batch_format="pyarrow"))["new_id"]
+        drop_ref = ray.put(drop.combine_chunks())
+
+        def drop_matched(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(
+                t[id_col].cast(pa.int64()), value_set=ray.get(drop_ref))))
+
+        survivors = new_docs.map_batches(drop_matched,
+                                         batch_format="pyarrow")
+    else:
+        survivors = new_docs.join(
+            matched.rename_columns({"new_id": id_col}), "left_anti",
+            join_partitions, on=(id_col,))
+
+    if update_store:
+        survivors = survivors.materialize()
+        surv_state = minhash_state_rows(survivors, text_col, id_col,
+                                        num_perm, num_bands, shingle_k)
+        _append_state(surv_state, store_dir, id_col, num_bands)
+    if return_stats:
+        return survivors, stats
+    return survivors
+
+
+# -------------------------------------------------------- sequential oracle
+
+def neardup_against_store_sequential(store_docs: list[tuple[int, str]],
+                                     new_docs: list[tuple[int, str]],
+                                     jaccard_threshold: float = 0.8,
+                                     num_perm: int = 64,
+                                     num_bands: int = 16,
+                                     shingle_k: int = 3) -> list[int]:
+    """Pure-Python oracle: surviving new ids under the SAME kernels and
+    match rule (shared band + signature agreement), no caps, no joins —
+    tests compare the distributed operator against this."""
+    def state(docs):
+        out = {}
+        for did, text in docs:
+            grams = word_shingles(text, shingle_k) if text else []
+            if not (grams and len(grams[0].split(" ")) >= shingle_k):
+                continue
+            sig = minhash_signature(grams, num_perm)
+            out[did] = (sig, set(minhash_bands(sig, num_bands)))
+        return out
+
+    store = state(store_docs)
+    new = state(new_docs)
+    survivors = []
+    for did, _ in new_docs:
+        if did not in new:
+            survivors.append(did)  # no full shingle: always survives
+            continue
+        sig, bands = new[did]
+        dropped = False
+        for ssig, sbands in store.values():
+            if bands & sbands and (sig == ssig).mean() >= jaccard_threshold:
+                dropped = True
+                break
+        if not dropped:
+            survivors.append(did)
+    return survivors

@@ -1,0 +1,211 @@
+"""Incremental cross-snapshot NEAR-dedup: the distributed operator must
+equal the pure-Python sequential oracle (same kernels, same shared-band
++ signature-agreement rule, no caps), broadcast and anti-join paths
+must agree, a store update must make a replayed increment vanish, and
+the hot-band partner cap must not cost the planted cluster (one
+surviving partner is enough to drop a doc)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from temporal_knowledge_graphs_ray.stages.incneardup import (
+    compact_neardup_store,
+    neardup_against_store,
+    neardup_against_store_sequential,
+    write_neardup_store,
+)
+
+
+def _doc(i: int, n_words: int = 30) -> str:
+    # doc-unique vocabulary -> disjoint shingles across distinct docs,
+    # so only planted relationships can match
+    return " ".join(f"w{i}x{j}" for j in range(n_words))
+
+
+def _store_docs() -> list[tuple[int, str]]:
+    return [(i, _doc(i)) for i in range(30)]
+
+
+def _new_docs() -> list[tuple[int, str]]:
+    docs: list[tuple[int, str]] = []
+    # 10 fresh (unique vocab: survive)
+    docs += [(1000 + i, _doc(100 + i)) for i in range(10)]
+    # 5 exact copies of store docs (agreement 1.0: dropped)
+    docs += [(2000 + i, _doc(i)) for i in range(5)]
+    # 5 near-copies: last word changed (shingle Jaccard ~0.9: dropped)
+    for i in range(5, 10):
+        words = _doc(i).split()
+        words[-1] = "CHANGED"
+        docs.append((3000 + i, " ".join(words)))
+    # 2 short docs (< shingle_k words: no full shingle, always survive)
+    docs += [(4000, "too short"), (4001, "ab")]
+    return docs
+
+
+def _ds(docs: list[tuple[int, str]]):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string())}))
+
+
+@pytest.fixture()
+def store(tmp_path, ray_session):
+    store_dir = str(tmp_path / "mh-store")
+    n = write_neardup_store(_ds(_store_docs()), store_dir)
+    assert n == 30
+    return store_dir
+
+
+def _survivor_ids(ds) -> list[int]:
+    return sorted(r["doc_id"] for r in ds.take_all())
+
+
+def test_matches_sequential_oracle(store, ray_session):
+    got = _survivor_ids(neardup_against_store(_ds(_new_docs()), store))
+    want = sorted(neardup_against_store_sequential(
+        _store_docs(), _new_docs()))
+    assert got == want
+    # semantic spot checks: fresh + short survive, copies drop
+    assert set(range(1000, 1010)) <= set(got)
+    assert {4000, 4001} <= set(got)
+    assert not any(2000 <= d < 2005 for d in got)
+    assert not any(3005 <= d < 3010 for d in got)
+
+
+def test_antijoin_path_equals_broadcast(store, ray_session):
+    a = _survivor_ids(neardup_against_store(_ds(_new_docs()), store))
+    b = _survivor_ids(neardup_against_store(
+        _ds(_new_docs()), store, broadcast_limit=0))
+    assert a == b
+
+
+def test_update_store_then_replay(store, ray_session):
+    surv, stats = neardup_against_store(
+        _ds(_new_docs()), store, update_store=True, return_stats=True)
+    first = _survivor_ids(surv)
+    assert stats["matched"] == len(_new_docs()) - len(first)
+    assert stats["candidates"] >= stats["matched"]
+    # replay: every survivor with a full shingle now self-matches the
+    # store (agreement 1.0); only the short docs come back
+    replay = _survivor_ids(neardup_against_store(_ds(_new_docs()), store))
+    assert replay == [4000, 4001]
+
+
+def test_third_snapshot_sees_second(store, ray_session):
+    neardup_against_store(_ds(_new_docs()), store, update_store=True)
+    # near-copy of a FRESH doc from snapshot 2 (id 1003 -> vocab 103)
+    words = _doc(103).split()
+    words[0] = "CHANGED"
+    third = [(5000, " ".join(words)), (5001, _doc(500))]
+    got = _survivor_ids(neardup_against_store(_ds(third), store))
+    assert got == [5001]
+
+
+def test_empty_store_all_survive(tmp_path, ray_session):
+    store_dir = str(tmp_path / "empty-store")
+    got = _survivor_ids(neardup_against_store(_ds(_new_docs()), store_dir))
+    assert got == sorted(d for d, _ in _new_docs())
+
+
+def test_meta_mismatch_raises(store, ray_session):
+    with pytest.raises(ValueError, match="built with"):
+        neardup_against_store(_ds(_new_docs()), store, num_bands=8)
+    with pytest.raises(ValueError, match="built with"):
+        write_neardup_store(_ds(_new_docs()), store, shingle_k=5)
+    meta = json.load(open(os.path.join(store, "_meta.json")))
+    assert meta == {"num_perm": 64, "num_bands": 16, "shingle_k": 3}
+
+
+def test_compaction_preserves_membership(store, ray_session):
+    neardup_against_store(_ds(_new_docs()), store, update_store=True)
+    before = _survivor_ids(neardup_against_store(_ds(_new_docs()), store))
+    out = compact_neardup_store(store)
+    assert out["bands"]["files_after"] == 1
+    assert out["sigs"]["files_after"] == 1
+    after = _survivor_ids(neardup_against_store(_ds(_new_docs()), store))
+    assert before == after
+    # a further compaction is a no-op
+    again = compact_neardup_store(store)
+    assert again["bands"]["files_before"] == 1
+
+
+def test_hot_band_cap_keeps_recall(tmp_path, ray_session, monkeypatch):
+    from temporal_knowledge_graphs_ray.stages import incneardup
+
+    monkeypatch.setattr(incneardup, "_MAX_STORE_PARTNERS", 1)
+    store_dir = str(tmp_path / "hot-store")
+    # 12 identical store docs under distinct ids: every band group is
+    # 12 deep, so cap=1 skips 11 partners per (new doc, band) — but one
+    # partner is enough to drop the matching new doc
+    hot = [(i, _doc(7)) for i in range(100, 112)]
+    write_neardup_store(_ds(hot), store_dir)
+    new = [(9000, _doc(7)), (9001, _doc(777))]
+    surv, stats = neardup_against_store(
+        _ds(new), store_dir, return_stats=True)
+    assert _survivor_ids(surv) == [9001]
+    assert stats["hot_band_skipped"] > 0
+    assert stats["matched"] == 1
+
+
+def test_real_testdata_matches_oracle(ray_session):
+    """sf0.001 documents split by source into store/new: the operator
+    must equal the sequential oracle on real text."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    old = duckdb.sql(f"""
+        SELECT doc_id, text FROM read_parquet('{sf}')
+        WHERE source IN ('src0','src1','src2','src3','src4')
+        ORDER BY doc_id""").fetchall()
+    new = duckdb.sql(f"""
+        SELECT doc_id, text FROM read_parquet('{sf}')
+        WHERE source NOT IN ('src0','src1','src2','src3','src4')
+        ORDER BY doc_id""").fetchall()
+    # plant 5 recrawls of store docs under fresh ids
+    new += [(did + 1_000_000, text) for did, text in old[:5]]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        store = f"{td}/store"
+        write_neardup_store(_ds(old), store)
+        got = _survivor_ids(neardup_against_store(_ds(new), store))
+    want = sorted(neardup_against_store_sequential(old, new))
+    assert got == want
+    assert not any(d >= 1_000_000 for d in got)  # recrawls dropped
+
+
+def test_cli_incneardup_subcommand(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(args):
+        env = dict(os.environ)
+        env["RAY_ADDRESS"] = "local"
+        out = subprocess.run(
+            [sys.executable, "-m", "temporal_knowledge_graphs_ray.cli",
+             *args, "--num-cpus", "4"],
+            capture_output=True, text=True, check=True, cwd=repo,
+            env=env, timeout=240)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    store = str(tmp_path / "store")
+    rep = run(["incneardup", "--store", store, "--init-from", sf])
+    assert rep["docs"] > 0
+    out = str(tmp_path / "surv")
+    # replay the same corpus: every doc with a full shingle self-matches
+    rep2 = run(["incneardup", "--store", store,
+                "--documents", sf, "--out", out])
+    assert rep2["matched"] == rep2["new_docs_with_shingles"]
+    assert rep2["survivors"] == 500 - rep2["new_docs_with_shingles"]
