@@ -723,9 +723,21 @@ def cmd_incneardup(args) -> int:
         rd.read_parquet(args.documents), args.store,
         jaccard_threshold=args.threshold, update_store=args.update,
         return_stats=True)
+    out = out.materialize()  # consumed twice: count + write
     survivors = out.count()
     if survivors:
         coalesce_blocks(out).write_parquet(args.out)
+    else:
+        # zero survivors still publishes the reported --out path (an
+        # empty table with the snapshot's schema), so downstream steps
+        # read an empty dataset instead of file-not-found
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(out.schema().base_schema.empty_table(),
+                       os.path.join(args.out, "part-00000.parquet"))
     print(json.dumps({"out": args.out, "survivors": survivors,
                       "store": args.store, "updated": args.update,
                       **stats}))

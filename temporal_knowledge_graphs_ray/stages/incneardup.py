@@ -6,11 +6,11 @@ corpus WITHOUT re-shingling or even re-reading the corpus text).
 
 The store holds, per accumulated doc, only its MinHash state:
 
-- ``bands/inc-NNNNN.parquet``: exploded ``(doc_id, band_index,
-  band_hash)`` LSH rows (~``num_bands`` x 20 B per doc) — the
-  candidate-generation side;
-- ``sigs/inc-NNNNN.parquet``: ``(doc_id, sig)`` rows where ``sig`` is
-  the little-endian uint64[num_perm] signature hex-encoded
+- ``bands/inc-NNNNN/``: exploded ``(doc_id, band_index, band_hash)``
+  LSH rows (~``num_bands`` x 20 B per doc) — the candidate-generation
+  side;
+- ``sigs/inc-NNNNN/``: ``(doc_id, sig)`` rows where ``sig`` is the
+  little-endian uint64[num_perm] signature hex-encoded
   (~``num_perm`` x 16 B per doc) — the verification side;
 - ``_meta.json``: the (num_perm, num_bands, shingle_k) the store was
   built with; every later write validates against it, because band
@@ -19,10 +19,12 @@ The store holds, per accumulated doc, only its MinHash state:
 At 64 perms / 16 bands that is ~1.3 KB per document — three orders of
 magnitude below web-document text, so a 100 TB corpus carries a
 ~100 GB store that lives on shared storage and is read (never
-rewritten) by every increment. Appends are new numbered files via
-tmp-write + atomic ``os.replace`` (single writer per store by
-contract); a killed update leaves a valid store, and re-running the
-increment regenerates exactly the missing files.
+rewritten) by every increment. Appends are numbered increment
+DIRECTORIES of part files written by a distributed sharded
+``write_parquet`` into a ``.tmp`` sibling and atomically renamed into
+place (single writer per store by contract) — the driver never holds
+an increment in memory; a killed update leaves a valid store, and
+re-running the increment regenerates exactly the missing entries.
 
 Match semantics: a new doc is dropped when it shares >= 1 LSH band
 with a stored doc AND the signature agreement fraction
@@ -80,38 +82,67 @@ _MAX_STORE_PARTNERS = 64
 
 
 # ---------------------------------------------------------------- store I/O
+#
+# each increment is a DIRECTORY ``inc-NNNNN/`` of part files written by a
+# distributed ``write_parquet`` into a ``.tmp`` sibling and atomically
+# renamed into place — the driver never concatenates an increment (or the
+# store) in memory, so store init over a billion-doc corpus streams.
+# ``.tmp`` leftovers from a kill are invisible to readers and overwritten
+# by the re-run.
 
-def _subdir_files(store_dir: str, sub: str) -> list[str]:
+def _list_increments(store_dir: str, sub: str) -> list[str]:
+    """inc-NNNNN entry paths (directories; also bare .parquet files so a
+    hand-placed single-file increment still reads)."""
     d = os.path.join(store_dir, sub)
     if not os.path.isdir(d):
         return []
-    return sorted(os.path.join(d, f) for f in os.listdir(d)
-                  if f.endswith(".parquet"))
+    out = []
+    for e in os.listdir(d):
+        if not e.startswith("inc-") or e.endswith(".tmp"):
+            continue
+        out.append(os.path.join(d, e))
+    return sorted(out)
 
 
-def _next_inc_path(store_dir: str, sub: str) -> str:
-    # max existing index + 1, NOT file count (compaction collapses to one
-    # high-numbered file — stages/incdedup.py:_next_inc_path rationale)
+def _subdir_files(store_dir: str, sub: str) -> list[str]:
+    """every parquet part file across the sub-store's increments."""
+    files = []
+    for entry in _list_increments(store_dir, sub):
+        if os.path.isdir(entry):
+            files.extend(sorted(
+                os.path.join(entry, f) for f in os.listdir(entry)
+                if f.endswith(".parquet")))
+        elif entry.endswith(".parquet"):
+            files.append(entry)
+    return files
+
+
+def _next_inc_dir(store_dir: str, sub: str) -> str:
+    # max existing index + 1, NOT entry count (compaction collapses to
+    # one high-numbered entry — stages/incdedup.py:_next_inc_path
+    # rationale)
     d = os.path.join(store_dir, sub)
     os.makedirs(d, exist_ok=True)
     nxt = 0
-    for f in _subdir_files(store_dir, sub):
-        stem = os.path.basename(f)
+    for entry in _list_increments(store_dir, sub):
+        stem = os.path.basename(entry)
         try:
-            nxt = max(nxt, int(stem[4:-8]) + 1)  # inc-NNNNN.parquet
+            nxt = max(nxt, int(stem.removesuffix(".parquet")[4:]) + 1)
         except ValueError:
             continue
-    return os.path.join(d, f"inc-{nxt:05d}.parquet")
+    return os.path.join(d, f"inc-{nxt:05d}")
 
 
-def _write_table(tbl: pa.Table, store_dir: str, sub: str) -> int:
-    import pyarrow.parquet as pq
+def _write_increment_ds(ds, store_dir: str, sub: str) -> None:
+    """Distributed sharded write of one increment: parts land in a .tmp
+    dir, then one atomic rename publishes the increment."""
+    import shutil
 
-    path = _next_inc_path(store_dir, sub)
+    path = _next_inc_dir(store_dir, sub)
     tmp = path + ".tmp"
-    pq.write_table(tbl, tmp)
+    shutil.rmtree(tmp, ignore_errors=True)  # stale kill leftover
+    ds.write_parquet(tmp)
     os.replace(tmp, path)
-    return tbl.num_rows
 
 
 def _check_meta(store_dir: str, num_perm: int, num_bands: int,
@@ -201,18 +232,20 @@ def _sig_rows(state_ds, id_col: str):
 
 def _append_state(state_ds, store_dir: str, id_col: str,
                   num_bands: int) -> int:
-    """Append one increment's band + sig files; returns docs written."""
-    bands = pa.concat_tables(
-        _band_rows(state_ds, id_col, num_bands)
-        .iter_batches(batch_format="pyarrow"))
-    sigs = pa.concat_tables(
-        _sig_rows(state_ds, id_col).iter_batches(batch_format="pyarrow"))
+    """Append one increment's band + sig entries (distributed sharded
+    writes); ``state_ds`` must be MATERIALIZED (it is consumed three
+    times). Returns docs written; a zero-doc increment (every doc
+    shingle-less) writes nothing."""
+    n = state_ds.count()
+    if n == 0:
+        return 0
     # bands first: a kill between the two writes then leaves orphan band
     # rows whose candidates can never verify (no sig row -> inner join
     # drops them) — membership-neutral, and the re-run regenerates both
-    _write_table(bands, store_dir, "bands")
-    _write_table(sigs, store_dir, "sigs")
-    return sigs.num_rows
+    _write_increment_ds(_band_rows(state_ds, id_col, num_bands),
+                        store_dir, "bands")
+    _write_increment_ds(_sig_rows(state_ds, id_col), store_dir, "sigs")
+    return n
 
 
 def write_neardup_store(docs, store_dir: str, text_col: str = "text",
@@ -224,27 +257,32 @@ def write_neardup_store(docs, store_dir: str, text_col: str = "text",
     hold one representative per near-cluster."""
     _check_meta(store_dir, num_perm, num_bands, shingle_k)
     state = minhash_state_rows(docs, text_col, id_col, num_perm,
-                               num_bands, shingle_k)
+                               num_bands, shingle_k).materialize()
     return _append_state(state, store_dir, id_col, num_bands)
 
 
 def compact_neardup_store(store_dir: str) -> dict:
-    """Merge increments into one file per side (distinct band rows;
-    first sig per doc_id). Crash-safe without journals: duplicate rows
-    on either side are match-neutral (a doc matching twice still
-    matches), so merged-then-partially-deleted states over-count
-    nothing — the stages/incdedup.py compaction argument."""
+    """Merge each side's increments into one (distinct band rows; min
+    sig per doc_id) — fully distributed: the groupby shuffles on the
+    uniform hash/id keys and the merged entry is a sharded
+    ``write_parquet``; the driver never holds store rows. Crash-safe
+    without journals: duplicate rows on either side are match-neutral
+    (a doc matching twice still matches), so merged-then-partially-
+    deleted states over-count nothing — the stages/incdedup.py
+    compaction argument."""
     import ray.data as rd
     from ray.data.aggregate import Min
 
+    import shutil
+
     out = {}
     for sub in ("bands", "sigs"):
-        files = _subdir_files(store_dir, sub)
-        if len(files) <= 1:
-            out[sub] = {"files_before": len(files),
-                        "files_after": len(files)}
+        entries = _list_increments(store_dir, sub)
+        if len(entries) <= 1:
+            out[sub] = {"increments_before": len(entries),
+                        "increments_after": len(entries)}
             continue
-        ds = rd.read_parquet(files)
+        ds = rd.read_parquet(_subdir_files(store_dir, sub))
         if sub == "bands":
             cols = ds.columns()
             merged = ds.groupby(cols).count().select_columns(cols)
@@ -252,16 +290,37 @@ def compact_neardup_store(store_dir: str) -> dict:
             id_col = [c for c in ds.columns() if c != _SIG][0]
             merged = (ds.groupby(id_col)
                       .aggregate(Min(_SIG, alias_name=_SIG)))
-        tbl = pa.concat_tables(merged.iter_batches(batch_format="pyarrow"))
-        _write_table(tbl, store_dir, sub)
-        for f in files:
-            os.remove(f)
-        out[sub] = {"files_before": len(files), "files_after": 1,
-                    "rows": tbl.num_rows}
+        merged = merged.materialize()  # consumed twice: write + count
+        _write_increment_ds(merged, store_dir, sub)
+        for e in entries:
+            if os.path.isdir(e):
+                shutil.rmtree(e)
+            else:
+                os.remove(e)
+        out[sub] = {"increments_before": len(entries),
+                    "increments_after": 1, "rows": merged.count()}
     return out
 
 
 # ------------------------------------------------------------- the operator
+
+# target band rows per shuffle bucket: the store side accumulates
+# across snapshots without bound, so the bucket count must scale with
+# it (the pipelines/kg.py _buckets_from_skew sizing idea) — ~4M rows
+# keeps one bucket's pandas frame ~100 MB
+_BAND_ROWS_PER_BUCKET = 4_000_000
+
+
+def _scaled_num_buckets(store_files: list[str]) -> int:
+    """next power of two >= store band rows / _BAND_ROWS_PER_BUCKET,
+    floored at 64 — row counts come from parquet footers, no data
+    read."""
+    import pyarrow.parquet as pq
+
+    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in store_files)
+    need = max(64, -(-rows // _BAND_ROWS_PER_BUCKET))
+    return 1 << (need - 1).bit_length()
+
 
 def _store_candidates(new_bands, store_files: list[str], id_col: str,
                       num_buckets: int = 64,
@@ -299,24 +358,32 @@ def _store_candidates(new_bands, store_files: list[str], id_col: str,
             "skipped": pd.Series([], dtype="int64")})
         if not len(g):  # empty-group guard (house convention)
             return empty
-        new = g[g["side"] == 1]
-        old = g[g["side"] == 0]
+        keys = ["band_index", "band_hash"]
+        # drop duplicate rows first: crash-recovery replays legitimately
+        # duplicate store band rows, which must not consume cap slots
+        # or inflate the skip count
+        new = (g.loc[g["side"] == 1, keys + [id_col]]
+               .drop_duplicates()
+               .rename(columns={id_col: "new_id"}))
+        old = (g.loc[g["side"] == 0, keys + [id_col]]
+               .drop_duplicates()
+               .rename(columns={id_col: "store_id"}))
         if new.empty or old.empty:
             return empty
-        m = new.merge(old[["band_index", "band_hash", id_col]],
-                      on=["band_index", "band_hash"],
-                      suffixes=("", "_s"))
-        if m.empty:
+        # hot-band cap BEFORE the merge (so a boilerplate band of K
+        # store docs x M new docs builds K_cap*M rows, never K*M):
+        # smallest store ids win (deterministic); one surviving partner
+        # is enough to drop a new doc, so only all-K_cap-fail bands
+        # cost recall — skipped count surfaces it
+        old = old.sort_values(keys + ["store_id"])
+        ogrp = old.groupby(keys, sort=False)
+        capped = old[ogrp.cumcount() < max_store_partners]
+        excess = (ogrp.size() - max_store_partners).clip(lower=0)
+        n_new = new.groupby(keys).size()
+        skipped = int((excess * n_new).dropna().sum())
+        m = new.merge(capped, on=keys)
+        if m.empty and not skipped:
             return empty
-        m = m.rename(columns={id_col: "new_id", f"{id_col}_s": "store_id"})
-        # hot-band cap: smallest store ids win (deterministic); one
-        # surviving partner is enough to drop the new doc, so only
-        # all-K-fail bands cost recall — skipped count surfaces it
-        m = m.sort_values(["new_id", "band_index", "store_id"])
-        grp = m.groupby(["new_id", "band_index"], sort=False)
-        ranked = grp.cumcount()
-        skipped = int((ranked >= max_store_partners).sum())
-        m = m[ranked < max_store_partners]
         out = (m[["new_id", "store_id"]]
                .drop_duplicates(ignore_index=True)
                .astype({"new_id": "int64", "store_id": "int64"}))
@@ -394,6 +461,9 @@ def neardup_against_store(new_docs, store_dir: str, text_col: str = "text",
     if band_files and sig_files and stats["new_docs_with_shingles"]:
         raw = _store_candidates(
             _band_rows(state, id_col, num_bands), band_files, id_col,
+            # bucket count scales with the (unboundedly accumulating)
+            # store so one bucket's group frame stays ~100 MB
+            num_buckets=_scaled_num_buckets(band_files),
             # module global read at CALL time so tests can monkeypatch
             max_store_partners=_MAX_STORE_PARTNERS,
         ).materialize()  # consumed twice: sentinels + pairs
@@ -436,8 +506,13 @@ def neardup_against_store(new_docs, store_dir: str, text_col: str = "text",
                 .select_columns(["new_id"]).materialize())
             stats["matched"] = matched.count()
 
+    # suppress matched ids on BOTH the returned docs and (for
+    # update_store) the already-computed MinHash state — the state is
+    # filtered, never recomputed, so an update run shingles each doc
+    # exactly once (the module's no-re-shingling contract)
     if matched is None or stats["matched"] == 0:
         survivors = new_docs
+        surv_state = state
     elif stats["matched"] <= broadcast_limit:
         drop = pa.concat_tables(
             matched.iter_batches(batch_format="pyarrow"))["new_id"]
@@ -449,16 +524,18 @@ def neardup_against_store(new_docs, store_dir: str, text_col: str = "text",
 
         survivors = new_docs.map_batches(drop_matched,
                                          batch_format="pyarrow")
+        surv_state = state.map_batches(drop_matched,
+                                       batch_format="pyarrow")
     else:
-        survivors = new_docs.join(
-            matched.rename_columns({"new_id": id_col}), "left_anti",
-            join_partitions, on=(id_col,))
+        anti = matched.rename_columns({"new_id": id_col})
+        survivors = new_docs.join(anti, "left_anti", join_partitions,
+                                  on=(id_col,))
+        surv_state = state.join(anti, "left_anti", join_partitions,
+                                on=(id_col,))
 
     if update_store:
-        survivors = survivors.materialize()
-        surv_state = minhash_state_rows(survivors, text_col, id_col,
-                                        num_perm, num_bands, shingle_k)
-        _append_state(surv_state, store_dir, id_col, num_bands)
+        _append_state(surv_state.materialize(), store_dir, id_col,
+                      num_bands)
     if return_stats:
         return survivors, stats
     return survivors

@@ -127,13 +127,13 @@ def test_compaction_preserves_membership(store, ray_session):
     neardup_against_store(_ds(_new_docs()), store, update_store=True)
     before = _survivor_ids(neardup_against_store(_ds(_new_docs()), store))
     out = compact_neardup_store(store)
-    assert out["bands"]["files_after"] == 1
-    assert out["sigs"]["files_after"] == 1
+    assert out["bands"]["increments_after"] == 1
+    assert out["sigs"]["increments_after"] == 1
     after = _survivor_ids(neardup_against_store(_ds(_new_docs()), store))
     assert before == after
     # a further compaction is a no-op
     again = compact_neardup_store(store)
-    assert again["bands"]["files_before"] == 1
+    assert again["bands"]["increments_before"] == 1
 
 
 def test_hot_band_cap_keeps_recall(tmp_path, ray_session, monkeypatch):
@@ -209,3 +209,94 @@ def test_cli_incneardup_subcommand(tmp_path):
                 "--documents", sf, "--out", out])
     assert rep2["matched"] == rep2["new_docs_with_shingles"]
     assert rep2["survivors"] == 500 - rep2["new_docs_with_shingles"]
+
+
+def test_all_short_corpus_writes_nothing_and_replays(tmp_path, ray_session):
+    """A corpus with no full shingles must init to an empty store (not
+    crash in the append), and an update-store run whose survivors are
+    all shingle-less must likewise append nothing."""
+    store_dir = str(tmp_path / "short-store")
+    shorts = [(1, "too short"), (2, "ab"), (3, "")]
+    assert write_neardup_store(_ds(shorts), store_dir) == 0
+    got = _survivor_ids(neardup_against_store(
+        _ds(shorts), store_dir, update_store=True))
+    assert got == [1, 2, 3]
+    # store still holds nothing: a real doc passes through untouched
+    got2 = _survivor_ids(neardup_against_store(
+        _ds([(9, _doc(9))]), store_dir))
+    assert got2 == [9]
+
+
+def test_update_store_reuses_state_not_text(store, ray_session,
+                                            monkeypatch):
+    """update_store must append the FILTERED precomputed state, not
+    re-shingle the survivors: after the dedup pass, minhash_state_rows
+    must not run again."""
+    from temporal_knowledge_graphs_ray.stages import incneardup
+
+    calls = {"n": 0}
+    real = incneardup.minhash_state_rows
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(incneardup, "minhash_state_rows", counting)
+    incneardup.neardup_against_store(_ds(_new_docs()), store,
+                                     update_store=True)
+    assert calls["n"] == 1
+
+
+def test_bucket_scaling_is_output_invariant(store, ray_session,
+                                            monkeypatch):
+    from temporal_knowledge_graphs_ray.stages import incneardup
+
+    files = incneardup._subdir_files(store, "bands")
+    assert incneardup._scaled_num_buckets(files) == 64  # tiny store
+    base = _survivor_ids(neardup_against_store(_ds(_new_docs()), store))
+    # force a wider bucket count: 30 docs x 16 bands = 480 rows / 4 -> 128
+    monkeypatch.setattr(incneardup, "_BAND_ROWS_PER_BUCKET", 4)
+    assert incneardup._scaled_num_buckets(files) == 128
+    wide = _survivor_ids(neardup_against_store(_ds(_new_docs()), store))
+    assert base == wide
+
+
+def test_cli_empty_survivors_still_writes_out(tmp_path):
+    """0 survivors must still publish --out as an empty, readable
+    parquet dataset with the snapshot's schema."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array([_doc(1), _doc(2)])})
+    snap = str(tmp_path / "snap.parquet")
+    pq.write_table(docs, snap)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(args):
+        env = dict(os.environ)
+        env["RAY_ADDRESS"] = "local"
+        out = subprocess.run(
+            [sys.executable, "-m", "temporal_knowledge_graphs_ray.cli",
+             *args, "--num-cpus", "4"],
+            capture_output=True, text=True, check=True, cwd=repo,
+            env=env, timeout=240)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    store = str(tmp_path / "store")
+    run(["incneardup", "--store", store, "--init-from", snap])
+    out = str(tmp_path / "surv")
+    rep = run(["incneardup", "--store", store,
+               "--documents", snap, "--out", out])
+    assert rep["survivors"] == 0
+    rows, cols = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT 1) FROM "
+        f"read_parquet('{out}/*.parquet')").fetchone()
+    assert rows == 0
+    schema = pq.read_schema(os.path.join(out, "part-00000.parquet"))
+    assert schema.names == ["doc_id", "text"]
