@@ -300,3 +300,39 @@ def test_cli_empty_survivors_still_writes_out(tmp_path):
     assert rows == 0
     schema = pq.read_schema(os.path.join(out, "part-00000.parquet"))
     assert schema.names == ["doc_id", "text"]
+
+
+@pytest.mark.parametrize("seed,threshold,num_bands", [
+    (11, 0.8, 16), (29, 0.5, 8), (47, 0.9, 32)])
+def test_randomized_corpus_matches_oracle(tmp_path, ray_session, seed,
+                                          threshold, num_bands):
+    """Random small-vocabulary corpora (accidental partial overlaps, so
+    many signature agreements land NEAR the threshold) must agree with
+    the sequential oracle exactly — both sides share the kernels, so
+    estimator variance cannot diverge them; non-default store
+    parameters ride through _meta.json end-to-end."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"tok{v}" for v in range(40)]  # small vocab -> overlaps
+
+    def rand_doc():
+        n = rng.randint(3, 25)
+        return " ".join(rng.choice(vocab, size=n))
+
+    old = [(i, rand_doc()) for i in range(60)]
+    new = [(1000 + i, rand_doc()) for i in range(60)]
+    # plus mutated copies of store docs (high-but-not-1 agreement)
+    for j in range(10):
+        words = old[j][1].split()
+        words[rng.randint(len(words))] = "mut"
+        new.append((2000 + j, " ".join(words)))
+
+    store_dir = str(tmp_path / f"rand-store-{seed}")
+    write_neardup_store(_ds(old), store_dir, num_bands=num_bands)
+    got = _survivor_ids(neardup_against_store(
+        _ds(new), store_dir, jaccard_threshold=threshold,
+        num_bands=num_bands))
+    want = sorted(neardup_against_store_sequential(
+        old, new, jaccard_threshold=threshold, num_bands=num_bands))
+    assert got == want
