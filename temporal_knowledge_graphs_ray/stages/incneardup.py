@@ -467,11 +467,12 @@ def neardup_against_store(new_docs, store_dir: str, text_col: str = "text",
             # module global read at CALL time so tests can monkeypatch
             max_store_partners=_MAX_STORE_PARTNERS,
         ).materialize()  # consumed twice: sentinels + pairs
-        sentinels = raw.map_batches(
-            lambda t: t.filter(pc.equal(t["new_id"], pa.scalar(-1))),
-            batch_format="pyarrow")
-        stats["hot_band_skipped"] = int(
-            sentinels.sum(on="skipped") or 0)
+        if return_stats:  # the sentinel sum is its own job — skip it
+            sentinels = raw.map_batches(
+                lambda t: t.filter(pc.equal(t["new_id"], pa.scalar(-1))),
+                batch_format="pyarrow")
+            stats["hot_band_skipped"] = int(
+                sentinels.sum(on="skipped") or 0)
         if join_partitions is None:
             ncpu = int(ray.cluster_resources().get("CPU", 8))
             join_partitions = max(2, min(64, ncpu // 2))
