@@ -331,6 +331,22 @@ def run_bench() -> dict:
 
     timed("export_tokenized", tok_export)
 
+    # split out the serving-shaped cost (the hybrid_topk10_prebuilt
+    # pattern): export with a model trained OUTSIDE the timer, so the
+    # headline entry isn't read as the steady-state per-corpus cost
+    _tok_model = train_bpe(docs, num_merges=100)
+
+    def tok_export_pre():
+        import shutil as _sh
+
+        man = export_tokenized(docs, _tok_model.merges,
+                               "/tmp/bench_tok_pre",
+                               seq_budget=1024, num_shards=16)
+        _sh.rmtree("/tmp/bench_tok_pre", ignore_errors=True)
+        return man["sequences"]
+
+    timed("export_tokenized_pretrained", tok_export_pre)
+
     from temporal_knowledge_graphs_ray.pipelines.datacard import (
         build_datacard,
     )
