@@ -189,6 +189,9 @@ def run_bench() -> dict:
     write_neardup_store(_half(0), _mh_store)
     timed("incneardup",
           lambda: neardup_against_store(_half(1), _mh_store).count())
+    import shutil as _sh
+
+    _sh.rmtree(_mh_store, ignore_errors=True)
     from temporal_knowledge_graphs_ray.stages.paradedup import (
         dedup_paragraphs,
     )

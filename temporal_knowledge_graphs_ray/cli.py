@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -712,6 +713,14 @@ def cmd_incneardup(args) -> int:
         print("incneardup needs either --init-from, --compact, or "
               "--documents with --out", file=sys.stderr)
         return 2
+    if not args.init_from and not os.path.exists(
+            os.path.join(args.store, "_meta.json")):
+        # a dedup against a missing store silently keeps everything —
+        # at the CLI that is almost certainly a typo'd --store path
+        print(f"incneardup: store {args.store} does not exist "
+              "(no _meta.json); initialize it with --init-from",
+              file=sys.stderr)
+        return 2
     _init_ray(args.num_cpus)
     if args.init_from:
         n = write_neardup_store(rd.read_parquet(args.init_from),
@@ -731,8 +740,6 @@ def cmd_incneardup(args) -> int:
         # zero survivors still publishes the reported --out path (an
         # empty table with the snapshot's schema), so downstream steps
         # read an empty dataset instead of file-not-found
-        import os
-
         import pyarrow.parquet as pq
 
         os.makedirs(args.out, exist_ok=True)

@@ -280,7 +280,7 @@ class _Doc:
                 # pattern requires a dict-KEY shape (/Encrypt N G R or
                 # an inline dict), so page text merely MENTIONING
                 # '/Encrypt' still parses (the method's contract).
-                if re.search(rb"/Encrypt\s+(?:\d+\s+\d+\s+R|<<)",
+                if re.search(rb"/Encrypt(?:\s+\d+\s+\d+\s+R|\s*<<)",
                              self.data[m.end():m.end() + 2048]):
                     raise NotImplementedError(
                         "encrypted PDFs are outside the vendored "
@@ -411,8 +411,14 @@ class _Doc:
                 data = self._decode_stream(val, stream)
             except ValueError:
                 continue  # corrupt container: degrade, don't refuse
-            n = self.resolve(val.get("N"))
-            first = self.resolve(val.get("First"))
+            try:
+                n = self.resolve(val.get("N"))
+                first = self.resolve(val.get("First"))
+            except NotImplementedError:
+                # /N or /First is a reference cycle: corrupt container,
+                # skip it — only out-of-subset FILTERS (the
+                # _decode_stream gate above) refuse the document
+                continue
             if not isinstance(n, int) or not isinstance(first, int) \
                     or not 0 <= first <= len(data):
                 continue

@@ -138,7 +138,11 @@ def export_neo4j_csv(store_dir: str, out_dir: str,
                 str(int(r["mention_count"])
                     if pd.notna(r["mention_count"]) else 0),
                 _arr_cell(r["aliases"]), "Entity"]))
-        bucket = int(g["_csv_bucket"].iloc[0]) if len(g) else 0
+        if not len(g):
+            # empty group: write NOTHING — falling back to bucket 0
+            # would os.replace-clobber the real bucket-0 part file
+            return pd.DataFrame({"n": [0]})
+        bucket = int(g["_csv_bucket"].iloc[0])
         _write_part(os.path.join(out_dir, "entities"), lines,
                     f"{bucket:05d}")
         return pd.DataFrame({"n": [len(lines)]})
@@ -154,7 +158,11 @@ def export_neo4j_csv(store_dir: str, out_dir: str,
                 str(r["confidence"])
                 if pd.notna(r["confidence"]) else "",
                 _arr_cell(r["source_chunks"])]))
-        bucket = int(g["_csv_bucket"].iloc[0]) if len(g) else 0
+        if not len(g):
+            # empty group: write NOTHING — falling back to bucket 0
+            # would os.replace-clobber the real bucket-0 part file
+            return pd.DataFrame({"n": [0]})
+        bucket = int(g["_csv_bucket"].iloc[0])
         _write_part(os.path.join(out_dir, "relationships"), lines,
                     f"{bucket:05d}")
         return pd.DataFrame({"n": [len(lines)]})

@@ -177,27 +177,17 @@ def _as_array(col) -> pa.Array:
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
-def _dedup_pair_rows(cand_ds, num_buckets: int = 64):
-    """Distinct (a, b) pairs via a bucketed groupby — the distributed
-    replacement for driver-side ``drop_duplicates`` over the candidate
-    pair set (cross-bucket duplicates arise when the same pair surfaces
-    through bands hashing into different shuffle buckets)."""
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((a * np.uint64(0x9E3779B97F4A7C15))
-             ^ (b * np.uint64(0xBF58476D1CE4E5B9)))
-        return t.append_column(
-            "pbucket",
-            pa.array((h & np.uint64(num_buckets - 1)).astype(np.int32)))
-
-    def uniq(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["a", "b"]].drop_duplicates(ignore_index=True)
-
-    return (cand_ds.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("pbucket")
-            .map_groups(uniq, batch_format="pandas"))
+def _dedup_pair_rows(cand_ds):
+    """Distinct (a, b) pairs via a composite-key groupby aggregate —
+    the distributed replacement for driver-side ``drop_duplicates``
+    over the candidate pair set (cross-bucket duplicates arise when
+    the same pair surfaces through bands hashing into different
+    shuffle buckets). An aggregate, not a bucketed ``map_groups``, on
+    purpose: sorted-map_groups lineages emit schema-less empty blocks
+    for empty partitions, a latent hazard for any downstream hash
+    join (the stages/incneardup.py finding)."""
+    return (cand_ds.groupby(["a", "b"]).count()
+            .select_columns(["a", "b"]))
 
 
 def minhash_verified_pairs(ds, text_col: str = "text", id_col: str = "doc_id",

@@ -133,9 +133,35 @@ def _next_inc_dir(store_dir: str, sub: str) -> str:
     return os.path.join(d, f"inc-{nxt:05d}")
 
 
-def _write_increment_ds(ds, store_dir: str, sub: str) -> None:
+def _counts_path(store_dir: str, sub: str) -> str:
+    # does not start with "inc-", so increment listing ignores it
+    return os.path.join(store_dir, sub, "_counts.json")
+
+
+def _load_counts(store_dir: str, sub: str) -> dict:
+    p = _counts_path(store_dir, sub)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_counts(store_dir: str, sub: str, counts: dict) -> None:
+    p = _counts_path(store_dir, sub)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(counts, f)
+    os.replace(tmp, p)
+
+
+def _write_increment_ds(ds, store_dir: str, sub: str,
+                        rows: int | None = None) -> None:
     """Distributed sharded write of one increment: parts land in a .tmp
-    dir, then one atomic rename publishes the increment."""
+    dir, then one atomic rename publishes the increment. ``rows`` (when
+    the caller knows it) is recorded in the sub-store's ``_counts.json``
+    sidecar so bucket sizing never re-reads parquet footers; a crash
+    between the rename and the sidecar update just means that entry
+    falls back to a footer scan (see :func:`_scaled_num_buckets`)."""
     import shutil
 
     path = _next_inc_dir(store_dir, sub)
@@ -143,13 +169,23 @@ def _write_increment_ds(ds, store_dir: str, sub: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)  # stale kill leftover
     ds.write_parquet(tmp)
     os.replace(tmp, path)
+    if rows is not None:
+        counts = _load_counts(store_dir, sub)
+        counts[os.path.basename(path)] = int(rows)
+        _save_counts(store_dir, sub, counts)
 
 
 def _check_meta(store_dir: str, num_perm: int, num_bands: int,
-                shingle_k: int) -> None:
+                shingle_k: int, create: bool = True) -> None:
     """First write records the MinHash parameters; later calls (reads
     and writes both) must match — mixed-parameter band hashes would
-    silently never collide, reading as a clean corpus."""
+    silently never collide, reading as a clean corpus.
+
+    ``create=False`` (the dedup/read path) validates an existing
+    ``_meta.json`` but NEVER creates the store dir or writes the meta
+    — a typo'd store path must not leave a bogus half-initialized
+    store behind (it logs a warning and dedups against nothing, which
+    the CLI turns into a hard error)."""
     meta_path = os.path.join(store_dir, "_meta.json")
     params = {"num_perm": num_perm, "num_bands": num_bands,
               "shingle_k": shingle_k}
@@ -161,6 +197,13 @@ def _check_meta(store_dir: str, num_perm: int, num_bands: int,
             raise ValueError(
                 f"minhash store {store_dir} was built with {got}, "
                 f"call uses {params}")
+        return
+    if not create:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash store %s has no _meta.json — deduping against an "
+            "empty store (typo'd path?)", store_dir)
         return
     os.makedirs(store_dir, exist_ok=True)
     tmp = meta_path + ".tmp"
@@ -243,8 +286,9 @@ def _append_state(state_ds, store_dir: str, id_col: str,
     # rows whose candidates can never verify (no sig row -> inner join
     # drops them) — membership-neutral, and the re-run regenerates both
     _write_increment_ds(_band_rows(state_ds, id_col, num_bands),
-                        store_dir, "bands")
-    _write_increment_ds(_sig_rows(state_ds, id_col), store_dir, "sigs")
+                        store_dir, "bands", rows=n * num_bands)
+    _write_increment_ds(_sig_rows(state_ds, id_col), store_dir, "sigs",
+                        rows=n)
     return n
 
 
@@ -291,14 +335,21 @@ def compact_neardup_store(store_dir: str) -> dict:
             merged = (ds.groupby(id_col)
                       .aggregate(Min(_SIG, alias_name=_SIG)))
         merged = merged.materialize()  # consumed twice: write + count
-        _write_increment_ds(merged, store_dir, sub)
+        n_rows = merged.count()
+        _write_increment_ds(merged, store_dir, sub, rows=n_rows)
         for e in entries:
             if os.path.isdir(e):
                 shutil.rmtree(e)
             else:
                 os.remove(e)
+        # drop the deleted entries' sidecar rows (the merged entry's
+        # own count was just recorded)
+        counts = _load_counts(store_dir, sub)
+        gone = {os.path.basename(e) for e in entries}
+        _save_counts(store_dir, sub,
+                     {k: v for k, v in counts.items() if k not in gone})
         out[sub] = {"increments_before": len(entries),
-                    "increments_after": 1, "rows": merged.count()}
+                    "increments_after": 1, "rows": n_rows}
     return out
 
 
@@ -311,13 +362,28 @@ def compact_neardup_store(store_dir: str) -> dict:
 _BAND_ROWS_PER_BUCKET = 4_000_000
 
 
-def _scaled_num_buckets(store_files: list[str]) -> int:
+def _scaled_num_buckets(store_dir: str, sub: str = "bands") -> int:
     """next power of two >= store band rows / _BAND_ROWS_PER_BUCKET,
-    floored at 64 — row counts come from parquet footers, no data
-    read."""
+    floored at 64. Row counts come from the ``_counts.json`` sidecar
+    each append records (one small read, not thousands of parquet
+    footer round-trips on a lifetime store); entries missing from the
+    sidecar — a crash window, or a hand-placed file — fall back to a
+    footer scan of just those entries. No data is ever read."""
     import pyarrow.parquet as pq
 
-    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in store_files)
+    counts = _load_counts(store_dir, sub)
+    rows = 0
+    for entry in _list_increments(store_dir, sub):
+        name = os.path.basename(entry)
+        if name in counts:
+            rows += int(counts[name])
+            continue
+        if os.path.isdir(entry):
+            files = [os.path.join(entry, f) for f in os.listdir(entry)
+                     if f.endswith(".parquet")]
+        else:
+            files = [entry]
+        rows += sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     need = max(64, -(-rows // _BAND_ROWS_PER_BUCKET))
     return 1 << (need - 1).bit_length()
 
@@ -449,7 +515,8 @@ def neardup_against_store(new_docs, store_dir: str, text_col: str = "text",
     import ray.data as rd
     import pyarrow.compute as pc
 
-    _check_meta(store_dir, num_perm, num_bands, shingle_k)
+    _check_meta(store_dir, num_perm, num_bands, shingle_k,
+                create=False)
     state = minhash_state_rows(new_docs, text_col, id_col, num_perm,
                                num_bands, shingle_k).materialize()
     stats = {"new_docs_with_shingles": state.count(),
@@ -463,7 +530,7 @@ def neardup_against_store(new_docs, store_dir: str, text_col: str = "text",
             _band_rows(state, id_col, num_bands), band_files, id_col,
             # bucket count scales with the (unboundedly accumulating)
             # store so one bucket's group frame stays ~100 MB
-            num_buckets=_scaled_num_buckets(band_files),
+            num_buckets=_scaled_num_buckets(store_dir),
             # module global read at CALL time so tests can monkeypatch
             max_store_partners=_MAX_STORE_PARTNERS,
         ).materialize()  # consumed twice: sentinels + pairs
@@ -535,6 +602,9 @@ def neardup_against_store(new_docs, store_dir: str, text_col: str = "text",
                                 on=(id_col,))
 
     if update_store:
+        # an update legitimately initializes a fresh store — write the
+        # meta now (the read above deliberately did not)
+        _check_meta(store_dir, num_perm, num_bands, shingle_k)
         _append_state(surv_state.materialize(), store_dir, id_col,
                       num_bands)
     if return_stats:

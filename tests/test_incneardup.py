@@ -251,14 +251,16 @@ def test_bucket_scaling_is_output_invariant(store, ray_session,
                                             monkeypatch):
     from temporal_knowledge_graphs_ray.stages import incneardup
 
-    files = incneardup._subdir_files(store, "bands")
-    assert incneardup._scaled_num_buckets(files) == 64  # tiny store
+    assert incneardup._scaled_num_buckets(store) == 64  # tiny store
     base = _survivor_ids(neardup_against_store(_ds(_new_docs()), store))
     # force a wider bucket count: 30 docs x 16 bands = 480 rows / 4 -> 128
     monkeypatch.setattr(incneardup, "_BAND_ROWS_PER_BUCKET", 4)
-    assert incneardup._scaled_num_buckets(files) == 128
+    assert incneardup._scaled_num_buckets(store) == 128
     wide = _survivor_ids(neardup_against_store(_ds(_new_docs()), store))
     assert base == wide
+    # sidecar-missing fallback: footer scan gives the same answer
+    os.remove(incneardup._counts_path(store, "bands"))
+    assert incneardup._scaled_num_buckets(store) == 128
 
 
 def test_cli_empty_survivors_still_writes_out(tmp_path):
@@ -336,3 +338,32 @@ def test_randomized_corpus_matches_oracle(tmp_path, ray_session, seed,
     want = sorted(neardup_against_store_sequential(
         old, new, jaccard_threshold=threshold, num_bands=num_bands))
     assert got == want
+
+
+def test_missing_store_leaves_no_side_effects(tmp_path, ray_session):
+    """The dedup/read path must NOT create the store dir or _meta.json
+    for a nonexistent path (a typo'd --store would otherwise leave a
+    bogus half-initialized store and silently keep everything)."""
+    store_dir = str(tmp_path / "typo-store")
+    got = _survivor_ids(neardup_against_store(_ds(_new_docs()),
+                                              store_dir))
+    assert got == sorted(d for d, _ in _new_docs())
+    assert not os.path.exists(store_dir)
+
+
+def test_cli_missing_store_is_an_error(tmp_path):
+    import os as _os
+    import subprocess
+    import sys
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = dict(_os.environ)
+    env["RAY_ADDRESS"] = "local"
+    out = subprocess.run(
+        [sys.executable, "-m", "temporal_knowledge_graphs_ray.cli",
+         "incneardup", "--store", str(tmp_path / "no-such-store"),
+         "--documents", sf, "--out", str(tmp_path / "surv")],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=120)
+    assert out.returncode == 2
+    assert "does not exist" in out.stderr

@@ -374,3 +374,28 @@ class TestObjectStreams:
                                 b"/Root 100 0 R /Encrypt 9 0 R")
         with pytest.raises(NotImplementedError):
             MiniPdfReader(modern)
+
+
+def test_compact_encrypt_dict_trailer_refused():
+    """Writers legally emit '/Encrypt<<...>>' with NO whitespace (names
+    are delimiter-terminated); the malformed-trailer byte fallback must
+    still refuse it."""
+    pdf = build_pdf([PAGE1], [True])
+    pdf = pdf.replace(b"/Root 1 0 R",
+                      b"/Root 1 0 R/Encrypt<</Filter/Standard>>")
+    pdf = pdf.replace(b"trailer", b"trailer\n<< << [", 1)
+    with pytest.raises(NotImplementedError):
+        MiniPdfReader(pdf)
+
+
+def test_objstm_reference_cycle_in_n_skips_container():
+    """A container whose /N is a self-referencing indirect object is a
+    CORRUPT container — skipped per the docstring contract, not a
+    document-wide NotImplementedError refusal (only out-of-subset
+    filters refuse)."""
+    modern = build_pdf_objstm([PAGE2])
+    assert b"/N 3 /First" in modern
+    bad = modern.replace(b"/N 3 /First", b"/N 77 0 R /First")
+    bad += b"77 0 obj\n77 0 R\nendobj\n"  # the cycle
+    reader = MiniPdfReader(bad)  # no raise
+    assert reader.pages == []  # page tree lived in the skipped container
