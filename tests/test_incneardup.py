@@ -367,3 +367,48 @@ def test_cli_missing_store_is_an_error(tmp_path):
         capture_output=True, text=True, cwd=repo, env=env, timeout=120)
     assert out.returncode == 2
     assert "does not exist" in out.stderr
+
+
+def test_cli_output_invariant_across_parallelism(tmp_path):
+    """House gate: identical survivors at --num-cpus 2 and 4 (block
+    layout and shuffle parallelism must not leak into the result)."""
+    import os as _os
+    import subprocess
+    import sys
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+    def run(args, ncpu):
+        env = dict(_os.environ)
+        env["RAY_ADDRESS"] = "local"
+        subprocess.run(
+            [sys.executable, "-m", "temporal_knowledge_graphs_ray.cli",
+             *args, "--num-cpus", str(ncpu)],
+            capture_output=True, text=True, check=True, cwd=repo,
+            env=env, timeout=240)
+
+    outs = {}
+    for ncpu in (2, 4):
+        store = str(tmp_path / f"store-{ncpu}")
+        out = str(tmp_path / f"surv-{ncpu}")
+        run(["incneardup", "--store", store, "--init-from", sf], ncpu)
+        # dedup a disjoint slice (planted recrawls via doc_id shift)
+        snap = str(tmp_path / f"snap-{ncpu}.parquet")
+        duckdb.sql(f"""
+            COPY (SELECT doc_id + 50000 AS doc_id, text
+                  FROM read_parquet('{sf}') WHERE doc_id % 3 = 0
+                  UNION ALL
+                  SELECT doc_id + 90000, 'fresh doc ' ||
+                         repeat('u' || doc_id || ' ', 10)
+                  FROM read_parquet('{sf}') WHERE doc_id % 7 = 0)
+            TO '{snap}' (FORMAT PARQUET)""")
+        run(["incneardup", "--store", store, "--documents", snap,
+             "--out", out], ncpu)
+        outs[ncpu] = [r[0] for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{out}/*.parquet') "
+            "ORDER BY doc_id").fetchall()]
+    assert outs[2] == outs[4]
+    assert all(d >= 90000 for d in outs[2])  # recrawls all absorbed
