@@ -658,6 +658,12 @@ def cmd_incdedup(args) -> int:
         write_fingerprint_store,
     )
 
+    if not args.init_from and not os.path.isdir(args.store):
+        # deduping (or compacting) a missing store silently keeps
+        # everything — almost certainly a typo'd --store path
+        print(f"incdedup: store {args.store} does not exist; "
+              "initialize it with --init-from", file=sys.stderr)
+        return 2
     if args.compact:
         from .stages.incdedup import compact_fingerprint_store
 
@@ -703,6 +709,15 @@ def cmd_incneardup(args) -> int:
         write_neardup_store,
     )
 
+    if not args.init_from and not os.path.exists(
+            os.path.join(args.store, "_meta.json")):
+        # deduping (or compacting) a missing store silently does
+        # nothing — at the CLI that is almost certainly a typo'd
+        # --store path
+        print(f"incneardup: store {args.store} does not exist "
+              "(no _meta.json); initialize it with --init-from",
+              file=sys.stderr)
+        return 2
     if args.compact:
         _init_ray(args.num_cpus)
         print(json.dumps({"store": args.store,
@@ -712,14 +727,6 @@ def cmd_incneardup(args) -> int:
     if not args.init_from and not (args.documents and args.out):
         print("incneardup needs either --init-from, --compact, or "
               "--documents with --out", file=sys.stderr)
-        return 2
-    if not args.init_from and not os.path.exists(
-            os.path.join(args.store, "_meta.json")):
-        # a dedup against a missing store silently keeps everything —
-        # at the CLI that is almost certainly a typo'd --store path
-        print(f"incneardup: store {args.store} does not exist "
-              "(no _meta.json); initialize it with --init-from",
-              file=sys.stderr)
         return 2
     _init_ray(args.num_cpus)
     if args.init_from:

@@ -408,17 +408,25 @@ class _Doc:
                     and stream is not None):
                 continue
             try:
-                data = self._decode_stream(val, stream)
-            except ValueError:
-                continue  # corrupt container: degrade, don't refuse
-            try:
+                # resolve the container dict's references FIRST so a
+                # reference cycle or dangling ref anywhere in it reads
+                # as corruption (skip) — only a genuinely out-of-subset
+                # NAMED filter may refuse the document via the
+                # _decode_stream gate below
+                filt = self.resolve(val.get("Filter"))
+                if isinstance(filt, list):
+                    if any(self.resolve(x) is None for x in filt):
+                        continue  # dangling ref inside /Filter list
+                elif val.get("Filter") is not None and filt is None:
+                    continue  # dangling /Filter ref
                 n = self.resolve(val.get("N"))
                 first = self.resolve(val.get("First"))
             except NotImplementedError:
-                # /N or /First is a reference cycle: corrupt container,
-                # skip it — only out-of-subset FILTERS (the
-                # _decode_stream gate above) refuse the document
-                continue
+                continue  # reference cycle in the dict: corrupt, skip
+            try:
+                data = self._decode_stream(val, stream)
+            except ValueError:
+                continue  # corrupt container: degrade, don't refuse
             if not isinstance(n, int) or not isinstance(first, int) \
                     or not 0 <= first <= len(data):
                 continue

@@ -142,8 +142,14 @@ def _load_counts(store_dir: str, sub: str) -> dict:
     p = _counts_path(store_dir, sub)
     if not os.path.exists(p):
         return {}
-    with open(p) as f:
-        return json.load(f)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        # a damaged sidecar must not brick the store: degrade to the
+        # documented per-entry footer-scan fallback (the next append
+        # rewrites the file)
+        return {}
 
 
 def _save_counts(store_dir: str, sub: str, counts: dict) -> None:
@@ -199,6 +205,14 @@ def _check_meta(store_dir: str, num_perm: int, num_bands: int,
                 f"call uses {params}")
         return
     if not create:
+        if (_list_increments(store_dir, "bands")
+                or _list_increments(store_dir, "sigs")):
+            # band/sig data WITHOUT the meta (lost in a partial copy):
+            # parameters cannot be validated, and a silent mismatch
+            # would read every near-dup as clean — refuse loudly
+            raise ValueError(
+                f"minhash store {store_dir} has data but no "
+                "_meta.json — cannot validate MinHash parameters")
         import logging
 
         logging.getLogger(__name__).warning(

@@ -412,3 +412,49 @@ def test_cli_output_invariant_across_parallelism(tmp_path):
             "ORDER BY doc_id").fetchall()]
     assert outs[2] == outs[4]
     assert all(d >= 90000 for d in outs[2])  # recrawls all absorbed
+
+
+def test_store_data_without_meta_refuses(store, ray_session):
+    """A store whose _meta.json was lost (partial copy) but still has
+    band/sig data cannot be parameter-validated — the read path must
+    refuse loudly, not warn-and-match-nothing."""
+    os.remove(os.path.join(store, "_meta.json"))
+    with pytest.raises(ValueError, match="no\\s+_meta.json"):
+        neardup_against_store(_ds(_new_docs()), store)
+
+
+def test_corrupt_counts_sidecar_degrades(store, ray_session):
+    """A damaged _counts.json falls back to the footer scan (and the
+    next append rewrites it) instead of bricking the store."""
+    from temporal_knowledge_graphs_ray.stages import incneardup
+
+    with open(incneardup._counts_path(store, "bands"), "w") as f:
+        f.write("{ not json")
+    assert incneardup._scaled_num_buckets(store) == 64
+    got = _survivor_ids(neardup_against_store(
+        _ds(_new_docs()), store, update_store=True))
+    assert 4000 in got  # pipeline still works end to end
+    # the append rewrote a valid sidecar
+    assert isinstance(incneardup._load_counts(store, "bands"), dict)
+    assert incneardup._load_counts(store, "bands")
+
+
+def test_cli_compact_missing_store_is_an_error(tmp_path):
+    import os as _os
+    import subprocess
+    import sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = dict(_os.environ)
+    env["RAY_ADDRESS"] = "local"
+    for cmd in (["incneardup", "--store", str(tmp_path / "nope"),
+                 "--compact"],
+                ["incdedup", "--store", str(tmp_path / "nope2"),
+                 "--documents", "x.parquet", "--out",
+                 str(tmp_path / "o")]):
+        out = subprocess.run(
+            [sys.executable, "-m", "temporal_knowledge_graphs_ray.cli",
+             *cmd], capture_output=True, text=True, cwd=repo, env=env,
+            timeout=120)
+        assert out.returncode == 2
+        assert "does not exist" in out.stderr

@@ -399,3 +399,16 @@ def test_objstm_reference_cycle_in_n_skips_container():
     bad += b"77 0 obj\n77 0 R\nendobj\n"  # the cycle
     reader = MiniPdfReader(bad)  # no raise
     assert reader.pages == []  # page tree lived in the skipped container
+
+
+def test_objstm_cyclic_filter_skips_container():
+    """A container whose /Filter is a self-referencing indirect object
+    is corruption (skip), not an out-of-subset-filter refusal."""
+    modern = build_pdf_objstm([PAGE2])
+    i = modern.rindex(b"/Type /ObjStm /Filter /FlateDecode")
+    bad = (modern[:i] +
+           modern[i:].replace(b"/Filter /FlateDecode",
+                              b"/Filter 77 0 R", 1))
+    bad += b"77 0 obj\n77 0 R\nendobj\n"
+    reader = MiniPdfReader(bad)  # no raise
+    assert reader.pages == []
