@@ -724,6 +724,16 @@ def cmd_incneardup(args) -> int:
                           **compact_neardup_store(args.store)}))
         ray.shutdown()
         return 0
+    if args.remove_ids_file:
+        from .stages.incneardup import remove_from_neardup_store
+
+        with open(args.remove_ids_file) as f:
+            ids = [int(line) for line in f if line.strip()]
+        _init_ray(args.num_cpus)
+        print(json.dumps({"store": args.store,
+                          **remove_from_neardup_store(args.store, ids)}))
+        ray.shutdown()
+        return 0
     if not args.init_from and not (args.documents and args.out):
         print("incneardup needs either --init-from, --compact, or "
               "--documents with --out", file=sys.stderr)
@@ -1127,6 +1137,9 @@ def main(argv=None) -> int:
     p.add_argument("--compact", action="store_true",
                    help="merge the store's increment files instead of "
                         "deduping")
+    p.add_argument("--remove-ids-file",
+                   help="takedown: file of doc ids (one per line) to "
+                        "delete from the store's MinHash state")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("analytics")

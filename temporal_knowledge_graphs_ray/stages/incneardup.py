@@ -319,6 +319,56 @@ def write_neardup_store(docs, store_dir: str, text_col: str = "text",
     return _append_state(state, store_dir, id_col, num_bands)
 
 
+def remove_from_neardup_store(store_dir: str, ids) -> dict:
+    """Takedown support (the store-level analogue of the KG store's
+    crash-safe purge): delete the given doc ids from the accumulated
+    MinHash state so they stop matching future crawls. Implemented as
+    a compaction that anti-filters the ids — all increments are read
+    distributed, filtered, rewritten as ONE new entry per side, and
+    the old entries deleted after (same crash-safety argument as
+    :func:`compact_neardup_store`: a kill mid-way leaves the filtered
+    entry plus a subset of old ones, i.e. the removed docs may
+    transiently still match — re-running completes the removal; it
+    never corrupts). ``ids`` is any iterable of int doc ids; returns
+    per-side rows before/after."""
+    import shutil
+
+    import ray.data as rd
+
+    id_arr = pa.array(sorted({int(i) for i in ids}), pa.int64())
+    out: dict = {"removed_ids": len(id_arr)}
+    for sub in ("bands", "sigs"):
+        entries = _list_increments(store_dir, sub)
+        if not entries:
+            out[sub] = {"rows_before": 0, "rows_after": 0}
+            continue
+        ds = rd.read_parquet(_subdir_files(store_dir, sub))
+        id_col = [c for c in ds.columns()
+                  if c not in (_SIG, "band_index", "band_hash")][0]
+
+        def drop(t: pa.Table, col=id_col) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.invert(pc.is_in(
+                t[col].cast(pa.int64()), value_set=id_arr)))
+
+        before = ds.count()
+        kept = ds.map_batches(drop, batch_format="pyarrow").materialize()
+        n_rows = kept.count()
+        _write_increment_ds(kept, store_dir, sub, rows=n_rows)
+        for e in entries:
+            if os.path.isdir(e):
+                shutil.rmtree(e)
+            else:
+                os.remove(e)
+        counts = _load_counts(store_dir, sub)
+        gone = {os.path.basename(e) for e in entries}
+        _save_counts(store_dir, sub,
+                     {k: v for k, v in counts.items() if k not in gone})
+        out[sub] = {"rows_before": before, "rows_after": n_rows}
+    return out
+
+
 def compact_neardup_store(store_dir: str) -> dict:
     """Merge each side's increments into one (distinct band rows; min
     sig per doc_id) — fully distributed: the groupby shuffles on the

@@ -458,3 +458,58 @@ def test_cli_compact_missing_store_is_an_error(tmp_path):
             timeout=120)
         assert out.returncode == 2
         assert "does not exist" in out.stderr
+
+
+def test_remove_from_store_takedown(store, ray_session):
+    """Takedown: removed docs stop matching future crawls; untouched
+    store docs still match; increments consolidate to one entry."""
+    from temporal_knowledge_graphs_ray.stages.incneardup import (
+        remove_from_neardup_store,
+    )
+
+    # before: exact copies of store docs 0 and 1 both match
+    probes = [(8000, _doc(0)), (8001, _doc(1))]
+    assert _survivor_ids(neardup_against_store(_ds(probes), store)) == []
+
+    out = remove_from_neardup_store(store, [0, 999999])  # 999999: no-op
+    assert out["removed_ids"] == 2
+    assert out["sigs"]["rows_before"] == 30
+    assert out["sigs"]["rows_after"] == 29
+    assert out["bands"]["rows_after"] == 29 * 16
+
+    # after: the copy of removed doc 0 survives; doc 1's copy still drops
+    got = _survivor_ids(neardup_against_store(_ds(probes), store))
+    assert got == [8000]
+    # removal is idempotent
+    again = remove_from_neardup_store(store, [0])
+    assert again["sigs"]["rows_after"] == 29
+
+
+def test_cli_remove_ids_file(tmp_path):
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+    def run(args):
+        env = dict(_os.environ)
+        env["RAY_ADDRESS"] = "local"
+        out = subprocess.run(
+            [sys.executable, "-m", "temporal_knowledge_graphs_ray.cli",
+             *args, "--num-cpus", "4"],
+            capture_output=True, text=True, check=True, cwd=repo,
+            env=env, timeout=240)
+        return _json.loads(out.stdout.strip().splitlines()[-1])
+
+    store = str(tmp_path / "store")
+    rep = run(["incneardup", "--store", store, "--init-from", sf])
+    ids_file = str(tmp_path / "takedown.txt")
+    with open(ids_file, "w") as f:
+        f.write("0\n1\n2\n")
+    rep2 = run(["incneardup", "--store", store,
+                "--remove-ids-file", ids_file])
+    assert rep2["sigs"]["rows_before"] - rep2["sigs"]["rows_after"] <= 3
+    assert rep2["sigs"]["rows_after"] < rep["docs"]
