@@ -672,6 +672,16 @@ def cmd_incdedup(args) -> int:
                           **compact_fingerprint_store(args.store)}))
         ray.shutdown()
         return 0
+    if args.remove_docs:
+        from .stages.incdedup import remove_from_fingerprint_store
+
+        _init_ray(args.num_cpus)
+        print(json.dumps({"store": args.store,
+                          **remove_from_fingerprint_store(
+                              args.store,
+                              rd.read_parquet(args.remove_docs))}))
+        ray.shutdown()
+        return 0
     if not args.init_from and not (args.documents and args.out):
         print("incdedup needs either --init-from, --compact, or "
               "--documents with --out", file=sys.stderr)
@@ -1120,6 +1130,9 @@ def main(argv=None) -> int:
     p.add_argument("--compact", action="store_true",
                    help="merge the store's increment files instead of "
                         "deduping")
+    p.add_argument("--remove-docs",
+                   help="takedown: Parquet of documents whose content "
+                        "fingerprints should be deleted from the store")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("incneardup")

@@ -174,3 +174,44 @@ def dedup_against_store(new_docs, store_dir: str, text_col: str = "text",
         _write_increment(add_fingerprint(survivors, text_col, id_col),
                          store_dir)
     return survivors
+
+
+def remove_from_fingerprint_store(store_dir: str, docs,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> dict:
+    """Takedown support (mirrors stages/incneardup.py
+    remove_from_neardup_store): delete the given documents' CONTENT
+    fingerprints from the store so byte-identical recrawls of them
+    stop being absorbed. ``docs`` is a Dataset of the documents to
+    remove (fingerprints are recomputed from their text — the store
+    holds no ids). Compaction-shaped rewrite: every store file is read
+    distributed, anti-filtered, rewritten as one new increment, old
+    files deleted after; a kill mid-way leaves the removed
+    fingerprints transiently present — re-running completes the
+    removal, never corrupts. Note a fingerprint shared by a removed
+    doc and a kept doc is removed outright (content-grain store)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    fps = pa.concat_tables(
+        add_fingerprint(docs, text_col, id_col)
+        .select_columns([_FP])
+        .iter_batches(batch_format="pyarrow"))[_FP].combine_chunks()
+    files = _store_files(store_dir)
+    if not files:
+        return {"removed_fps": len(fps), "rows_before": 0,
+                "rows_after": 0}
+    ds = rd.read_parquet(files, columns=[_FP])
+    before = ds.count()
+
+    def drop(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t[_FP], value_set=fps)))
+
+    kept = ds.map_batches(drop, batch_format="pyarrow").materialize()
+    n = kept.count()
+    if n:  # _write_increment's concat rejects a zero-batch dataset
+        _write_increment(kept, store_dir)
+    for f in files:
+        os.remove(f)
+    return {"removed_fps": len(fps), "rows_before": before,
+            "rows_after": n}

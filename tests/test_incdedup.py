@@ -189,3 +189,42 @@ def test_increments_after_compaction_never_collide(tmp_path):
     replay = dedup_against_store(docs([0, 1, 2, 3, 4, 5]), store,
                                  update_store=False).to_pandas()
     assert len(replay) == 0, replay
+
+
+def test_remove_from_store_takedown(tmp_path, ray_session):
+    """Takedown: a removed doc's byte-identical recrawl is no longer
+    absorbed; other store content still dedups; all-removed leaves a
+    valid empty store."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from temporal_knowledge_graphs_ray.stages.incdedup import (
+        dedup_against_store,
+        remove_from_fingerprint_store,
+        write_fingerprint_store,
+    )
+
+    def ds(docs):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string())}))
+
+    corpus = [(i, f"takedown corpus doc number {i} " * 5)
+              for i in range(10)]
+    store = str(tmp_path / "fp-store")
+    write_fingerprint_store(ds(corpus), store)
+
+    recrawl = [(100 + i, t) for i, (_, t) in enumerate(corpus[:2])]
+    assert dedup_against_store(ds(recrawl), store).count() == 0
+
+    out = remove_from_fingerprint_store(store, ds(corpus[:1]))
+    assert out["removed_fps"] == 1
+    assert out["rows_after"] == 9
+    surv = sorted(r["doc_id"] for r in
+                  dedup_against_store(ds(recrawl), store).take_all())
+    assert surv == [100]  # doc 0's recrawl now survives; doc 1's absorbed
+
+    # remove everything: store empties but stays valid
+    out2 = remove_from_fingerprint_store(store, ds(corpus))
+    assert out2["rows_after"] == 0
+    assert dedup_against_store(ds(recrawl), store).count() == 2
