@@ -147,6 +147,47 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_ask(args) -> int:
+    """Batch question-answering against a BUILT KG store (the serving
+    story as batch dataflow: build -> ask). Runs the full 5-stage RAG
+    pipeline (pipelines/rag.py — understand -> retrieve -> build_context
+    -> generate -> verify) over the given questions; the generate stage
+    uses the deterministic renderer unless TKG_LLM_API_BASE points at a
+    live endpoint (then each actor builds the HTTP client once). One
+    JSON line per question on stdout."""
+    import ray
+    import ray.data as rd
+
+    from .pipelines.rag import rag_answer_batch
+
+    questions = list(args.question or [])
+    if args.questions_file:
+        with open(args.questions_file) as f:
+            questions += [line.strip() for line in f if line.strip()]
+    if not questions:
+        print("ask needs --question (repeatable) or --questions-file",
+              file=sys.stderr)
+        return 2
+    qlist = [{"query_id": i, "query": q}
+             for i, q in enumerate(questions)]
+    _init_ray(args.num_cpus)
+    out = rag_answer_batch(
+        rd.read_parquet(os.path.join(args.kg, "chunk_ents")),
+        rd.read_parquet(os.path.join(args.kg, "mentions")),
+        qlist, k=args.k)
+    for r in out.to_dict("records"):
+        print(json.dumps({
+            "query_id": int(r["query_id"]),
+            "query": r["query"],
+            "query_type": r["query_type"],
+            "num_results": int(r["num_results"]),
+            "answer": r["answer"],
+            "verified": bool(r["verified"]),
+        }))
+    ray.shutdown()
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Compact fragmented checkpoint partitions (store OPTIMIZE)."""
     import ray
@@ -896,6 +937,16 @@ def main(argv=None) -> int:
                        help="build only: comma list of registrable "
                             "domains to drop before extraction")
 
+    p = sub.add_parser("ask")
+    p.add_argument("--kg", required=True, help="built KG output dir")
+    p.add_argument("--question", action="append",
+                   help="a question (repeatable)")
+    p.add_argument("--questions-file",
+                   help="file with one question per line")
+    p.add_argument("--k", type=int, default=5,
+                   help="retrieved chunks per question")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("stats")
     p.add_argument("--out", required=True)
 
@@ -1259,6 +1310,8 @@ def main(argv=None) -> int:
         return cmd_build(args, resume=True)
     if args.cmd == "ingest":
         return cmd_build(args, increment=True)
+    if args.cmd == "ask":
+        return cmd_ask(args)
     if args.cmd == "stats":
         return cmd_stats(args)
     if args.cmd == "verify":

@@ -383,3 +383,32 @@ def test_export_tokenized_subcommand(tmp_path):
     df = pd.read_parquet(files[0])
     assert {"seq_key", "n_ids", "ids", "pos"} <= set(df.columns)
     assert (df["ids"].map(len) == df["n_ids"]).all()
+
+
+def test_ask_subcommand(tmp_path):
+    """build -> ask: the serving story end to end as subprocesses. The
+    deterministic generate stage must produce a non-empty, verified
+    answer for a question about an entity the KG contains."""
+    kg = str(tmp_path / "kg")
+    _run(["build", "--from-documents", SF, "--out", kg], tmp_path)
+    import pyarrow.parquet as pq
+
+    nodes = pq.read_table(f"{kg}/nodes", columns=["name"])
+    entity = nodes["name"].to_pylist()[0]
+    env = dict(os.environ)
+    env["RAY_ADDRESS"] = "local"
+    out = subprocess.run(
+        [sys.executable, "-m", "temporal_knowledge_graphs_ray.cli",
+         "ask", "--kg", kg, "--question", f"What is known about {entity}?",
+         "--question", "What happened in fiscal 2021?",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, timeout=240)
+    rows = [json.loads(line) for line in out.stdout.strip().splitlines()
+            if line.startswith("{")]
+    assert len(rows) == 2
+    assert rows[0]["query"].startswith("What is known about")
+    assert rows[0]["num_results"] > 0
+    assert len(rows[0]["answer"]) > 20
+    assert {r["query_id"] for r in rows} == {0, 1}
