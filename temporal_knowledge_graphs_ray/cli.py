@@ -234,6 +234,9 @@ def cmd_curate(args) -> int:
         substring_removal_window=args.substr_remove_window,
         ccnet_lm=args.ccnet_lm,
         ccnet_keep=tuple(args.ccnet_keep.split(",")),
+        fingerprint_store=args.fingerprint_store,
+        neardup_store=args.neardup_store,
+        update_stores=args.update_stores,
     )
     print(json.dumps(report))
     ray.shutdown()
@@ -1002,6 +1005,16 @@ def main(argv=None) -> int:
                         "bucket leg with per-language cutpoints")
     p.add_argument("--ccnet-keep", default="head,middle",
                    help="comma-separated buckets to keep")
+    p.add_argument("--fingerprint-store", default=None,
+                   help="persisted exact-fingerprint store: drop docs "
+                        "whose content earlier snapshots already have")
+    p.add_argument("--neardup-store", default=None,
+                   help="persisted MinHash store: drop NEAR-copies of "
+                        "the accumulated corpus (store _meta.json "
+                        "parameters govern matching)")
+    p.add_argument("--update-stores", action="store_true",
+                   help="append the curated survivors to the stores so "
+                        "the next snapshot dedups against this one")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("sample")

@@ -95,6 +95,9 @@ def curate_corpus(
     substring_removal_until_stable: bool = False,
     ccnet_lm=None,
     ccnet_keep: tuple = ("head", "middle"),
+    fingerprint_store: str | None = None,
+    neardup_store: str | None = None,
+    update_stores: bool = False,
 ) -> dict:
     """documents Dataset -> curated Parquet under ``out_dir``; returns the
     funnel report (counts per stage)."""
@@ -216,6 +219,19 @@ def curate_corpus(
     ).materialize()
     report["after_exact_dedup"] = exact_unique.count()
 
+    # recurring-crawl leg 1: drop docs whose CONTENT is already in the
+    # persisted fingerprint store (byte-identical recrawls of earlier
+    # snapshots; stages/incdedup.py). Runs after in-corpus exact dedup
+    # so the store side sees one representative per fingerprint.
+    if fingerprint_store is not None:
+        from ..stages.incdedup import dedup_against_store
+
+        exact_unique = dedup_against_store(
+            exact_unique, fingerprint_store, text_col=text_col,
+            id_col=id_col,
+            join_partitions=join_partitions).materialize()
+        report["after_store_exact_dedup"] = exact_unique.count()
+
     # near-dup: drop every cluster member except the min id. Gated the
     # same way as minhash_lsh_dedup: at or below _DRIVER_CLUSTER_MAX
     # verified pairs the cluster step is a driver union-find and the
@@ -266,6 +282,26 @@ def curate_corpus(
         curated = keyed.join(
             flags, "left_anti", join_partitions,
             on=(_NKEY,)).drop_columns([_NKEY])
+
+    # recurring-crawl leg 2: drop docs that are NEAR-copies of the
+    # accumulated corpus (persisted MinHash store, stages/incneardup.py
+    # — the store's own _meta.json parameters govern matching, not this
+    # funnel's in-corpus num_bands). Runs after in-corpus near-dup so
+    # the store comparison sees one representative per cluster.
+    if neardup_store is not None:
+        from ..stages.incneardup import (
+            neardup_against_store,
+            store_params,
+        )
+
+        curated, _nd_stats = neardup_against_store(
+            curated, neardup_store, text_col=text_col, id_col=id_col,
+            jaccard_threshold=jaccard_threshold,
+            join_partitions=join_partitions, return_stats=True,
+            **(store_params(neardup_store) or {}))
+        curated = curated.materialize()
+        report["store_neardup_matched"] = _nd_stats["matched"]
+        report["after_store_neardup"] = curated.count()
 
     # optional substring-duplication leg (Lee et al. window spans):
     # docs whose exact-duplicated-token fraction exceeds the cap drop.
@@ -322,6 +358,29 @@ def curate_corpus(
         curated.select_columns([id_col, text_col, "lang_pred", "n_words"])
     ).write_parquet(out_dir)
     report["curated_docs"] = rd.read_parquet(out_dir).count()
+
+    # append the FINAL curated docs to the persisted stores, so the
+    # next snapshot's funnel dedups against this one (only docs that
+    # SURVIVED curation enter the stores — rejected docs must not
+    # suppress future content)
+    if update_stores and (fingerprint_store or neardup_store):
+        final = rd.read_parquet(out_dir)
+        if fingerprint_store:
+            from ..stages.incdedup import write_fingerprint_store
+
+            write_fingerprint_store(final, fingerprint_store,
+                                    text_col=text_col, id_col=id_col)
+        if neardup_store:
+            from ..stages.incneardup import (
+                store_params,
+                write_neardup_store,
+            )
+
+            write_neardup_store(final, neardup_store,
+                                text_col=text_col, id_col=id_col,
+                                **(store_params(neardup_store) or {}))
+        report["stores_updated"] = True
+
     with open(os.path.join(out_dir, "_curation_report.json"), "w") as f:
         json.dump(report, f)
     return report

@@ -181,6 +181,19 @@ def _write_increment_ds(ds, store_dir: str, sub: str,
         _save_counts(store_dir, sub, counts)
 
 
+def store_params(store_dir: str) -> dict | None:
+    """The (num_perm, num_bands, shingle_k) a store was built with, or
+    None for an uninitialized store — callers that should follow the
+    STORE's parameters rather than impose their own (e.g. the curate
+    funnel's cross-snapshot leg) read them here."""
+    meta_path = os.path.join(store_dir, "_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    return {k: meta[k] for k in _PARAMS}
+
+
 def _check_meta(store_dir: str, num_perm: int, num_bands: int,
                 shingle_k: int, create: bool = True) -> None:
     """First write records the MinHash parameters; later calls (reads

@@ -102,3 +102,53 @@ def test_two_stage_incremental_dedup(stores, ray_session):
     assert _ids(s3) == [7001, 7003]  # exact copies absorbed
     s3b = neardup_against_store(s3, mh_store).materialize()
     assert _ids(s3b) == [7003]  # edited copy absorbed by the near store
+
+
+def test_curate_funnel_with_persisted_stores(tmp_path, ray_session):
+    """The recurring-crawl production shape: snapshot 1 curates with
+    --update-stores seeding both stores; snapshot 2's funnel drops its
+    byte-exact and near-copy recrawls through the store legs and only
+    the fresh docs reach the curated output."""
+    from temporal_knowledge_graphs_ray.pipelines.curate import (
+        curate_corpus,
+    )
+
+    fp_store = str(tmp_path / "fp")
+    mh_store = str(tmp_path / "mh")
+    snap1 = [(i, _doc(i)) for i in range(20)]
+    rep1 = curate_corpus(
+        _ds(snap1), str(tmp_path / "out1"),
+        fingerprint_store=fp_store, neardup_store=mh_store,
+        update_stores=True, min_words=3)
+    assert rep1["stores_updated"] and rep1["curated_docs"] == 20
+
+    snap2 = []
+    snap2 += [(1000 + i, _doc(i)) for i in range(5)]      # exact recrawls
+    for i in range(8, 12):                                # near recrawls
+        words = _doc(i).split()
+        words[-1] = "EDITED"
+        snap2.append((2000 + i, " ".join(words)))
+    snap2 += [(3000 + i, _doc(700 + i)) for i in range(6)]  # fresh
+    rep2 = curate_corpus(
+        _ds(snap2), str(tmp_path / "out2"),
+        fingerprint_store=fp_store, neardup_store=mh_store,
+        update_stores=True, min_words=3)
+    # 5 exact recrawls die in the store-exact leg, 4 near recrawls in
+    # the store-neardup leg, 6 fresh survive
+    assert rep2["after_exact_dedup"] - rep2["after_store_exact_dedup"] == 5
+    assert rep2["store_neardup_matched"] == 4
+    assert rep2["curated_docs"] == 6
+
+    import ray.data as rd
+
+    out2 = sorted(r["doc_id"] for r in
+                  rd.read_parquet(str(tmp_path / "out2")).take_all())
+    assert out2 == [3000 + i for i in range(6)]
+
+    # snapshot 3 sees snapshot 2's fresh docs via the updated stores
+    snap3 = [(9000, _doc(700)), (9001, _doc(800))]
+    rep3 = curate_corpus(
+        _ds(snap3), str(tmp_path / "out3"),
+        fingerprint_store=fp_store, neardup_store=mh_store,
+        min_words=3)
+    assert rep3["curated_docs"] == 1
