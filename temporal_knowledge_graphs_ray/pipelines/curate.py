@@ -110,6 +110,23 @@ def curate_corpus(
 
     from ..stages.dedup import minhash_verified_pairs
 
+    # typo'd store paths must fail loudly up front: deduping against a
+    # missing store silently keeps every recrawl duplicate. A missing
+    # store is legitimate ONLY when update_stores will seed it (the
+    # first-snapshot case).
+    if (fingerprint_store is not None and not update_stores
+            and not os.path.isdir(fingerprint_store)):
+        raise ValueError(
+            f"fingerprint_store {fingerprint_store} does not exist "
+            "(pass update_stores=True to seed a new store)")
+    if neardup_store is not None and not update_stores:
+        from ..stages.incneardup import store_params
+
+        if store_params(neardup_store) is None:
+            raise ValueError(
+                f"neardup_store {neardup_store} does not exist "
+                "(pass update_stores=True to seed a new store)")
+
     report: dict = {}
     report["input_docs"] = ds.count()
 
@@ -214,9 +231,13 @@ def curate_corpus(
         .groupby("fingerprint")
         .aggregate(Min(id_col, alias_name=id_col))
     )
-    exact_unique = filtered.join(
-        winners, "left_semi", join_partitions, on=(id_col,),
-    ).materialize()
+    # repartition after the join: hash-join output carries schema-less
+    # EMPTY partitions (sparse when the corpus is small relative to the
+    # partition count) that poison any downstream join — repartition
+    # rebuilds uniform schema'd Arrow blocks (the incneardup.py finding)
+    exact_unique = (filtered.join(
+        winners, "left_semi", join_partitions, on=(id_col,))
+        .repartition(join_partitions).materialize())
     report["after_exact_dedup"] = exact_unique.count()
 
     # recurring-crawl leg 1: drop docs whose CONTENT is already in the
@@ -228,8 +249,10 @@ def curate_corpus(
 
         exact_unique = dedup_against_store(
             exact_unique, fingerprint_store, text_col=text_col,
-            id_col=id_col,
-            join_partitions=join_partitions).materialize()
+            id_col=id_col, join_partitions=join_partitions,
+            # the signal pass already computed this exact kernel —
+            # don't re-md5 the whole surviving corpus
+            fingerprint_col="fingerprint").materialize()
         report["after_store_exact_dedup"] = exact_unique.count()
 
     # near-dup: drop every cluster member except the min id. Gated the

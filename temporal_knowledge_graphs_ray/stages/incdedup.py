@@ -70,17 +70,29 @@ def _next_inc_path(store_dir: str) -> str:
 
 
 def _write_increment(fp_ds, store_dir: str) -> int:
-    """Append distinct fingerprints as one new store file (atomic:
-    written to a temp name, renamed into place)."""
+    """Append fingerprints as one new store file (atomic: written to a
+    temp name, renamed into place). The write STREAMS batches through
+    a ParquetWriter — driver memory is one batch, not the increment
+    (a lifetime-store takedown rewrite funnels tens of GB through
+    here); a zero-batch dataset publishes a valid empty file."""
     import pyarrow.parquet as pq
 
-    tbl = pa.concat_tables(
-        fp_ds.select_columns([_FP]).iter_batches(batch_format="pyarrow"))
     path = _next_inc_path(store_dir)
     tmp = path + ".tmp"
-    pq.write_table(tbl, tmp)
+    writer = None
+    n = 0
+    for batch in (fp_ds.select_columns([_FP])
+                  .iter_batches(batch_format="pyarrow")):
+        if writer is None:
+            writer = pq.ParquetWriter(tmp, batch.schema)
+        writer.write_table(batch)
+        n += batch.num_rows
+    if writer is None:
+        pq.write_table(pa.table({_FP: pa.array([], pa.string())}), tmp)
+    else:
+        writer.close()
     os.replace(tmp, path)
-    return tbl.num_rows
+    return n
 
 
 def compact_fingerprint_store(store_dir: str) -> dict:
@@ -120,16 +132,28 @@ def write_fingerprint_store(docs, store_dir: str, text_col: str = "text",
 def dedup_against_store(new_docs, store_dir: str, text_col: str = "text",
                         id_col: str = "doc_id", update_store: bool = False,
                         broadcast_limit: int = 2_000_000,
-                        join_partitions: int | None = None):
+                        join_partitions: int | None = None,
+                        fingerprint_col: str | None = None):
     """Surviving rows of ``new_docs``: one representative (min id) per
     NEW fingerprint not already in the store. ``update_store=True``
     appends the survivors' fingerprints afterwards, so the next
-    increment dedups against this one too."""
+    increment dedups against this one too. ``fingerprint_col`` names a
+    PRECOMPUTED fingerprint column (must be functions/textstats
+    ``fingerprint`` values — e.g. the curate funnel's signal column),
+    skipping the full-text md5 pass."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    reps = (add_fingerprint(new_docs, text_col, id_col)
+    def _fp_rows(ds):
+        if fingerprint_col is None:
+            return add_fingerprint(ds, text_col, id_col)
+        out = ds.select_columns([fingerprint_col, id_col])
+        if fingerprint_col != _FP:
+            out = out.rename_columns({fingerprint_col: _FP})
+        return out
+
+    reps = (_fp_rows(new_docs)
             .groupby(_FP).aggregate(Min(id_col, alias_name="keep_id")))
 
     files = _store_files(store_dir)
@@ -164,15 +188,20 @@ def dedup_against_store(new_docs, store_dir: str, text_col: str = "text",
     fresh = fresh.materialize()
     if fresh.count() == 0:
         return new_docs.limit(0)
-    keep_ids = (fresh.select_columns(["keep_id"])
-                .rename_columns({"keep_id": id_col}))
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    survivors = new_docs.join(keep_ids, "left_semi",
-                              max(2, min(64, ncpu // 2)), on=(id_col,))
+    n_parts = max(2, min(64, ncpu // 2))
+    # repartition before the join: when new_docs rode in on a join
+    # lineage (e.g. the curate funnel's exact-dedup semi-join), sparse
+    # partitions are schema-less empties that Ray's hash join rejects
+    # — repartition rebuilds uniform schema'd blocks
+    keep_ids = (fresh.select_columns(["keep_id"])
+                .rename_columns({"keep_id": id_col})
+                .repartition(n_parts))
+    survivors = new_docs.join(keep_ids, "left_semi", n_parts,
+                              on=(id_col,))
     if update_store:
         survivors = survivors.materialize()
-        _write_increment(add_fingerprint(survivors, text_col, id_col),
-                         store_dir)
+        _write_increment(_fp_rows(survivors), store_dir)
     return survivors
 
 
@@ -193,10 +222,11 @@ def remove_from_fingerprint_store(store_dir: str, docs,
     import pyarrow.compute as pc
     import ray.data as rd
 
-    fps = pa.concat_tables(
-        add_fingerprint(docs, text_col, id_col)
-        .select_columns([_FP])
-        .iter_batches(batch_format="pyarrow"))[_FP].combine_chunks()
+    batches = list(add_fingerprint(docs, text_col, id_col)
+                   .select_columns([_FP])
+                   .iter_batches(batch_format="pyarrow"))
+    fps = (pc.unique(pa.concat_tables(batches)[_FP].combine_chunks())
+           if batches else pa.array([], pa.string()))
     files = _store_files(store_dir)
     if not files:
         return {"removed_fps": len(fps), "rows_before": 0,

@@ -174,6 +174,10 @@ def _write_increment_ds(ds, store_dir: str, sub: str,
     tmp = path + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)  # stale kill leftover
     ds.write_parquet(tmp)
+    # a zero-row dataset writes no files AND creates no dir — publish
+    # an empty increment anyway so callers like the all-removed
+    # takedown don't crash on the rename
+    os.makedirs(tmp, exist_ok=True)
     os.replace(tmp, path)
     if rows is not None:
         counts = _load_counts(store_dir, sub)

@@ -513,3 +513,21 @@ def test_cli_remove_ids_file(tmp_path):
                 "--remove-ids-file", ids_file])
     assert rep2["sigs"]["rows_before"] - rep2["sigs"]["rows_after"] <= 3
     assert rep2["sigs"]["rows_after"] < rep["docs"]
+
+
+def test_remove_all_docs_leaves_valid_store(store, ray_session):
+    """All-removed takedown must succeed (empty increments publish)
+    and leave a store that matches nothing but accepts appends."""
+    from temporal_knowledge_graphs_ray.stages.incneardup import (
+        remove_from_neardup_store,
+    )
+
+    out = remove_from_neardup_store(store, range(30))
+    assert out["sigs"]["rows_after"] == 0
+    probes = [(8000, _doc(0))]
+    assert _survivor_ids(neardup_against_store(_ds(probes), store)) \
+        == [8000]
+    # the emptied store still accepts a fresh append
+    assert write_neardup_store(_ds([(50, _doc(50))]), store) == 1
+    assert _survivor_ids(neardup_against_store(
+        _ds([(8001, _doc(50))]), store)) == []

@@ -152,3 +152,19 @@ def test_curate_funnel_with_persisted_stores(tmp_path, ray_session):
         fingerprint_store=fp_store, neardup_store=mh_store,
         min_words=3)
     assert rep3["curated_docs"] == 1
+
+
+def test_curate_typod_store_paths_refuse(tmp_path, ray_session):
+    """Without update_stores, a missing store path is a loud error —
+    silently deduping against nothing would pollute the training mix."""
+    from temporal_knowledge_graphs_ray.pipelines.curate import (
+        curate_corpus,
+    )
+
+    snap = _ds([(1, _doc(1))])
+    with pytest.raises(ValueError, match="does not exist"):
+        curate_corpus(snap, str(tmp_path / "o1"),
+                      fingerprint_store=str(tmp_path / "fp-typo"))
+    with pytest.raises(ValueError, match="does not exist"):
+        curate_corpus(snap, str(tmp_path / "o2"),
+                      neardup_store=str(tmp_path / "mh-typo"))
