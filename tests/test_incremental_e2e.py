@@ -168,3 +168,55 @@ def test_curate_typod_store_paths_refuse(tmp_path, ray_session):
     with pytest.raises(ValueError, match="does not exist"):
         curate_corpus(snap, str(tmp_path / "o2"),
                       neardup_store=str(tmp_path / "mh-typo"))
+
+
+def test_cli_curate_with_stores(tmp_path):
+    """CLI pass-through of the recurring-crawl flags: two curate
+    subprocesses share the stores; the second's report shows the
+    store legs firing."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+    def write_snap(name, docs):
+        p = str(tmp_path / name)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string())}), p)
+        return p
+
+    def run(args):
+        env = dict(_os.environ)
+        env["RAY_ADDRESS"] = "local"
+        out = subprocess.run(
+            [sys.executable, "-m", "temporal_knowledge_graphs_ray.cli",
+             *args, "--num-cpus", "4"],
+            capture_output=True, text=True, check=True, cwd=repo,
+            env=env, timeout=240)
+        return _json.loads(out.stdout.strip().splitlines()[-1])
+
+    fp, mh = str(tmp_path / "fp"), str(tmp_path / "mh")
+    snap1 = write_snap("s1.parquet", [(i, _doc(i)) for i in range(12)])
+    rep1 = run(["curate", "--documents", snap1,
+                "--out", str(tmp_path / "c1"), "--min-words", "3",
+                "--fingerprint-store", fp, "--neardup-store", mh,
+                "--update-stores"])
+    assert rep1["stores_updated"] and rep1["curated_docs"] == 12
+
+    words = _doc(3).split()
+    words[-1] = "EDITED"
+    snap2 = write_snap("s2.parquet", [
+        (100, _doc(0)),            # exact recrawl
+        (101, " ".join(words)),    # near recrawl
+        (102, _doc(777))])         # fresh
+    rep2 = run(["curate", "--documents", snap2,
+                "--out", str(tmp_path / "c2"), "--min-words", "3",
+                "--fingerprint-store", fp, "--neardup-store", mh])
+    assert rep2["after_store_exact_dedup"] == 2
+    assert rep2["store_neardup_matched"] == 1
+    assert rep2["curated_docs"] == 1
